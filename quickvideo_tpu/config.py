@@ -1,0 +1,207 @@
+"""Configuration system.
+
+API-parity with the reference's config dataclasses (reference
+lvu/lvu_config.py:4-55) plus TPU-native runtime options (mesh axes, dtypes,
+kernel selection, cache capacity) that have no reference equivalent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+# Predictor types that require the full (group x group) attention-probability
+# statistics from the current group's self-attention (reference
+# lvu/utils.py:43-119,174-187).
+ATTN_STATS_PREDICTORS = frozenset(
+    {
+        "salient_tokens",
+        "attention_weights",
+        "attention_weights_sum",
+        "attention_weights_sum_head_tail",
+        "attention_weights_sum_per_image",
+        "attention_weights_sum_with_random",
+        "attention_weights_deduplication",
+        "weighted_norms",
+    }
+)
+
+# Predictor types driven by accumulated prompt->key attention scores
+# (reference lvu/utils.py:55-63, lvu/lvu_cache.py:90-117).
+QUERY_PREDICTORS = frozenset(
+    {
+        "query_attention_weights",
+        "query_attention_weights_by_value_norm",
+    }
+)
+
+ALL_PREDICTORS = ATTN_STATS_PREDICTORS | QUERY_PREDICTORS | frozenset(
+    {
+        "vector_norms",
+        "vector_norms_small",
+        "key_norms",
+        "key_norms_small",
+        "key_norms_small_random",
+        "key_norms_small_deduplication",
+        "key_weighted_vector_norms",
+        "output_norms",
+        "random",
+    }
+)
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh layout for multi-chip execution (no reference equivalent;
+    the reference is single-GPU, SURVEY.md section 2.2).
+
+    Axes:
+      dp: data parallel (independent requests / eval sharding)
+      tp: tensor parallel (attention heads / MLP columns over ICI)
+      sp: sequence parallel (group token axis for very large groups)
+    """
+
+    dp: int = 1
+    tp: int = 1
+    sp: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.dp * self.tp * self.sp
+
+    def axis_names(self):
+        return ("dp", "tp", "sp")
+
+
+@dataclass
+class LVUConfig:
+    """Main user-facing config.
+
+    Field-for-field parity with the reference `LVUConfig` (reference
+    lvu/lvu_config.py:4-33); extra TPU fields are grouped at the bottom.
+    """
+
+    model_name_or_path: str = ""
+    model_type: str = "qwen25_vl"
+    # --- KV pruning (QuickPrefill) ---
+    top_k_predict_type: str = "key_norms_small"
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None  # fraction-based k: k = int(q_len * top_p)
+    top_k_starting_layer: Optional[int] = None
+    do_top_k_for_query: bool = False
+    adaptive_local_attention: bool = True
+    video_group_size: Optional[int] = None  # in frames
+    prefill_prune_starting_layer: Optional[int] = None
+    # --- sampling of frames ---
+    fps: Optional[float] = None
+    num_frames: Optional[int] = 32
+    use_tqdm: bool = False
+    extra_kwargs: Optional[dict] = None
+    enable: bool = True
+    cache_dir: Optional[str] = None
+    save_video_cache: bool = False
+    top_k_decay_factor: Optional[float] = None
+    top_k_decay_type: Optional[str] = None  # None | "linear" | "exponential"
+    query_based: bool = False
+
+    # --- TPU-native runtime options (new) ---
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    dtype: str = "bfloat16"  # compute/cache dtype
+    param_dtype: str = "bfloat16"
+    kv_cache_capacity: Optional[int] = None  # tokens; None = auto from input
+    attention_impl: str = "auto"  # "auto" | "pallas" | "xla"
+    prune_impl: str = "auto"  # "auto" | "pallas" | "xla"
+    max_decode_tokens: int = 512
+    decode_threads: int = 8  # QUICKCODEC_CORES equivalent
+    decode_intervals: int = 64  # QUICKCODEC_INTERVALS equivalent
+    prefetch_depth: int = 3  # bounded queue depth (ref Queue(maxsize=3))
+    seed: int = 0
+
+    def __post_init__(self):
+        # Mirrors reference __post_init__ (lvu/lvu_config.py:26-33).
+        if self.top_k_decay_type == "linear" and self.top_k_decay_factor is None:
+            self.top_k_decay_factor = 0.5
+        if "query" in self.top_k_predict_type:
+            self.query_based = True
+        if isinstance(self.mesh, dict):
+            self.mesh = MeshConfig(**self.mesh)
+        if self.top_k_predict_type not in ALL_PREDICTORS:
+            raise ValueError(
+                f"Unknown top_k_predict_type: {self.top_k_predict_type!r}; "
+                f"valid: {sorted(ALL_PREDICTORS)}"
+            )
+
+    @property
+    def needs_attn_stats(self) -> bool:
+        return self.top_k_predict_type in ATTN_STATS_PREDICTORS
+
+    def replace(self, **kw) -> "LVUConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass
+class LVULayerConfig:
+    """Per-layer view of the pruning config (reference lvu/lvu_config.py:34-55).
+
+    In the TPU build layers are not monkey-patched objects; this dataclass is
+    consumed by the prefill engine to resolve the static per-layer pruning
+    parameters before tracing.
+    """
+
+    layer_idx: int
+    total_layers: int
+    lvu_config: LVUConfig
+    is_last_layer: bool = False
+    prune_for_next_layer: bool = False
+
+    def __post_init__(self):
+        if self.layer_idx is None:
+            raise ValueError("layer_idx cannot be None")
+        self.is_last_layer = self.layer_idx == self.total_layers - 1
+        psl = self.lvu_config.prefill_prune_starting_layer
+        self.prune_for_next_layer = (
+            isinstance(psl, int) and psl >= 0 and self.layer_idx >= psl
+        )
+
+
+def resolve_effective_top_k(
+    config: LVUConfig, layer_idx: int, total_layers: int, q_len: int
+) -> int:
+    """Resolve the static per-layer, per-group retention count.
+
+    Semantics match reference lvu/utils.py:231-255:
+      - top_p overrides/combines: k = min(top_k or q_len, int(q_len * top_p))
+      - decay schedules reduce k with depth
+      - returns 0 when no pruning should happen for this (layer, group)
+        (disabled, k <= 0, q_len <= k, or below top_k_starting_layer).
+
+    This runs in Python (all inputs static) so the traced computation always
+    sees a fixed k — the jit-friendliness cornerstone (SURVEY.md section 7
+    "Hard parts").
+    """
+    top_k = config.top_k
+    if config.top_p is not None and config.top_p >= 0:
+        top_k = min(top_k or q_len, int(q_len * config.top_p))
+    if not config.top_k_decay_type:
+        pass
+    elif config.top_k_decay_type == "linear":
+        top_k = top_k - int(top_k * (layer_idx / total_layers))
+    elif config.top_k_decay_type == "exponential":
+        top_k = int(top_k * (config.top_k_decay_factor ** layer_idx))
+    else:
+        raise ValueError(f"Unknown top_k_decay_type: {config.top_k_decay_type}")
+    if (
+        not config.enable
+        or not top_k
+        or top_k <= 0
+        or q_len <= top_k
+        or (
+            isinstance(config.top_k_starting_layer, int)
+            and config.top_k_starting_layer > 0
+            and layer_idx < config.top_k_starting_layer
+        )
+    ):
+        return 0
+    return top_k

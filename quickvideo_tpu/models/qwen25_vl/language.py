@@ -1,0 +1,347 @@
+"""Qwen2.5-VL language decoder in JAX.
+
+Functional decoder stack with a per-layer post-attention pruning hook — the
+clean TPU equivalent of the reference's monkey-patched decoder-layer forward
+(reference lvu/models/qwen25_vl.py:115-205: attention -> post_process_kv_cache
+-> MLP). Layers run under `lax.scan` with stacked parameters in the uniform
+path; the cascade-pruning path (`prefill_prune_starting_layer`, reference
+lvu/utils.py:344-372) unrolls because activation shapes shrink mid-stack.
+
+All computation is single-sequence (the reference asserts batch 1,
+lvu/utils.py:264); batching, when needed (eval DP), shards requests over the
+mesh instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quickvideo_tpu.models.qwen25_vl.config import TextConfig
+from quickvideo_tpu.models.qwen25_vl.rope import apply_rotary
+from quickvideo_tpu.ops import attention as attn_ops
+from quickvideo_tpu.ops import kv_cache as kv
+from quickvideo_tpu.ops import prune as prune_ops
+from quickvideo_tpu.ops.predictors import select_top_k_indices
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def init_language_params(cfg: TextConfig, key: Array, dtype=jnp.bfloat16):
+    """Random-init parameter pytree; layer weights stacked on axis 0 for scan."""
+    n = cfg.num_hidden_layers
+    c = cfg.hidden_size
+    hd = cfg.head_dim
+    hq = cfg.num_attention_heads * hd
+    hkv = cfg.num_key_value_heads * hd
+    i = cfg.intermediate_size
+    ks = jax.random.split(key, 12)
+
+    def nrm(k, shape, scale):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    s = 0.02
+    return {
+        "embed": nrm(ks[0], (cfg.vocab_size, c), s),
+        "layers": {
+            "ln1": jnp.ones((n, c), dtype),
+            "ln2": jnp.ones((n, c), dtype),
+            "wq": nrm(ks[1], (n, c, hq), s),
+            "bq": jnp.zeros((n, hq), dtype),
+            "wk": nrm(ks[2], (n, c, hkv), s),
+            "bk": jnp.zeros((n, hkv), dtype),
+            "wv": nrm(ks[3], (n, c, hkv), s),
+            "bv": jnp.zeros((n, hkv), dtype),
+            "wo": nrm(ks[4], (n, hq, c), s),
+            "wg": nrm(ks[5], (n, c, i), s),
+            "wu": nrm(ks[6], (n, c, i), s),
+            "wd": nrm(ks[7], (n, i, c), s),
+        },
+        "norm": jnp.ones((c,), dtype),
+        "lm_head": nrm(ks[8], (c, cfg.vocab_size), s),
+    }
+
+
+def rms_norm(x: Array, w: Array, eps: float) -> Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def swiglu_mlp(x: Array, lp: dict) -> Array:
+    g = jnp.dot(x, lp["wg"], preferred_element_type=jnp.float32)
+    u = jnp.dot(x, lp["wu"], preferred_element_type=jnp.float32)
+    h = (jax.nn.silu(g) * u).astype(x.dtype)
+    return jnp.dot(h, lp["wd"], preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Static step spec
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class StepSpec:
+    """Static (hashable) parameters of one prefill/decode step. Everything
+    here is resolved in Python before tracing, so the traced program has
+    fixed shapes. `keep_k == 0` means append-all (no pruning) — the
+    resolve_effective_top_k contract (quickvideo_tpu/config.py)."""
+
+    cfg: TextConfig
+    q_len: int  # tokens entering the step (incl. prompt tail if query_based)
+    keep_k: int  # retained tokens per layer (0 = keep all)
+    predict_type: str = "key_norms_small"
+    needs_probs: bool = False
+    prompt_len: int = 0  # query-based: trailing prompt tokens (stripped)
+    causal: bool = True
+
+    @property
+    def video_len(self) -> int:
+        return self.q_len - self.prompt_len
+
+    @property
+    def append_n(self) -> int:
+        return self.keep_k if self.keep_k > 0 else self.video_len
+
+
+# ---------------------------------------------------------------------------
+# Single layer
+# ---------------------------------------------------------------------------
+
+
+def _project_qkv(lp: dict, h: Array, cfg: TextConfig):
+    l = h.shape[0]
+    hd = cfg.head_dim
+    q = (jnp.dot(h, lp["wq"], preferred_element_type=jnp.float32)
+         .astype(h.dtype) + lp["bq"])
+    k = (jnp.dot(h, lp["wk"], preferred_element_type=jnp.float32)
+         .astype(h.dtype) + lp["bk"])
+    v = (jnp.dot(h, lp["wv"], preferred_element_type=jnp.float32)
+         .astype(h.dtype) + lp["bv"])
+    q = q.reshape(l, cfg.num_attention_heads, hd).transpose(1, 0, 2)
+    k = k.reshape(l, cfg.num_key_value_heads, hd).transpose(1, 0, 2)
+    v = v.reshape(l, cfg.num_key_value_heads, hd).transpose(1, 0, 2)
+    return q, k, v
+
+
+def _prompt_accum_scores(
+    q_prompt: Array, k_video: Array, cfg: TextConfig
+) -> Array:
+    """Prompt->video-key attention accumulation (reference
+    lvu/lvu_cache.py:100-116): softmax over video keys only (no past
+    denominator, no causal mask — approximate by design), summed over prompt
+    queries, averaged over query heads. Returns (video_len,) f32."""
+    hkv = cfg.num_key_value_heads
+    rep = cfg.num_kv_groups
+    qf = q_prompt.reshape(hkv, rep, *q_prompt.shape[1:]).astype(jnp.float32)
+    scores = jnp.einsum(
+        "hrqd,hkd->hrqk", qf, k_video.astype(jnp.float32)
+    ) / (cfg.head_dim ** 0.5)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return probs.sum(axis=2).mean(axis=(0, 1))
+
+
+def layer_step(
+    lp: dict,
+    x: Array,  # (q_len, C)
+    cos: Array,  # (q_len, head_dim)
+    sin: Array,
+    k_buf: Array,  # (Hkv, capacity, D)
+    v_buf: Array,
+    length: Array,  # () int32 valid cache slots (pre-step)
+    rng: Optional[Array],
+    spec: StepSpec,
+    use_cache_past: bool = True,
+):
+    """One decoder layer over the current group. Returns
+    (x_out, k_buf', v_buf', indices|None). Cache append happens inside; the
+    caller advances `length` by spec.append_n after the full stack."""
+    cfg = spec.cfg
+    scale = cfg.head_dim ** -0.5
+    h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+    q, k, v = _project_qkv(lp, h, cfg)
+    q, k = apply_rotary(q, k, cos, sin)
+
+    accum = None
+    if spec.prompt_len > 0:
+        # query-based mode: strip prompt K/V (they are never cached and other
+        # prompt tokens can't attend to them — reference
+        # lvu/lvu_cache.py:100-104 strips before DynamicCache.update).
+        gv = spec.video_len
+        k_grp, v_grp = k[:, :gv], v[:, :gv]
+        accum = _prompt_accum_scores(q[:, gv:], k_grp, cfg)
+        # mask: video rows causal over video keys; prompt rows see all video
+        cmask = jnp.ones((spec.q_len, gv), jnp.bool_)
+        cmask = cmask.at[:gv, :].set(jnp.tril(jnp.ones((gv, gv), jnp.bool_)))
+        pg = attn_ops._partial_attention(q, k_grp, v_grp, cmask, scale)
+        if use_cache_past:
+            capacity = k_buf.shape[1]
+            pmask = jnp.broadcast_to(
+                jnp.arange(capacity, dtype=jnp.int32)[None] < length,
+                (spec.q_len, capacity),
+            )
+            pp = attn_ops._partial_attention(q, k_buf, v_buf, pmask, scale)
+            out, _ = attn_ops.merge_partials(pp, pg)
+        else:
+            out = pg.out
+        group_probs = None
+    else:
+        k_grp, v_grp = k, v
+        out, group_probs = attn_ops.grouped_attention(
+            q, k_grp, v_grp,
+            k_buf if use_cache_past else None,
+            v_buf if use_cache_past else None,
+            length if use_cache_past else None,
+            scale=scale,
+            return_group_probs=spec.needs_probs,
+            causal=spec.causal,
+        )
+
+    hq = cfg.num_attention_heads
+    attn_out = out.astype(x.dtype).transpose(1, 0, 2).reshape(
+        out.shape[1], hq * cfg.head_dim
+    )
+    attn_out = jnp.dot(
+        attn_out, lp["wo"], preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    x = x + attn_out
+
+    # --- pruning hook (reference qwen25_vl.py:176-185) ---
+    indices = None
+    if not use_cache_past:
+        pass  # cache-free full forward (baseline/parity path): nothing to append
+    elif spec.keep_k > 0:
+        res = prune_ops.select_and_compact(
+            spec.predict_type,
+            spec.keep_k,
+            k_grp,
+            v_grp,
+            hidden=x[: spec.video_len],
+            group_probs=group_probs,
+            accum_attn=accum,
+            rng=rng,
+        )
+        k_buf, v_buf, _ = prune_ops.prune_append_layer(
+            k_buf, v_buf, length, res
+        )
+        indices = res.indices
+    else:
+        k_buf, v_buf = kv.layer_append(k_buf, v_buf, length, k_grp, v_grp)
+
+    h2 = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
+    x = x + swiglu_mlp(h2, lp)
+    return x, k_buf, v_buf, indices
+
+
+# ---------------------------------------------------------------------------
+# Full-stack steps
+# ---------------------------------------------------------------------------
+
+
+def prefill_step(
+    params: dict,
+    cache: kv.KVCache,
+    x: Array,  # (q_len, C) input embeddings (text + scattered vision)
+    cos: Array,  # (q_len, head_dim) merged mRoPE tables for these positions
+    sin: Array,
+    rng: Array,
+    spec: StepSpec,
+) -> Tuple[kv.KVCache, Array]:
+    """Process one group through all layers; returns (cache', hidden_out).
+
+    hidden_out is the final-layer hidden states (q_len, C) — used for logits
+    when this is the last prefill chunk.
+    """
+    cfg = spec.cfg
+
+    def body(carry, xs):
+        xh, layer_i = carry
+        lp, k_buf, v_buf = xs
+        lrng = jax.random.fold_in(rng, layer_i)
+        xh, k_buf, v_buf, _ = layer_step(
+            lp, xh, cos, sin, k_buf, v_buf, cache.length, lrng, spec
+        )
+        return (xh, layer_i + 1), (k_buf, v_buf)
+
+    (x_out, _), (new_k, new_v) = jax.lax.scan(
+        body,
+        (x, jnp.int32(0)),
+        (params["layers"], cache.k, cache.v),
+    )
+    cache = cache.replace(
+        k=new_k, v=new_v, length=cache.length + spec.append_n
+    )
+    return cache, x_out
+
+
+def compute_logits(params: dict, hidden_last: Array, cfg: TextConfig) -> Array:
+    """(C,) or (L, C) -> logits in f32."""
+    h = rms_norm(hidden_last, params["norm"], cfg.rms_norm_eps)
+    return jnp.dot(h, params["lm_head"], preferred_element_type=jnp.float32)
+
+
+def embed_tokens(params: dict, token_ids: Array) -> Array:
+    return jnp.take(params["embed"], token_ids, axis=0)
+
+
+def decode_step(
+    params: dict,
+    cache: kv.KVCache,
+    token_id: Array,  # () int32
+    cos: Array,  # (1, head_dim)
+    sin: Array,
+    spec: StepSpec,
+) -> Tuple[kv.KVCache, Array]:
+    """Autoregressive single-token step. Returns (cache', logits (V,) f32)."""
+    cfg = spec.cfg
+    x = embed_tokens(params, token_id[None])  # (1, C)
+
+    def body(carry, xs):
+        xh = carry
+        lp, k_buf, v_buf = xs
+        xh, k_buf, v_buf, _ = layer_step(
+            lp, xh, cos, sin, k_buf, v_buf, cache.length, None,
+            dataclasses.replace(spec, q_len=1, keep_k=0, needs_probs=False,
+                                prompt_len=0),
+        )
+        return xh, (k_buf, v_buf)
+
+    x_out, (new_k, new_v) = jax.lax.scan(
+        body, x, (params["layers"], cache.k, cache.v)
+    )
+    cache = cache.replace(k=new_k, v=new_v, length=cache.length + 1)
+    logits = compute_logits(params, x_out[0], cfg)
+    return cache, logits
+
+
+def full_forward_logits(
+    params: dict,
+    x: Array,  # (L, C) embeddings
+    cos: Array,
+    sin: Array,
+    cfg: TextConfig,
+) -> Array:
+    """Ungrouped, uncached causal forward over a whole sequence -> logits
+    (L, V). Baseline path and the torch-parity test target."""
+    spec = StepSpec(cfg=cfg, q_len=x.shape[0], keep_k=0)
+
+    def body(xh, lp):
+        xh, _, _, _ = layer_step(
+            lp, xh, cos, sin,
+            jnp.zeros((cfg.num_key_value_heads, 1, cfg.head_dim), x.dtype),
+            jnp.zeros((cfg.num_key_value_heads, 1, cfg.head_dim), x.dtype),
+            jnp.int32(0), None, spec, use_cache_past=False,
+        )
+        return xh, None
+
+    x_out, _ = jax.lax.scan(body, x, params["layers"])
+    return compute_logits(params, x_out, cfg)

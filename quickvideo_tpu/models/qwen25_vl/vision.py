@@ -1,0 +1,337 @@
+"""Qwen2.5-VL vision tower (ViT) in JAX — TPU-native formulation.
+
+Semantics match HF's `Qwen2_5_VisionTransformerPretrainedModel` (consulted in
+the installed transformers dependency; engaged by the reference at
+lvu/models/qwen25_vl.py via the HF model), but the execution strategy is
+rebuilt for XLA:
+
+  * All index bookkeeping (window permutation, rotary position tables,
+    segment layouts) is precomputed host-side per `grid_thw` and cached —
+    grid shapes are static per video group, so the traced program sees only
+    fixed-shape gathers/reshapes.
+  * HF's varlen flash-attention over `cu_seqlens` becomes BATCHED block
+    attention: window-attention layers reshape to (num_windows, window_len)
+    (uniform case) or gather to a padded (num_windows, max_win) layout with a
+    validity mask; full-attention layers batch over temporal frames
+    (t, h*w) — per HF, "full" attention is still block-diagonal per temporal
+    patch (cu_seqlens = repeat_interleave(h*w, t)).
+  * The Conv3d patch embed is a single matmul over the flattened
+    (3 * temporal_patch * patch * patch) input — MXU-friendly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from quickvideo_tpu.models.qwen25_vl.config import VisionConfig
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def init_vision_params(cfg: VisionConfig, key: Array, dtype=jnp.bfloat16):
+    n, c, i = cfg.depth, cfg.hidden_size, cfg.intermediate_size
+    merge_dim = c * cfg.spatial_merge_unit
+    ks = jax.random.split(key, 8)
+
+    def nrm(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    return {
+        "patch_embed": nrm(ks[0], (cfg.patch_input_dim, c)),
+        "blocks": {
+            "ln1": jnp.ones((n, c), dtype),
+            "ln2": jnp.ones((n, c), dtype),
+            "wqkv": nrm(ks[1], (n, c, 3 * c)),
+            "bqkv": jnp.zeros((n, 3 * c), dtype),
+            "wo": nrm(ks[2], (n, c, c)),
+            "bo": jnp.zeros((n, c), dtype),
+            "wg": nrm(ks[3], (n, c, i)),
+            "bg": jnp.zeros((n, i), dtype),
+            "wu": nrm(ks[4], (n, c, i)),
+            "bu": jnp.zeros((n, i), dtype),
+            "wd": nrm(ks[5], (n, i, c)),
+            "bd": jnp.zeros((n, c), dtype),
+        },
+        "merger": {
+            "ln_q": jnp.ones((c,), dtype),
+            "w1": nrm(ks[6], (merge_dim, merge_dim)),
+            "b1": jnp.zeros((merge_dim,), dtype),
+            "w2": nrm(ks[7], (merge_dim, cfg.out_hidden_size)),
+            "b2": jnp.zeros((cfg.out_hidden_size,), dtype),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Host-side layout precomputation (cached per grid)
+# ---------------------------------------------------------------------------
+
+
+class VisionLayout(NamedTuple):
+    """Static index plan for one (t, h, w) patch grid."""
+
+    grid_thw: Tuple[int, int, int]
+    perm: np.ndarray  # (S,) patch-level window-order permutation
+    inv_perm_units: np.ndarray  # (S/merge_unit,) undo for merger output
+    cos: np.ndarray  # (S, head_dim) rotary table, window order
+    sin: np.ndarray
+    win_gather: np.ndarray  # (NW, MW) padded window gather idx (-1 = pad)
+    win_valid: np.ndarray  # (NW, MW) bool
+    win_uniform: bool  # True -> plain reshape works (no padding)
+    frame_len: int  # h*w patches per temporal frame (full-attn block)
+    seq_len: int
+
+
+@functools.lru_cache(maxsize=64)
+def build_layout(
+    grid_thw: Tuple[int, int, int],
+    patch_size: int,
+    spatial_merge_size: int,
+    window_size: int,
+    head_dim: int,
+    theta: float = 10000.0,
+) -> VisionLayout:
+    t, h, w = grid_thw
+    sm = spatial_merge_size
+    unit = sm * sm
+    lh, lw = h // sm, w // sm  # merged-unit grid
+    s = t * h * w
+
+    # --- window permutation over merge units (HF get_window_index) ---
+    vit_win = window_size // sm // patch_size  # units per window edge
+    pad_h = (-lh) % vit_win
+    pad_w = (-lw) % vit_win
+    nwh, nww = (lh + pad_h) // vit_win, (lw + pad_w) // vit_win
+    idx = np.arange(t * lh * lw).reshape(t, lh, lw)
+    idxp = np.full((t, lh + pad_h, lw + pad_w), -100, np.int64)
+    idxp[:, :lh, :lw] = idx
+    idxp = (
+        idxp.reshape(t, nwh, vit_win, nww, vit_win)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(t, nwh * nww, vit_win, vit_win)
+    )
+    seqlens_units = (idxp != -100).sum(axis=(2, 3)).reshape(-1)  # per window
+    flat = idxp.reshape(-1)
+    window_index = flat[flat != -100]  # (t*lh*lw,) unit-level permutation
+
+    # patch-level permutation: each unit is `unit` consecutive patches
+    perm = (window_index[:, None] * unit + np.arange(unit)[None, :]).reshape(-1)
+    inv_perm_units = np.argsort(window_index, kind="stable")
+
+    # --- rotary tables (HF rot_pos_emb), then reorder to window order ---
+    hp = np.arange(h).reshape(h, 1).repeat(w, 1)
+    hp = (
+        hp.reshape(lh, sm, lw, sm).transpose(0, 2, 1, 3).reshape(-1)
+    )
+    wp = np.arange(w).reshape(1, w).repeat(h, 0)
+    wp = (
+        wp.reshape(lh, sm, lw, sm).transpose(0, 2, 1, 3).reshape(-1)
+    )
+    pos_hw = np.stack([hp, wp], axis=-1)  # (h*w, 2)
+    pos_hw = np.tile(pos_hw, (t, 1))  # (S, 2)
+    half = head_dim // 2  # rotary dim per (h, w) axis pair
+    inv_freq = 1.0 / (theta ** (np.arange(0, half, 2, dtype=np.float64) / half))
+    freqs = pos_hw[:, :, None].astype(np.float64) * inv_freq[None, None, :]
+    rot = freqs.reshape(s, -1)  # (S, head_dim/2): [h-freqs | w-freqs]
+    emb = np.concatenate([rot, rot], axis=-1)  # (S, head_dim)
+    cos = np.cos(emb)[perm].astype(np.float32)
+    sin = np.sin(emb)[perm].astype(np.float32)
+
+    # --- padded window gather over PATCHES in window order ---
+    seqlens_patches = seqlens_units * unit
+    nw = len(seqlens_patches)
+    mw = int(seqlens_patches.max()) if nw else 0
+    starts = np.concatenate([[0], np.cumsum(seqlens_patches)[:-1]])
+    win_gather = np.full((nw, mw), -1, np.int64)
+    for wi in range(nw):
+        n = seqlens_patches[wi]
+        win_gather[wi, :n] = starts[wi] + np.arange(n)
+    win_valid = win_gather >= 0
+    win_uniform = bool((seqlens_patches == mw).all())
+
+    return VisionLayout(
+        grid_thw=grid_thw,
+        perm=perm,
+        inv_perm_units=inv_perm_units,
+        cos=cos,
+        sin=sin,
+        win_gather=win_gather,
+        win_valid=win_valid,
+        win_uniform=win_uniform,
+        frame_len=h * w,
+        seq_len=s,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _rms_norm(x, w, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def _apply_vision_rotary(x, cos, sin):
+    # x: (..., L, H, D); cos/sin: (L, D) -> broadcast over heads (HF
+    # apply_rotary_pos_emb_vision computes in f32)
+    xf = x.astype(jnp.float32)
+    c = cos[:, None, :]
+    s = sin[:, None, :]
+    return (xf * c + _rotate_half(xf) * s).astype(x.dtype)
+
+
+def _block_attention(q, k, v, valid, scale):
+    """Batched block attention. q/k/v: (B, L, H, D); valid: (B, L) bool or
+    None. Returns (B, L, H, D)."""
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    scores = jnp.einsum("blhd,bmhd->bhlm", qf, kf) * scale
+    if valid is not None:
+        scores = jnp.where(valid[:, None, None, :], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhlm,bmhd->blhd", p, vf)
+    return out
+
+
+def vision_block(
+    bp: dict,
+    x: Array,  # (S, C) window order
+    layout_arrays: dict,
+    cfg: VisionConfig,
+    *,
+    full_attn: bool,
+    uniform: bool,
+    nw: int,
+    mw: int,
+    t: int,
+    frame_len: int,
+):
+    c = cfg.hidden_size
+    nh = cfg.num_heads
+    hd = cfg.head_dim
+    scale = hd ** -0.5
+    h = _rms_norm(x, bp["ln1"], cfg.rms_norm_eps)
+    qkv = (
+        jnp.dot(h, bp["wqkv"], preferred_element_type=jnp.float32)
+        .astype(x.dtype) + bp["bqkv"]
+    )
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(-1, nh, hd)
+    k = k.reshape(-1, nh, hd)
+    v = v.reshape(-1, nh, hd)
+    q = _apply_vision_rotary(q, layout_arrays["cos"], layout_arrays["sin"])
+    k = _apply_vision_rotary(k, layout_arrays["cos"], layout_arrays["sin"])
+
+    s_len = x.shape[0]
+    if full_attn:
+        # block-diagonal per temporal frame; frames are contiguous in window
+        # order (windows never cross temporal patches)
+        qb = q.reshape(t, frame_len, nh, hd)
+        kb = k.reshape(t, frame_len, nh, hd)
+        vb = v.reshape(t, frame_len, nh, hd)
+        ob = _block_attention(qb, kb, vb, None, scale)
+        out = ob.reshape(s_len, nh, hd)
+    elif uniform:
+        qb = q.reshape(nw, mw, nh, hd)
+        kb = k.reshape(nw, mw, nh, hd)
+        vb = v.reshape(nw, mw, nh, hd)
+        ob = _block_attention(qb, kb, vb, None, scale)
+        out = ob.reshape(s_len, nh, hd)
+    else:
+        gidx = layout_arrays["win_gather"]  # (NW, MW)
+        valid = layout_arrays["win_valid"]
+        safe = jnp.maximum(gidx, 0)
+        qb = q[safe]
+        kb = k[safe]
+        vb = v[safe]
+        ob = _block_attention(qb, kb, vb, valid, scale)
+        out = jnp.zeros_like(q).at[safe.reshape(-1)].set(
+            ob.reshape(-1, nh, hd), mode="drop"
+        )
+        # padded lanes scatter to index 0 of safe==0 — overwrite with correct
+        # values by masking: scatter only valid lanes
+        out = jnp.zeros_like(q).at[
+            jnp.where(valid.reshape(-1), gidx.reshape(-1), s_len)
+        ].set(ob.reshape(-1, nh, hd), mode="drop")
+
+    attn_out = out.astype(x.dtype).reshape(s_len, c)
+    attn_out = (
+        jnp.dot(attn_out, bp["wo"], preferred_element_type=jnp.float32)
+        .astype(x.dtype) + bp["bo"]
+    )
+    x = x + attn_out
+    h2 = _rms_norm(x, bp["ln2"], cfg.rms_norm_eps)
+    g = jnp.dot(h2, bp["wg"], preferred_element_type=jnp.float32) + bp["bg"].astype(jnp.float32)
+    u = jnp.dot(h2, bp["wu"], preferred_element_type=jnp.float32) + bp["bu"].astype(jnp.float32)
+    mlp = (jax.nn.silu(g) * u).astype(x.dtype)
+    mlp = (
+        jnp.dot(mlp, bp["wd"], preferred_element_type=jnp.float32)
+        .astype(x.dtype) + bp["bd"]
+    )
+    return x + mlp
+
+
+def vision_forward(
+    params: dict,
+    pixels: Array,  # (S, patch_input_dim) raster order (HF pixel_values layout)
+    layout: VisionLayout,
+    cfg: VisionConfig,
+) -> Array:
+    """Full tower: patch embed -> window-reorder -> blocks -> merger ->
+    original order. Returns (S / merge_unit, out_hidden_size)."""
+    x = jnp.dot(
+        pixels.astype(params["patch_embed"].dtype),
+        params["patch_embed"],
+        preferred_element_type=jnp.float32,
+    ).astype(params["patch_embed"].dtype)
+    perm = jnp.asarray(layout.perm)
+    x = x[perm]
+    layout_arrays = {
+        "cos": jnp.asarray(layout.cos),
+        "sin": jnp.asarray(layout.sin),
+        "win_gather": jnp.asarray(layout.win_gather),
+        "win_valid": jnp.asarray(layout.win_valid),
+    }
+    t = layout.grid_thw[0]
+    nw, mw = layout.win_gather.shape
+    for li in range(cfg.depth):
+        bp = jax.tree.map(lambda a: a[li], params["blocks"])
+        x = vision_block(
+            bp, x, layout_arrays, cfg,
+            full_attn=(li in cfg.fullatt_block_indexes),
+            uniform=layout.win_uniform,
+            nw=nw, mw=mw, t=t, frame_len=layout.frame_len,
+        )
+    # merger (HF Qwen2_5_VLPatchMerger): RMSNorm -> concat merge_unit patches
+    # -> Linear -> GELU -> Linear
+    mp = params["merger"]
+    xm = _rms_norm(x, mp["ln_q"], cfg.rms_norm_eps)
+    unit = cfg.spatial_merge_unit
+    xm = xm.reshape(-1, unit * cfg.hidden_size)
+    h1 = jnp.dot(xm, mp["w1"], preferred_element_type=jnp.float32) + mp["b1"].astype(jnp.float32)
+    h1 = jax.nn.gelu(h1, approximate=False).astype(x.dtype)
+    out = (
+        jnp.dot(h1, mp["w2"], preferred_element_type=jnp.float32)
+        .astype(x.dtype) + mp["b2"]
+    )
+    inv = jnp.asarray(layout.inv_perm_units)
+    return out[inv]

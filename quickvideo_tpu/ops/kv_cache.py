@@ -1,0 +1,105 @@
+"""Functional, preallocated KV cache.
+
+TPU-native replacement for the reference's `LVUCache(DynamicCache)` (reference
+lvu/lvu_cache.py:68-117) and the in-place prune-and-write-back of
+`post_process_kv_cache` (reference lvu/utils.py:333-342).
+
+The reference grows/shrinks python lists of torch tensors per layer. Under
+XLA everything must be fixed-shape, so the cache is a preallocated HBM buffer
+of `capacity` token slots per layer plus a scalar valid-`length`; groups
+append their (pruned, fixed-size) K/V at offset `length` via
+dynamic_update_slice, and attention masks slots >= length. One compiled
+prefill step serves every group — no recompiles as the cache "grows"
+(SURVEY.md section 7 "Hard parts": shape polymorphism vs jit).
+
+Keys are stored with RoPE already applied, as in the reference (rope applied
+before `cache.update`, reference lvu/models/qwen25_vl.py:44-51); retained
+tokens keep their original mRoPE phases, so no positions need to be cached.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+Array = jax.Array
+
+
+@struct.dataclass
+class KVCache:
+    """Stacked-by-layer KV cache.
+
+    k, v: (num_layers, num_kv_heads, capacity, head_dim)
+    length: () int32 — number of valid token slots (shared by all layers in
+        the uniform-pruning path; per-layer lengths are equal because every
+        layer keeps the same static k per group).
+    accum_attn: (num_layers, capacity) f32 or None — accumulated prompt->key
+        attention scores for query-based predictors (reference
+        lvu/lvu_cache.py:79,110-117). Aligned with cache slots.
+    """
+
+    k: Array
+    v: Array
+    length: Array
+    accum_attn: Optional[Array] = None
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def num_layers(self) -> int:
+        return self.k.shape[0]
+
+
+def init_cache(
+    num_layers: int,
+    num_kv_heads: int,
+    capacity: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+    with_accum_attn: bool = False,
+) -> KVCache:
+    shape = (num_layers, num_kv_heads, capacity, head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        length=jnp.zeros((), jnp.int32),
+        accum_attn=(
+            jnp.zeros((num_layers, capacity), jnp.float32)
+            if with_accum_attn
+            else None
+        ),
+    )
+
+
+def layer_append(
+    k_buf: Array, v_buf: Array, length: Array, k_new: Array, v_new: Array
+):
+    """Append `k_new`/`v_new` (num_kv_heads, n, head_dim) at slot `length` of
+    one layer's buffers (num_kv_heads, capacity, head_dim). Returns updated
+    buffers; caller advances `length` once per step (all layers append the
+    same count)."""
+    k_buf = jax.lax.dynamic_update_slice(
+        k_buf, k_new.astype(k_buf.dtype), (0, length, 0)
+    )
+    v_buf = jax.lax.dynamic_update_slice(
+        v_buf, v_new.astype(v_buf.dtype), (0, length, 0)
+    )
+    return k_buf, v_buf
+
+
+def layer_append_accum(accum_buf: Array, length: Array, scores_new: Array):
+    """Append per-token accumulated attention scores (n,) at slot `length` of
+    one layer's (capacity,) accumulator."""
+    return jax.lax.dynamic_update_slice(
+        accum_buf, scores_new.astype(accum_buf.dtype), (length,)
+    )
+
+
+def valid_mask(capacity: int, length: Array) -> Array:
+    """(capacity,) bool mask of populated slots."""
+    return jnp.arange(capacity, dtype=jnp.int32) < length
