@@ -103,6 +103,7 @@ class StepSpec:
     needs_probs: bool = False
     prompt_len: int = 0  # query-based: trailing prompt tokens (stripped)
     causal: bool = True
+    cascade: bool = False  # prune activations for the next layer too
 
     @property
     def video_len(self) -> int:
@@ -265,22 +266,63 @@ def prefill_step(
 
     def body(carry, xs):
         xh, layer_i = carry
-        lp, k_buf, v_buf = xs
+        lp, k_buf, v_buf, length = xs
         lrng = jax.random.fold_in(rng, layer_i)
         xh, k_buf, v_buf, _ = layer_step(
-            lp, xh, cos, sin, k_buf, v_buf, cache.length, lrng, spec
+            lp, xh, cos, sin, k_buf, v_buf, length, lrng, spec
         )
         return (xh, layer_i + 1), (k_buf, v_buf)
 
     (x_out, _), (new_k, new_v) = jax.lax.scan(
         body,
         (x, jnp.int32(0)),
-        (params["layers"], cache.k, cache.v),
+        (params["layers"], cache.k, cache.v, cache.length),
     )
     cache = cache.replace(
         k=new_k, v=new_v, length=cache.length + spec.append_n
     )
     return cache, x_out
+
+
+def prefill_step_unrolled(
+    params: dict,
+    cache: kv.KVCache,
+    x: Array,
+    cos: Array,
+    sin: Array,
+    rng: Array,
+    specs,  # list of StepSpec, one per layer (keep_k / q_len may differ)
+) -> Tuple[kv.KVCache, Array]:
+    """Non-uniform path: per-layer keep_k (decay schedules, reference
+    lvu/utils.py:244-251) and/or cascade activation pruning
+    (`prefill_prune_starting_layer`, reference lvu/utils.py:344-372) change
+    shapes mid-stack, so layers unroll instead of scanning.
+
+    With cascade pruning, layer i with keep_k>0 and prune_for_next_layer
+    shrinks hidden/cos/sin to the kept tokens for layer i+1 (the reference
+    passes the pruned tuple to the next layer, qwen25_vl.py:193-195)."""
+    cfg = specs[0].cfg
+    n = cfg.num_hidden_layers
+    new_k, new_v, new_len = [], [], []
+    for li in range(n):
+        lp = jax.tree.map(lambda a: a[li], params["layers"])
+        spec = specs[li]
+        lrng = jax.random.fold_in(rng, li)
+        x, k_buf, v_buf, indices = layer_step(
+            lp, x, cos, sin, cache.k[li], cache.v[li], cache.length[li],
+            lrng, spec,
+        )
+        new_k.append(k_buf)
+        new_v.append(v_buf)
+        new_len.append(cache.length[li] + spec.append_n)
+        if spec.keep_k > 0 and spec.cascade and li < n - 1 and indices is not None:
+            x = x[indices]
+            cos = cos[indices]
+            sin = sin[indices]
+    cache = cache.replace(
+        k=jnp.stack(new_k), v=jnp.stack(new_v), length=jnp.stack(new_len)
+    )
+    return cache, x
 
 
 def compute_logits(params: dict, hidden_last: Array, cfg: TextConfig) -> Array:
@@ -307,16 +349,16 @@ def decode_step(
 
     def body(carry, xs):
         xh = carry
-        lp, k_buf, v_buf = xs
+        lp, k_buf, v_buf, length = xs
         xh, k_buf, v_buf, _ = layer_step(
-            lp, xh, cos, sin, k_buf, v_buf, cache.length, None,
+            lp, xh, cos, sin, k_buf, v_buf, length, None,
             dataclasses.replace(spec, q_len=1, keep_k=0, needs_probs=False,
                                 prompt_len=0),
         )
         return xh, (k_buf, v_buf)
 
     x_out, (new_k, new_v) = jax.lax.scan(
-        body, x, (params["layers"], cache.k, cache.v)
+        body, x, (params["layers"], cache.k, cache.v, cache.length)
     )
     cache = cache.replace(k=new_k, v=new_v, length=cache.length + 1)
     logits = compute_logits(params, x_out[0], cfg)

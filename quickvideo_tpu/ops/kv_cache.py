@@ -33,9 +33,10 @@ class KVCache:
     """Stacked-by-layer KV cache.
 
     k, v: (num_layers, num_kv_heads, capacity, head_dim)
-    length: () int32 — number of valid token slots (shared by all layers in
-        the uniform-pruning path; per-layer lengths are equal because every
-        layer keeps the same static k per group).
+    length: (num_layers,) int32 — valid token slots per layer. Layers share
+        one value in the uniform path (same static keep-k everywhere); decay
+        schedules (`top_k_decay_type`, reference lvu/utils.py:244-251) make
+        them diverge, which a per-layer vector represents directly.
     accum_attn: (num_layers, capacity) f32 or None — accumulated prompt->key
         attention scores for query-based predictors (reference
         lvu/lvu_cache.py:79,110-117). Aligned with cache slots.
@@ -67,7 +68,7 @@ def init_cache(
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
-        length=jnp.zeros((), jnp.int32),
+        length=jnp.zeros((num_layers,), jnp.int32),
         accum_attn=(
             jnp.zeros((num_layers, capacity), jnp.float32)
             if with_accum_attn

@@ -1,0 +1,378 @@
+"""Grouped-prefill state machine + decode loop.
+
+TPU-native rebuild of the reference's chat driver (reference
+lvu/models/qwen25_vl.py:348-548 `chat_lvu_model`, call stack in SURVEY.md
+section 3.2):
+
+  1. Full token sequence + mRoPE positions computed ONCE up front
+     (reference :418-425); merged cos/sin tables precomputed host-side.
+  2. Video token groups sliced per group; group 0 absorbs the pre-video
+     prompt tokens (reference :474); the suffix prompt goes to the final
+     prefill+generate call (reference :524-539).
+  3. Each group runs one compiled `prefill_step`: vision encode -> embed
+     scatter -> decoder stack with per-layer prune-and-append into the
+     preallocated KV cache. Fixed group shapes => one compile per distinct
+     (q_len, keep_k) — the engine pads the tail group when needed.
+  4. Greedy/sampling decode continues from rope_delta + global length
+     (reference rope_deltas semantics, :418-425).
+
+The engine is synchronous w.r.t. its inputs; overlapped decode/preprocess
+feeding is layered on top by quickvideo_tpu.video.stream (reference
+interleaved engine equivalent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from quickvideo_tpu.config import LVUConfig, resolve_effective_top_k
+from quickvideo_tpu.models.qwen25_vl import model as qmodel
+from quickvideo_tpu.models.qwen25_vl.config import ModelConfig
+from quickvideo_tpu.models.qwen25_vl.language import (
+    StepSpec,
+    compute_logits,
+    decode_step,
+    embed_tokens,
+    prefill_step,
+    prefill_step_unrolled,
+)
+from quickvideo_tpu.ops import kv_cache as kvc
+from quickvideo_tpu.utils.timing import SpanTimer
+
+Array = jax.Array
+
+
+@dataclass
+class PrefillInputs:
+    """Everything the engine needs for one request, host-side.
+
+    Built by the API layer / processor from a chat message; tests build it
+    synthetically. `pixel_groups` may be a list (sync mode) or any iterator
+    (streaming mode — overlapped decode feeds groups as they arrive).
+    """
+
+    input_ids: np.ndarray  # (L,) full packed sequence
+    video_grid_thw: Tuple[int, int, int]  # full-video grid
+    pixel_groups: Iterable[np.ndarray]  # per group: (S_g, patch_input_dim)
+    group_grids: Sequence[Tuple[int, int, int]]  # per group (t_g, h, w)
+    second_per_grid_ts: float = 1.0
+    num_video_tokens: Optional[int] = None
+
+
+@dataclass
+class GenerationResult:
+    tokens: np.ndarray
+    timings: dict = field(default_factory=dict)
+    cache_length: int = 0
+    prefill_tokens: int = 0
+
+
+class LVUEngine:
+    """One model + one LVUConfig; reusable across requests."""
+
+    def __init__(
+        self,
+        params: dict,
+        model_cfg: ModelConfig,
+        lvu_cfg: LVUConfig,
+        dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.cfg = model_cfg
+        self.lvu = lvu_cfg
+        self.dtype = dtype
+        self._prefill_jit = jax.jit(
+            prefill_step, static_argnames=("spec",), donate_argnames=("cache",)
+        )
+        self._prefill_unrolled_jit = jax.jit(
+            prefill_step_unrolled,
+            static_argnames=("specs",),
+            donate_argnames=("cache",),
+        )
+        self._decode_jit = jax.jit(
+            self._decode_body, static_argnames=("spec",), donate_argnames=("cache",)
+        )
+        self._vision_jit = jax.jit(
+            qmodel.encode_video_group, static_argnames=("cfg", "grid_thw")
+        )
+        self._embed_scatter_jit = jax.jit(self._embed_scatter)
+        self._rng = jax.random.key(lvu_cfg.seed)
+
+    # -- jit bodies ------------------------------------------------------
+
+    def _embed_scatter(self, ids: Array, vis: Optional[Array]):
+        x = embed_tokens(self.params["language"], ids)
+        if vis is not None:
+            x = qmodel.merge_vision_embeddings(
+                x, vis, ids, self.cfg.video_token_id
+            )
+        return x
+
+    def _decode_body(self, params, cache, token_id, cos, sin, spec):
+        return decode_step(params, cache, token_id, cos, sin, spec)
+
+    # -- planning --------------------------------------------------------
+
+    def _uniform(self) -> bool:
+        return (
+            self.lvu.top_k_decay_type is None
+            and self.lvu.prefill_prune_starting_layer is None
+        )
+
+    def _layer_specs(self, base: StepSpec) -> Tuple[StepSpec, ...]:
+        """Per-layer specs for the unrolled path (decay / cascade)."""
+        cfg = self.cfg.text
+        n = cfg.num_hidden_layers
+        specs = []
+        q_len = base.q_len
+        psl = self.lvu.prefill_prune_starting_layer
+        for li in range(n):
+            k = resolve_effective_top_k(self.lvu, li, n, q_len - base.prompt_len)
+            cascade = (
+                isinstance(psl, int) and psl >= 0 and li >= psl and k > 0
+            )
+            specs.append(
+                dataclasses.replace(
+                    base, q_len=q_len, keep_k=k, cascade=cascade
+                )
+            )
+            if cascade and li < n - 1:
+                q_len = k + base.prompt_len
+        return tuple(specs)
+
+    def plan_capacity(
+        self, group_token_counts: Sequence[int], prefix_len: int,
+        suffix_len: int,
+    ) -> int:
+        """Worst-case (max over layers) cache capacity in tokens."""
+        n = self.cfg.text.num_hidden_layers
+        total = prefix_len + suffix_len + self.lvu.max_decode_tokens
+        for gt in group_token_counts:
+            keeps = [
+                resolve_effective_top_k(self.lvu, li, n, gt) or gt
+                for li in range(n)
+            ]
+            total += max(keeps)
+        return int(total)
+
+    # -- main entry points ----------------------------------------------
+
+    def prefill(
+        self,
+        inputs: PrefillInputs,
+        timer: Optional[SpanTimer] = None,
+    ):
+        """Run grouped prefill over the video; returns (cache, state dict for
+        generate())."""
+        timer = timer or SpanTimer()
+        cfg = self.cfg
+        lvu = self.lvu
+        ids = np.asarray(inputs.input_ids)
+        L = len(ids)
+
+        with timer.span("rope"):
+            positions, delta = qmodel.rope_index_for(
+                cfg, ids,
+                video_grid_thw=np.array([inputs.video_grid_thw]),
+                second_per_grid_ts=[inputs.second_per_grid_ts],
+            )
+            # precompute decode positions too: text continuation from
+            # max_pos+1 == L + delta (reference rope_deltas semantics)
+            from quickvideo_tpu.models.qwen25_vl.rope import text_positions
+
+            dec_pos = text_positions(L + delta, lvu.max_decode_tokens)
+            all_pos = np.concatenate([positions, dec_pos], axis=1)
+            cos_np, sin_np = qmodel.mrope_tables(cfg, all_pos)
+            cos = jnp.asarray(cos_np)
+            sin = jnp.asarray(sin_np)
+
+        # --- token geometry (reference qwen25_vl.py:464-474) ---
+        vid_idx = np.nonzero(ids == cfg.video_token_id)[0]
+        n_vid = len(vid_idx)
+        first_vid, last_vid = int(vid_idx[0]), int(vid_idx[-1])
+        suffix_start = last_vid + 1
+        total_frames_t = inputs.video_grid_thw[0]
+        group_tokens = []
+        for t_g, h, w in inputs.group_grids:
+            merged = t_g * (h // cfg.vision.spatial_merge_size) * (
+                w // cfg.vision.spatial_merge_size
+            )
+            group_tokens.append(merged)
+        assert sum(group_tokens) == n_vid, (sum(group_tokens), n_vid)
+        # group 0 absorbs the pre-video prompt tokens
+        group_input_lens = list(group_tokens)
+        group_input_lens[0] += first_vid
+
+        capacity = self.plan_capacity(group_input_lens, 0, L - suffix_start)
+        with timer.span("cache_alloc"):
+            cache = kvc.init_cache(
+                cfg.text.num_hidden_layers,
+                cfg.text.num_key_value_heads,
+                capacity,
+                cfg.text.head_dim,
+                dtype=self.dtype,
+            )
+
+        prompt_ids = ids[suffix_start:]
+        prompt_len = len(prompt_ids) if lvu.query_based else 0
+
+        # --- group loop ---
+        past_len = 0
+        n_layers = cfg.text.num_hidden_layers
+        ids_j = jnp.asarray(ids, jnp.int32)
+        prompt_cos = cos[suffix_start:L]
+        prompt_sin = sin[suffix_start:L]
+        for gi, pixels in enumerate(inputs.pixel_groups):
+            grid = tuple(int(x) for x in inputs.group_grids[gi])
+            in_len = group_input_lens[gi]
+            with timer.span("vision"):
+                vis = self._vision_jit(
+                    self.params, cfg,
+                    jnp.asarray(pixels, self.dtype), grid,
+                )
+            with timer.span("embed"):
+                g_ids = jax.lax.dynamic_slice(ids_j, (past_len,), (in_len,))
+                g_cos = jax.lax.dynamic_slice(
+                    cos, (past_len, 0), (in_len, cos.shape[1])
+                )
+                g_sin = jax.lax.dynamic_slice(
+                    sin, (past_len, 0), (in_len, sin.shape[1])
+                )
+                if lvu.query_based:
+                    g_ids = jnp.concatenate([g_ids, jnp.asarray(prompt_ids, jnp.int32)])
+                    # reference slices positions CONTIGUOUSLY past the group
+                    # (qwen25_vl.py:492) — prompt tokens get the positions of
+                    # the tokens that follow the group, a documented quirk we
+                    # replicate for parity.
+                    g_cos = jax.lax.dynamic_slice(
+                        cos, (past_len, 0), (in_len + prompt_len, cos.shape[1])
+                    )
+                    g_sin = jax.lax.dynamic_slice(
+                        sin, (past_len, 0), (in_len + prompt_len, sin.shape[1])
+                    )
+                x = self._embed_scatter_jit(g_ids, vis)
+            q_len = in_len + prompt_len
+            base = StepSpec(
+                cfg=cfg.text,
+                q_len=q_len,
+                keep_k=resolve_effective_top_k(lvu, 0, n_layers, in_len),
+                predict_type=lvu.top_k_predict_type,
+                needs_probs=lvu.needs_attn_stats,
+                prompt_len=prompt_len,
+            )
+            self._rng, rng = jax.random.split(self._rng)
+            with timer.span("prefill"):
+                if self._uniform():
+                    cache, _ = self._prefill_jit(
+                        self.params["language"], cache, x, g_cos, g_sin, rng,
+                        spec=base,
+                    )
+                else:
+                    cache, _ = self._prefill_unrolled_jit(
+                        self.params["language"], cache, x, g_cos, g_sin, rng,
+                        specs=self._layer_specs(base),
+                    )
+            past_len += in_len
+        assert past_len == suffix_start, (past_len, suffix_start)
+
+        state = {
+            "cos": cos,
+            "sin": sin,
+            "suffix_start": suffix_start,
+            "L": L,
+            "delta": delta,
+            "ids": ids,
+            "timer": timer,
+        }
+        return cache, state
+
+    def generate(
+        self,
+        inputs: PrefillInputs,
+        max_new_tokens: Optional[int] = None,
+        eos_token_ids: Sequence[int] = (),
+        greedy: bool = True,
+        temperature: float = 1.0,
+    ) -> GenerationResult:
+        """Full request: grouped prefill + final prompt + decode."""
+        timer = SpanTimer()
+        with timer.span("e2e"):
+            cache, state = self.prefill(inputs, timer)
+            tokens, cache = self._generate_from_cache(
+                cache, state, max_new_tokens, eos_token_ids, greedy,
+                temperature, timer,
+            )
+        return GenerationResult(
+            tokens=tokens,
+            timings=timer.totals(),
+            cache_length=int(jnp.max(cache.length)),
+            prefill_tokens=state["L"],
+        )
+
+    def _generate_from_cache(
+        self, cache, state, max_new_tokens, eos_token_ids, greedy,
+        temperature, timer,
+    ):
+        cfg = self.cfg
+        lvu = self.lvu
+        ids = state["ids"]
+        cos, sin = state["cos"], state["sin"]
+        ss, L = state["suffix_start"], state["L"]
+        max_new = min(
+            max_new_tokens or lvu.max_decode_tokens, lvu.max_decode_tokens
+        )
+        n_layers = cfg.text.num_hidden_layers
+
+        # final prompt prefill (reference :524-539; pruning only if
+        # do_top_k_for_query toggles it on during generate)
+        suffix_len = L - ss
+        keep_k = 0
+        if lvu.do_top_k_for_query:
+            keep_k = resolve_effective_top_k(lvu, 0, n_layers, suffix_len)
+        spec = StepSpec(
+            cfg=cfg.text,
+            q_len=suffix_len,
+            keep_k=keep_k,
+            predict_type=lvu.top_k_predict_type,
+            needs_probs=lvu.needs_attn_stats and keep_k > 0,
+        )
+        with timer.span("final_prefill"):
+            x = self._embed_scatter_jit(jnp.asarray(ids[ss:], jnp.int32), None)
+            self._rng, rng = jax.random.split(self._rng)
+            cache, hidden = self._prefill_jit(
+                self.params["language"], cache, x, cos[ss:L], sin[ss:L], rng,
+                spec=spec,
+            )
+            logits = compute_logits(
+                self.params["language"], hidden[-1], cfg.text
+            )
+
+        out_tokens: List[int] = []
+        dspec = StepSpec(cfg=cfg.text, q_len=1, keep_k=0)
+        with timer.span("decode"):
+            for step in range(max_new):
+                if greedy:
+                    nxt = int(jnp.argmax(logits))
+                else:
+                    self._rng, rng = jax.random.split(self._rng)
+                    nxt = int(
+                        jax.random.categorical(rng, logits / temperature)
+                    )
+                out_tokens.append(nxt)
+                if nxt in eos_token_ids:
+                    break
+                pos_idx = L + step  # decode tables start at row L
+                cache, logits = self._decode_jit(
+                    self.params["language"], cache,
+                    jnp.int32(nxt),
+                    cos[pos_idx : pos_idx + 1],
+                    sin[pos_idx : pos_idx + 1],
+                    spec=dspec,
+                )
+        return np.asarray(out_tokens, np.int64), cache

@@ -94,7 +94,9 @@ def test_kv_cache_append_and_mask(rng_np):
     assert cache.capacity == 16 and cache.num_layers == 2
     k_new = jnp.asarray(rng_np.standard_normal((HKV, 4, D)), jnp.bfloat16)
     v_new = jnp.asarray(rng_np.standard_normal((HKV, 4, D)), jnp.bfloat16)
-    kb, vb = kv_cache.layer_append(cache.k[0], cache.v[0], cache.length, k_new, v_new)
+    kb, vb = kv_cache.layer_append(
+        cache.k[0], cache.v[0], cache.length[0], k_new, v_new
+    )
     np.testing.assert_array_equal(
         np.asarray(kb[:, :4].astype(jnp.float32)),
         np.asarray(k_new.astype(jnp.float32)),
@@ -126,7 +128,7 @@ def test_prune_append_roundtrip(rng_np):
     vg = jnp.asarray(rng_np.standard_normal((HKV, G, D)), jnp.float32)
     res = prune.select_and_compact("key_norms_small", KEEP, kg, vg)
     kb, vb, _ = prune.prune_append_layer(
-        cache.k[0], cache.v[0], cache.length, res
+        cache.k[0], cache.v[0], cache.length[0], res
     )
     np.testing.assert_allclose(np.asarray(kb[:, :KEEP]), np.asarray(res.k_keep))
     # second append lands after the first

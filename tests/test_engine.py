@@ -1,0 +1,187 @@
+"""Grouped-prefill engine tests on the tiny model.
+
+Key invariants (SURVEY.md section 4 'Implication for the TPU build'):
+  - grouped prefill with NO pruning produces the same next-token logits as
+    the ungrouped full forward (the chunking itself is exact);
+  - greedy decode from grouped prefill matches torch HF generate with no
+    pruning;
+  - pruned prefill (rho=0.5 key-norms) runs, shrinks the cache by the
+    expected amount, and still decodes.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from quickvideo_tpu.config import LVUConfig
+from quickvideo_tpu.models.qwen25_vl import get_config
+from quickvideo_tpu.models.qwen25_vl import model as qmodel
+from quickvideo_tpu.prefill import LVUEngine, PrefillInputs
+
+CFG = get_config("tiny")
+GRID = (4, 16, 16)  # 4 temporal patches (8 frames), 8x8 merged -> 256 vid tokens
+TOKENS_PER_TPATCH = (GRID[1] // 2) * (GRID[2] // 2)  # 64
+
+
+def build_request(seed=1, n_pre=4, n_post=5, groups_t=(2, 2)):
+    rng = np.random.default_rng(seed)
+    t, h, w = GRID
+    n_vid = t * (h // 2) * (w // 2)
+    ids = np.concatenate([
+        rng.integers(5, 900, n_pre),
+        [CFG.vision_start_token_id],
+        np.full(n_vid, CFG.video_token_id),
+        [CFG.vision_end_token_id],
+        rng.integers(5, 900, n_post),
+    ]).astype(np.int64)
+    s = t * h * w
+    pixels = rng.standard_normal((s, CFG.vision.patch_input_dim)).astype(np.float32)
+    # split pixels by temporal patches
+    assert sum(groups_t) == t
+    patches_per_t = h * w
+    pixel_groups, group_grids, off = [], [], 0
+    for tg in groups_t:
+        n = tg * patches_per_t
+        pixel_groups.append(pixels[off : off + n])
+        group_grids.append((tg, h, w))
+        off += n
+    return ids, pixels, pixel_groups, group_grids
+
+
+@pytest.fixture(scope="module")
+def params():
+    return qmodel.init_params(CFG, seed=0, dtype=jnp.float32)
+
+
+def make_engine(params, **lvu_kw):
+    lvu = LVUConfig(model_name_or_path="tiny", num_frames=8, **lvu_kw)
+    return LVUEngine(params, CFG, lvu, dtype=jnp.float32)
+
+
+class TestGroupedEqualsFull:
+    def test_no_prune_logits_match_full_forward(self, params):
+        ids, pixels, pixel_groups, group_grids = build_request()
+        eng = make_engine(params, top_k=None, max_decode_tokens=8)
+        inputs = PrefillInputs(
+            input_ids=ids,
+            video_grid_thw=GRID,
+            pixel_groups=pixel_groups,
+            group_grids=group_grids,
+            second_per_grid_ts=2.0,
+        )
+        res = eng.generate(inputs, max_new_tokens=5)
+        # oracle: ungrouped full forward; greedy continuation
+        full_logits = np.asarray(
+            qmodel.forward_full_sequence(
+                params, CFG, ids, pixels=jnp.asarray(pixels),
+                video_grid_thw=np.array([GRID]), second_per_grid_ts=[2.0],
+            )
+        )
+        first_greedy = int(full_logits[-1].argmax())
+        assert res.tokens[0] == first_greedy
+        assert len(res.tokens) == 5
+        assert res.cache_length == len(ids) + 5  # all tokens + 5 decoded KVs
+
+    def test_single_vs_multi_group_same_tokens(self, params):
+        ids, pixels, pixel_groups, group_grids = build_request(groups_t=(2, 2))
+        eng = make_engine(params, top_k=None, max_decode_tokens=8)
+        r2 = eng.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=5,
+        )
+        eng1 = make_engine(params, top_k=None, max_decode_tokens=8)
+        r1 = eng1.generate(
+            PrefillInputs(ids, GRID, [pixels], [GRID], 2.0), max_new_tokens=5
+        )
+        np.testing.assert_array_equal(r1.tokens, r2.tokens)
+
+
+class TestPrunedPrefill:
+    def test_keynorm_prune_cache_shrinks(self, params):
+        ids, pixels, pixel_groups, group_grids = build_request(groups_t=(2, 2))
+        eng = make_engine(params, top_p=0.5, max_decode_tokens=8)
+        inputs = PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0)
+        res = eng.generate(inputs, max_new_tokens=4)
+        # each group: 2 temporal patches * 64 = 128 video tokens; group 0 has
+        # +5 prefix tokens. keep = int(q_len * 0.5)
+        g0_in = 128 + 5
+        keep0 = int(g0_in * 0.5)
+        keep1 = int(128 * 0.5)
+        suffix = 6  # vision_end + 5 post tokens
+        expected = keep0 + keep1 + suffix + 4
+        assert res.cache_length == expected
+        assert len(res.tokens) == 4
+
+    def test_topk_absolute(self, params):
+        ids, pixels, pixel_groups, group_grids = build_request(groups_t=(2, 2))
+        eng = make_engine(params, top_k=32, max_decode_tokens=8)
+        res = eng.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=3,
+        )
+        assert res.cache_length == 32 + 32 + 6 + 3
+
+    def test_decay_linear_unrolled_path(self, params):
+        ids, pixels, pixel_groups, group_grids = build_request(groups_t=(2, 2))
+        eng = make_engine(
+            params, top_k=32, top_k_decay_type="linear", max_decode_tokens=8
+        )
+        assert not eng._uniform()
+        res = eng.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=2,
+        )
+        # layer 0 keeps 32; deeper layers keep fewer; max over layers = 32
+        assert res.cache_length == 32 + 32 + 6 + 2
+        assert len(res.tokens) == 2
+
+    def test_query_based_runs(self, params):
+        ids, pixels, pixel_groups, group_grids = build_request(groups_t=(2, 2))
+        eng = make_engine(
+            params,
+            top_k=16,
+            top_k_predict_type="query_attention_weights",
+            max_decode_tokens=8,
+        )
+        assert eng.lvu.query_based
+        res = eng.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=2,
+        )
+        assert res.cache_length == 16 + 16 + 6 + 2
+
+
+class TestGenerateVsTorch:
+    def test_greedy_matches_hf_generate(self, params):
+        torch = pytest.importorskip("torch")
+        from tests.test_model_parity import make_hf_config
+        from transformers import Qwen2_5_VLForConditionalGeneration
+        from quickvideo_tpu.models.qwen25_vl.load import params_from_torch_model
+
+        torch.manual_seed(0)
+        hf = Qwen2_5_VLForConditionalGeneration(make_hf_config()).eval().float()
+        jx = params_from_torch_model(hf, CFG, dtype=jnp.float32)
+
+        ids, pixels, pixel_groups, group_grids = build_request(groups_t=(2, 2))
+        with torch.no_grad():
+            out_t = hf.generate(
+                input_ids=torch.tensor(ids)[None],
+                pixel_values_videos=torch.tensor(pixels),
+                video_grid_thw=torch.tensor([list(GRID)]),
+                second_per_grid_ts=torch.tensor([2.0]),
+                attention_mask=torch.ones(1, len(ids), dtype=torch.long),
+                max_new_tokens=6,
+                do_sample=False,
+            )[0, len(ids):].numpy()
+
+        eng = LVUEngine(
+            jx, CFG, LVUConfig(model_name_or_path="tiny", top_k=None,
+                               max_decode_tokens=8),
+            dtype=jnp.float32,
+        )
+        res = eng.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=6,
+        )
+        np.testing.assert_array_equal(res.tokens, out_t)
