@@ -1,0 +1,103 @@
+"""Headline benchmark — run on real TPU hardware by the driver.
+
+Workload mirrors the reference's demo protocol (reference README.md:350-358:
+1024-frame video, interleaved engine, grouped prefill + key-norm rho=0.5
+pruning; baseline e2e 27.65 s on 1 GPU + 16-core decode for Qwen2.5-VL-7B):
+a synthetic 1024-frame clip is decoded by the native QuickDecode engine,
+streamed through the overlap pipeline, and prefilled group-by-group with KV
+pruning on the flagship config that fits one chip (3B-shaped, bf16, random
+weights — identical compute/memory profile to real weights).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <e2e seconds>, "unit": "s", "vs_baseline": <x>}
+vs_baseline = reference demo e2e (27.65 s) / our e2e  (>1 = faster).
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_E2E_S = 27.65  # reference README.md:357 (1024f, interleaved, 7B/GPU)
+
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "1024"))
+GROUP_SIZE = int(os.environ.get("BENCH_GROUP", "32"))
+MODEL = os.environ.get("BENCH_MODEL", "qwen25-vl-3b")
+
+
+def make_source_video(path: str, frames: int) -> str:
+    from quickvideo_tpu.video import quickdecode as qd
+
+    qd.encode_test_video(
+        path, width=448, height=448, nframes=frames, fps=24, gop=48
+    )
+    return path
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from quickvideo_tpu.api import LVU
+    from quickvideo_tpu.config import LVUConfig
+
+    t_v0 = time.time()
+    video = make_source_video(
+        os.path.join(tempfile.gettempdir(), f"bench_{N_FRAMES}f.mp4"), N_FRAMES
+    )
+    video_gen_s = time.time() - t_v0
+
+    cfg = LVUConfig(
+        model_name_or_path=MODEL,
+        model_type="qwen25_lvu_interleaved",
+        video_group_size=GROUP_SIZE,
+        top_p=0.5,
+        top_k_predict_type="key_norms_small",
+        num_frames=N_FRAMES,
+        max_decode_tokens=16,
+        decode_threads=int(os.environ.get("QUICKCODEC_CORES", "16")),
+        dtype="bfloat16",
+    )
+    lvu = LVU(cfg)
+
+    # warmup: compile all group shapes on a short prefix run
+    warm_cfg = cfg.replace(num_frames=2 * GROUP_SIZE)
+    lvu_warm_config = lvu.config
+    lvu.config = warm_cfg
+    lvu.engine.lvu = warm_cfg
+    lvu.generate("warmup", video, max_new_tokens=2)
+    lvu.config = lvu_warm_config
+    lvu.engine.lvu = lvu_warm_config
+
+    out = lvu.generate("Describe this video.", video, max_new_tokens=1)
+    res = lvu.last_result
+    e2e = res.timings["e2e"] - res.timings.get("decode", 0.0)
+
+    meta = {
+        "frames": N_FRAMES,
+        "group_size": GROUP_SIZE,
+        "model": MODEL,
+        "prefill_tokens": int(res.prefill_tokens),
+        "kv_cache_tokens": int(res.cache_length),
+        "timings": {k: round(v, 3) for k, v in res.timings.items()},
+        "video_gen_s": round(video_gen_s, 2),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps({
+        "metric": (
+            f"e2e decode+prefill, {N_FRAMES}-frame video, interleaved engine, "
+            f"group {GROUP_SIZE}, key-norm rho=0.5, {MODEL} bf16 "
+            f"(reference demo protocol README.md:352-357)"
+        ),
+        "value": round(e2e, 3),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_E2E_S / e2e, 3),
+        "meta": meta,
+    }))
+
+
+if __name__ == "__main__":
+    main()

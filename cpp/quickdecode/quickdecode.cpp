@@ -1,0 +1,699 @@
+// QuickDecode: keyframe-aligned parallel CPU video decoder.
+//
+// TPU-native framework's equivalent of the reference's `deepcodec` native
+// wheel (QuickCodec; reference pyproject.toml:18, API surface documented in
+// SURVEY.md section 2.1): a C++17 + FFmpeg (libavformat/libavcodec/libswscale)
+// engine exposing a C ABI consumed from Python via ctypes
+// (quickvideo_tpu/video/quickdecode.py).
+//
+// Two modes, mirroring deepcodec's two classes:
+//   * batch (VideoReader.get_batch): requested frame ordinals are partitioned
+//     into contiguous chunks, one per worker thread; each worker seeks to the
+//     latest keyframe at/before its first frame and decodes forward, resizing
+//     selected frames in-decoder (sws_scale, LANCZOS by default) straight
+//     into the caller's TCHW uint8 buffer (planar RGB via GBRP plane
+//     remapping — no per-pixel repack).
+//   * interleaved (InterleavedVideoReader): the stream is split into
+//     `num_intervals` keyframe-aligned intervals decoded by a worker pool;
+//     decoded+resized frames are delivered in presentation order in blocks of
+//     `frames_per_block` through a blocking consumer call, so video decode
+//     overlaps downstream compute (the reference's core pipelining idea,
+//     README.md:57-63).
+//
+// Frame identity is by ORDINAL in presentation order, not timestamp
+// arithmetic: workers count decoded frames from the keyframe's known ordinal,
+// which is robust to VFR and B-frame reordering.
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <chrono>
+#include <vector>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+
+struct StreamInfo {
+  std::string path;
+  int video_stream = -1;
+  int width = 0, height = 0;
+  double fps = 0.0;
+  int64_t nb_frames = 0;
+  // per-frame (presentation order): timestamp to seek near, keyframe flag
+  std::vector<int64_t> frame_ts;
+  std::vector<uint8_t> is_key;
+  std::vector<int64_t> key_ordinals;  // ordinals of keyframes, ascending
+};
+
+struct DecodedFrame {
+  std::vector<uint8_t> rgb;  // planar RGB (3*H*W), CHW
+};
+
+// One self-contained demux+decode handle (per worker thread).
+struct DecodeCtx {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* dec = nullptr;
+  SwsContext* sws = nullptr;
+  int sws_src_w = -1, sws_src_h = -1;
+  AVPixelFormat sws_src_fmt = AV_PIX_FMT_NONE;
+  int out_w = 0, out_h = 0, interp = SWS_LANCZOS;
+  int stream_idx = -1;
+
+  ~DecodeCtx() { close(); }
+
+  bool open(const std::string& path, int stream, std::string* err) {
+    if (avformat_open_input(&fmt, path.c_str(), nullptr, nullptr) < 0) {
+      *err = "avformat_open_input failed: " + path;
+      return false;
+    }
+    // No avformat_find_stream_info here: it probe-decodes frames and costs
+    // tens of ms PER WORKER. The index pass already validated the stream;
+    // for containers whose headers don't carry codec params, fall back.
+    if ((int)fmt->nb_streams <= stream ||
+        fmt->streams[stream]->codecpar->codec_id == AV_CODEC_ID_NONE) {
+      if (avformat_find_stream_info(fmt, nullptr) < 0) {
+        *err = "find_stream_info failed";
+        return false;
+      }
+    }
+    stream_idx = stream;
+    AVStream* st = fmt->streams[stream];
+    const AVCodec* codec = avcodec_find_decoder(st->codecpar->codec_id);
+    if (!codec) {
+      *err = "no decoder for codec";
+      return false;
+    }
+    dec = avcodec_alloc_context3(codec);
+    avcodec_parameters_to_context(dec, st->codecpar);
+    dec->thread_count = 1;  // parallelism lives at the interval level
+    if (avcodec_open2(dec, codec, nullptr) < 0) {
+      *err = "avcodec_open2 failed";
+      return false;
+    }
+    return true;
+  }
+
+  void close() {
+    if (sws) { sws_freeContext(sws); sws = nullptr; }
+    if (dec) { avcodec_free_context(&dec); }
+    if (fmt) { avformat_close_input(&fmt); }
+  }
+
+  // Resize+convert a decoded frame to planar RGB CHW into dst (3*out_h*out_w).
+  bool to_rgb_chw(AVFrame* frame, uint8_t* dst) {
+    if (!sws || sws_src_w != frame->width || sws_src_h != frame->height ||
+        sws_src_fmt != (AVPixelFormat)frame->format) {
+      if (sws) sws_freeContext(sws);
+      sws = sws_getContext(frame->width, frame->height,
+                           (AVPixelFormat)frame->format, out_w, out_h,
+                           AV_PIX_FMT_GBRP, interp, nullptr, nullptr, nullptr);
+      sws_src_w = frame->width;
+      sws_src_h = frame->height;
+      sws_src_fmt = (AVPixelFormat)frame->format;
+      if (!sws) return false;
+    }
+    const int plane = out_w * out_h;
+    // GBRP plane order is G,B,R; point them into the CHW RGB buffer.
+    uint8_t* dst_data[4] = {dst + plane, dst + 2 * plane, dst, nullptr};
+    int dst_linesize[4] = {out_w, out_w, out_w, 0};
+    sws_scale(sws, frame->data, frame->linesize, 0, frame->height, dst_data,
+              dst_linesize);
+    return true;
+  }
+};
+
+// Build the frame index. Prefer the container's sample index (mp4/mov: full
+// sample table, zero extra IO); fall back to a packet scan.
+bool build_index(const std::string& path, StreamInfo* info, std::string* err) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path.c_str(), nullptr, nullptr) < 0) {
+    *err = "cannot open " + path;
+    return false;
+  }
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    *err = "find_stream_info failed";
+    return false;
+  }
+  int vs = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (vs < 0) {
+    avformat_close_input(&fmt);
+    *err = "no video stream";
+    return false;
+  }
+  AVStream* st = fmt->streams[vs];
+  info->video_stream = vs;
+  info->width = st->codecpar->width;
+  info->height = st->codecpar->height;
+  AVRational fr = av_guess_frame_rate(fmt, st, nullptr);
+  info->fps = fr.num && fr.den ? av_q2d(fr) : av_q2d(st->avg_frame_rate);
+
+  std::vector<std::pair<int64_t, uint8_t>> samples;  // (ts, key)
+  int n_entries = avformat_index_get_entries_count(st);
+  if (n_entries > 0) {
+    samples.reserve(n_entries);
+    for (int i = 0; i < n_entries; i++) {
+      const AVIndexEntry* e = avformat_index_get_entry(st, i);
+      samples.emplace_back(e->timestamp,
+                           (e->flags & AVINDEX_KEYFRAME) ? 1 : 0);
+    }
+  } else {
+    AVPacket* pkt = av_packet_alloc();
+    while (av_read_frame(fmt, pkt) >= 0) {
+      if (pkt->stream_index == vs) {
+        int64_t ts = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
+        samples.emplace_back(ts, (pkt->flags & AV_PKT_FLAG_KEY) ? 1 : 0);
+      }
+      av_packet_unref(pkt);
+    }
+    av_packet_free(&pkt);
+  }
+  avformat_close_input(&fmt);
+  if (samples.empty()) {
+    *err = "no video samples";
+    return false;
+  }
+  std::sort(samples.begin(), samples.end());
+  info->nb_frames = (int64_t)samples.size();
+  info->frame_ts.reserve(samples.size());
+  info->is_key.reserve(samples.size());
+  for (size_t i = 0; i < samples.size(); i++) {
+    info->frame_ts.push_back(samples[i].first);
+    info->is_key.push_back(samples[i].second);
+    if (samples[i].second) info->key_ordinals.push_back((int64_t)i);
+  }
+  if (info->key_ordinals.empty() || info->key_ordinals[0] != 0)
+    info->key_ordinals.insert(info->key_ordinals.begin(), 0);
+  return true;
+}
+
+// greatest keyframe ordinal <= target
+int64_t keyframe_at_or_before(const StreamInfo& si, int64_t target) {
+  auto it = std::upper_bound(si.key_ordinals.begin(), si.key_ordinals.end(),
+                             target);
+  if (it == si.key_ordinals.begin()) return 0;
+  return *(it - 1);
+}
+
+struct Reader;
+
+// Decode frames [from_key .. last_wanted] in one pass; for each ordinal in
+// `wanted` (sorted subset of that range) call sink(ordinal, frame).
+template <typename Sink>
+bool decode_range(DecodeCtx& ctx, const StreamInfo& si, int64_t from_key,
+                  const std::vector<int64_t>& wanted, Sink&& sink,
+                  std::string* err) {
+  if (wanted.empty()) return true;
+  int64_t last = wanted.back();
+  int64_t seek_ts = si.frame_ts[from_key];
+  avcodec_flush_buffers(ctx.dec);
+  int seek_ret = av_seek_frame(ctx.fmt, ctx.stream_idx, seek_ts,
+                               AVSEEK_FLAG_BACKWARD);
+  if (seek_ret < 0) {
+    // some containers want byte/any seeking; retry to start
+    av_seek_frame(ctx.fmt, ctx.stream_idx, 0,
+                  AVSEEK_FLAG_BACKWARD | AVSEEK_FLAG_ANY);
+    avcodec_flush_buffers(ctx.dec);
+    from_key = 0;
+  }
+  if (getenv("QD_TRACE"))
+    fprintf(stderr, "[qd] seek ts=%lld (key ord %lld) ret=%d\n",
+            (long long)seek_ts, (long long)from_key, seek_ret);
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  AVFrame* held = av_frame_alloc();  // most recent decoded frame (refcounted)
+  bool have_held = false;
+  int64_t ordinal = from_key - 1;  // incremented on each output frame
+  size_t widx = 0;
+  bool done = false, draining = false;
+  while (!done) {
+    if (!draining) {
+      int r = av_read_frame(ctx.fmt, pkt);
+      if (r < 0) {
+        draining = true;
+        avcodec_send_packet(ctx.dec, nullptr);
+      } else {
+        if (pkt->stream_index != ctx.stream_idx) {
+          av_packet_unref(pkt);
+          continue;
+        }
+        avcodec_send_packet(ctx.dec, pkt);
+        av_packet_unref(pkt);
+      }
+    }
+    while (true) {
+      int r = avcodec_receive_frame(ctx.dec, frame);
+      if (r == AVERROR(EAGAIN)) break;
+      if (r == AVERROR_EOF) { done = true; break; }
+      if (r < 0) { done = true; break; }
+      ordinal++;
+      while (widx < wanted.size() && wanted[widx] < ordinal) widx++;
+      if (widx < wanted.size() && wanted[widx] == ordinal) {
+        sink(ordinal, frame);
+        widx++;
+      }
+      av_frame_unref(held);
+      av_frame_ref(held, frame);
+      have_held = true;
+      av_frame_unref(frame);
+      if (ordinal >= last || widx >= wanted.size()) { done = true; break; }
+    }
+    if (draining && done) break;
+  }
+  av_packet_free(&pkt);
+  bool ok = true;
+  if (widx < wanted.size()) {
+    // Some decoders never flush the stream's final frame(s) (e.g. this
+    // FFmpeg build's mpeg4 decoder holds one). Clamp: deliver the last
+    // decoded frame for any trailing missing ordinals, matching decord-style
+    // tail behavior, rather than failing an hour-long job on the last frame.
+    if (have_held) {
+      for (; widx < wanted.size(); widx++) sink(wanted[widx], held);
+    } else {
+      *err = "stream ended before any requested frame was decoded";
+      ok = false;
+    }
+  }
+  av_frame_free(&held);
+  av_frame_free(&frame);
+  return ok;
+}
+
+struct IntervalJob {
+  int64_t start_ord;             // first frame ordinal of interval (keyframe)
+  std::vector<int64_t> wanted;   // requested ordinals within interval
+  std::vector<size_t> out_pos;   // position of each wanted frame in request
+};
+
+struct Reader {
+  StreamInfo si;
+  int num_threads = 8;
+  int num_intervals = 64;
+  int out_w = 0, out_h = 0;
+  int interp = SWS_LANCZOS;
+  std::string error;
+
+  // interleaved state
+  std::vector<IntervalJob> jobs;
+  std::vector<std::vector<DecodedFrame>> results;  // per job, per wanted
+  std::vector<uint8_t> job_done;
+  std::mutex mu;
+  std::condition_variable cv_done;    // consumer waits for jobs
+  std::condition_variable cv_mem;     // producers wait for memory budget
+  std::vector<std::thread> workers;
+  std::atomic<int64_t> next_job{0};
+  std::atomic<bool> abort{false};
+  size_t consume_ptr = 0;            // next request position to deliver
+  size_t total_wanted = 0;
+  int frames_per_block = 1;
+  size_t pending_bytes = 0;
+  size_t max_pending_bytes = (size_t)2048 * 1024 * 1024;
+  std::vector<size_t> request_job;   // request position -> job id
+  std::vector<size_t> request_slot;  // request position -> slot in job
+
+  ~Reader() { stop_workers(); }
+
+  void stop_workers() {
+    abort.store(true);
+    cv_mem.notify_all();
+    for (auto& t : workers)
+      if (t.joinable()) t.join();
+    workers.clear();
+  }
+
+  int effective_w() const { return out_w > 0 ? out_w : si.width; }
+  int effective_h() const { return out_h > 0 ? out_h : si.height; }
+
+  // ---- batch mode ----
+  bool get_batch(const int64_t* indices, int64_t n, uint8_t* out) {
+    const int W = effective_w(), H = effective_h();
+    const size_t frame_bytes = (size_t)3 * W * H;
+    // partition into contiguous chunks, one per thread
+    int nthreads = std::max(1, std::min<int>(num_threads, (int)n));
+    std::vector<std::vector<int64_t>> chunks(nthreads);
+    std::vector<std::vector<size_t>> positions(nthreads);
+    for (int64_t i = 0; i < n; i++) {
+      int c = (int)((i * nthreads) / n);
+      chunks[c].push_back(indices[i]);
+      positions[c].push_back((size_t)i);
+    }
+    std::atomic<bool> ok{true};
+    std::vector<std::thread> ths;
+    std::vector<std::string> errs(nthreads);
+    const bool trace = getenv("QD_TRACE") != nullptr;
+    for (int c = 0; c < nthreads; c++) {
+      ths.emplace_back([&, c]() {
+        if (chunks[c].empty()) return;
+        auto t0 = std::chrono::steady_clock::now();
+        DecodeCtx ctx;
+        ctx.out_w = W;
+        ctx.out_h = H;
+        ctx.interp = interp;
+        std::string err;
+        if (!ctx.open(si.path, si.video_stream, &err)) {
+          errs[c] = err;
+          ok.store(false);
+          return;
+        }
+        auto t1 = std::chrono::steady_clock::now();
+        int64_t from_key = keyframe_at_or_before(si, chunks[c][0]);
+        size_t local = 0;
+        bool r = decode_range(
+            ctx, si, from_key, chunks[c],
+            [&](int64_t, AVFrame* f) {
+              ctx.to_rgb_chw(f, out + positions[c][local] * frame_bytes);
+              local++;
+            },
+            &err);
+        if (!r) {
+          errs[c] = err;
+          ok.store(false);
+        }
+        if (trace) {
+          auto t2 = std::chrono::steady_clock::now();
+          auto ms = [](auto a, auto b) {
+            return std::chrono::duration_cast<std::chrono::milliseconds>(b - a)
+                .count();
+          };
+          fprintf(stderr,
+                  "[qd] worker %d: open %lldms decode %lldms frames %lld-%lld"
+                  " (%zu wanted)\n",
+                  c, (long long)ms(t0, t1), (long long)ms(t1, t2),
+                  (long long)chunks[c].front(), (long long)chunks[c].back(),
+                  chunks[c].size());
+        }
+      });
+    }
+    for (auto& t : ths) t.join();
+    if (!ok.load()) {
+      for (auto& e : errs)
+        if (!e.empty()) { error = e; break; }
+      return false;
+    }
+    return true;
+  }
+
+  // ---- interleaved mode ----
+  bool process(const int64_t* indices, int64_t n) {
+    stop_workers();
+    abort.store(false);
+    jobs.clear();
+    results.clear();
+    job_done.clear();
+    request_job.clear();
+    request_slot.clear();
+    consume_ptr = 0;
+    pending_bytes = 0;
+    next_job.store(0);
+    total_wanted = (size_t)n;
+
+    // keyframe-aligned interval boundaries: split [0, nb) into
+    // ~num_intervals spans, snap starts DOWN to keyframes, dedupe.
+    int64_t nb = si.nb_frames;
+    int ivals = std::max<int>(
+        1, (int)std::min<int64_t>((int64_t)num_intervals, nb));
+    std::vector<int64_t> starts;
+    for (int i = 0; i < ivals; i++) {
+      int64_t raw = nb * i / ivals;
+      starts.push_back(keyframe_at_or_before(si, raw));
+    }
+    starts.erase(std::unique(starts.begin(), starts.end()), starts.end());
+    starts.push_back(nb);
+
+    // assign requested ordinals to intervals
+    size_t j = 0;
+    for (size_t s = 0; s + 1 < starts.size(); s++) {
+      IntervalJob job;
+      job.start_ord = starts[s];
+      while (j < (size_t)n && indices[j] < starts[s + 1]) {
+        job.wanted.push_back(indices[j]);
+        job.out_pos.push_back(j);
+        j++;
+      }
+      if (!job.wanted.empty()) jobs.push_back(std::move(job));
+    }
+    results.resize(jobs.size());
+    job_done.assign(jobs.size(), 0);
+    for (size_t ji = 0; ji < jobs.size(); ji++) {
+      results[ji].resize(jobs[ji].wanted.size());
+      for (size_t s = 0; s < jobs[ji].wanted.size(); s++) {
+        request_job.push_back(ji);
+        request_slot.push_back(s);
+      }
+    }
+
+    int nthreads = std::max(1, std::min<int>(num_threads, (int)jobs.size()));
+    for (int t = 0; t < nthreads; t++) {
+      workers.emplace_back([this]() { worker_loop(); });
+    }
+    return true;
+  }
+
+  void worker_loop() {
+    const int W = effective_w(), H = effective_h();
+    const size_t frame_bytes = (size_t)3 * W * H;
+    DecodeCtx ctx;
+    ctx.out_w = W;
+    ctx.out_h = H;
+    ctx.interp = interp;
+    std::string err;
+    if (!ctx.open(si.path, si.video_stream, &err)) {
+      std::lock_guard<std::mutex> lk(mu);
+      error = err;
+      abort.store(true);
+      cv_done.notify_all();
+      return;
+    }
+    while (!abort.load()) {
+      int64_t ji = next_job.fetch_add(1);
+      if (ji >= (int64_t)jobs.size()) break;
+      IntervalJob& job = jobs[ji];
+      {
+        // memory backpressure
+        std::unique_lock<std::mutex> lk(mu);
+        cv_mem.wait(lk, [&] {
+          return abort.load() || pending_bytes < max_pending_bytes;
+        });
+        if (abort.load()) break;
+        pending_bytes += job.wanted.size() * frame_bytes;
+      }
+      size_t local = 0;
+      bool r = decode_range(
+          ctx, si, job.start_ord, job.wanted,
+          [&](int64_t, AVFrame* f) {
+            DecodedFrame df;
+            df.rgb.resize(frame_bytes);
+            ctx.to_rgb_chw(f, df.rgb.data());
+            results[ji][local] = std::move(df);
+            local++;
+          },
+          &err);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (!r) {
+          error = err;
+          abort.store(true);
+        }
+        job_done[ji] = 1;
+        cv_done.notify_all();
+      }
+    }
+    cv_done.notify_all();
+  }
+
+  // Copy the next block of frames (presentation order) into out; returns the
+  // number of frames delivered (0 = end, -1 = error).
+  int64_t next_block(uint8_t* out) {
+    const int W = effective_w(), H = effective_h();
+    const size_t frame_bytes = (size_t)3 * W * H;
+    if (consume_ptr >= total_wanted) return 0;
+    size_t want = std::min<size_t>(frames_per_block,
+                                   total_wanted - consume_ptr);
+    for (size_t i = 0; i < want; i++) {
+      size_t pos = consume_ptr + i;
+      size_t ji = request_job[pos];
+      std::unique_lock<std::mutex> lk(mu);
+      cv_done.wait(lk, [&] { return abort.load() || job_done[ji]; });
+      if (abort.load() && !job_done[ji]) return -1;
+      DecodedFrame& df = results[ji][request_slot[pos]];
+      if (df.rgb.empty()) { error = "frame missing"; return -1; }
+      std::memcpy(out + i * frame_bytes, df.rgb.data(), frame_bytes);
+      df.rgb.clear();
+      df.rgb.shrink_to_fit();
+      pending_bytes -= frame_bytes;
+      cv_mem.notify_all();
+    }
+    consume_ptr += want;
+    return (int64_t)want;
+  }
+};
+
+int interp_from_code(int code) {
+  switch (code) {
+    case 0: return SWS_LANCZOS;
+    case 1: return SWS_BICUBIC;
+    case 2: return SWS_BILINEAR;
+    case 3: return SWS_AREA;
+    default: return SWS_LANCZOS;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* qd_open(const char* path, int num_threads, int num_intervals) {
+  av_log_set_level(AV_LOG_ERROR);
+  auto* r = new Reader();
+  r->si.path = path;
+  r->num_threads = num_threads > 0 ? num_threads : 8;
+  // oversubscribing cores only adds context-switch overhead (the reference
+  // warns likewise, qwen25_lvu_interleaved.py:394-396); QD_NO_CLAMP opts out
+  if (!getenv("QD_NO_CLAMP")) {
+    unsigned hc = std::thread::hardware_concurrency();
+    if (hc > 0 && (unsigned)r->num_threads > hc)
+      r->num_threads = (int)hc;
+  }
+  r->num_intervals = num_intervals > 0 ? num_intervals : 64;
+  std::string err;
+  if (!build_index(path, &r->si, &err)) {
+    delete r;
+    return nullptr;
+  }
+  const char* mb = getenv("QD_MAX_PENDING_MB");
+  if (mb) r->max_pending_bytes = (size_t)atoll(mb) * 1024 * 1024;
+  return r;
+}
+
+void qd_close(void* h) { delete (Reader*)h; }
+
+int64_t qd_frame_count(void* h) { return ((Reader*)h)->si.nb_frames; }
+double qd_fps(void* h) { return ((Reader*)h)->si.fps; }
+int qd_width(void* h) { return ((Reader*)h)->si.width; }
+int qd_height(void* h) { return ((Reader*)h)->si.height; }
+int64_t qd_keyframe_count(void* h) {
+  return (int64_t)((Reader*)h)->si.key_ordinals.size();
+}
+
+void qd_set_output_size(void* h, int width, int height, int interp_code) {
+  auto* r = (Reader*)h;
+  r->out_w = width;
+  r->out_h = height;
+  r->interp = interp_from_code(interp_code);
+}
+
+int qd_get_batch(void* h, const int64_t* indices, int64_t n, uint8_t* out) {
+  return ((Reader*)h)->get_batch(indices, n, out) ? 0 : -1;
+}
+
+int qd_process(void* h, const int64_t* indices, int64_t n) {
+  return ((Reader*)h)->process(indices, n) ? 0 : -1;
+}
+
+void qd_set_frames_per_block(void* h, int n) {
+  ((Reader*)h)->frames_per_block = n > 0 ? n : 1;
+}
+
+int64_t qd_next_block(void* h, uint8_t* out) {
+  return ((Reader*)h)->next_block(out);
+}
+
+const char* qd_last_error(void* h) { return ((Reader*)h)->error.c_str(); }
+
+// ---------------------------------------------------------------------------
+// Test-fixture encoder: synthetic video whose frame index is recoverable from
+// pixel values (no ffmpeg CLI in this environment). mpeg4 codec (always built
+// into libavcodec), yuv420p, configurable GOP for keyframe-spacing tests.
+// ---------------------------------------------------------------------------
+
+int qd_encode_test_video(const char* path, int width, int height, int nframes,
+                         int fps, int gop) {
+  avformat_network_deinit();
+  AVFormatContext* fmt = nullptr;
+  if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0)
+    return -1;
+  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!codec) return -2;
+  AVStream* st = avformat_new_stream(fmt, nullptr);
+  AVCodecContext* enc = avcodec_alloc_context3(codec);
+  enc->width = width;
+  enc->height = height;
+  enc->pix_fmt = AV_PIX_FMT_YUV420P;
+  enc->time_base = {1, fps};
+  enc->gop_size = gop;
+  enc->max_b_frames = 0;
+  // signal low_delay in the VOL header: without it the mpeg4 decoder keeps a
+  // one-frame reorder buffer and (in this FFmpeg build) drops the final
+  // frame at flush
+  enc->flags |= AV_CODEC_FLAG_LOW_DELAY;
+  enc->strict_std_compliance = FF_COMPLIANCE_UNOFFICIAL;
+  enc->bit_rate = (int64_t)width * height * fps / 2;
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(enc, codec, nullptr) < 0) return -3;
+  avcodec_parameters_from_context(st->codecpar, enc);
+  st->time_base = enc->time_base;
+  if (!(fmt->oformat->flags & AVFMT_NOFILE))
+    if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) return -4;
+  if (avformat_write_header(fmt, nullptr) < 0) return -5;
+
+  AVFrame* frame = av_frame_alloc();
+  frame->format = enc->pix_fmt;
+  frame->width = width;
+  frame->height = height;
+  av_frame_get_buffer(frame, 0);
+  AVPacket* pkt = av_packet_alloc();
+  for (int i = 0; i < nframes; i++) {
+    av_frame_make_writable(frame);
+    // Frame index is encoded in the TOP-LEFT QUARTER's luma
+    // (Y = 20 + i % 200); the rest of the frame stays a constant mid-gray so
+    // the encoder produces genuine P-frames (a full-frame luma ramp trips
+    // scene-cut detection and yields an all-I stream, which would defeat
+    // keyframe-interval tests).
+    uint8_t y = (uint8_t)(20 + (i % 200));
+    memset(frame->data[0], 128, (size_t)frame->linesize[0] * height);
+    for (int row = 0; row < height / 2; row++)
+      memset(frame->data[0] + (size_t)frame->linesize[0] * row, y, width / 2);
+    memset(frame->data[1], 128, (size_t)frame->linesize[1] * height / 2);
+    memset(frame->data[2], 128, (size_t)frame->linesize[2] * height / 2);
+    frame->pts = i;
+    avcodec_send_frame(enc, frame);
+    while (avcodec_receive_packet(enc, pkt) == 0) {
+      av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      av_interleaved_write_frame(fmt, pkt);
+      av_packet_unref(pkt);
+    }
+  }
+  avcodec_send_frame(enc, nullptr);
+  while (avcodec_receive_packet(enc, pkt) == 0) {
+    av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+    pkt->stream_index = st->index;
+    av_interleaved_write_frame(fmt, pkt);
+    av_packet_unref(pkt);
+  }
+  av_interleaved_write_frame(fmt, nullptr);  // flush interleave queue
+  av_write_trailer(fmt);
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  avcodec_free_context(&enc);
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,76 @@
+"""Public API facade: the `LVU` class (reference lvu/lvu.py:7-57 surface).
+
+LVU(config) loads/initializes the model, builds the TPU engine, and binds the
+registered engine's run/chat drivers as methods — the same registry contract
+as the reference (lvu/lvu.py:32-43) without monkey-patching model internals.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import jax.numpy as jnp
+
+from quickvideo_tpu.config import LVUConfig
+from quickvideo_tpu.models import (
+    ensure_builtin_engines,
+    lvu_chat_model_map,
+    lvu_init_model_map,
+    lvu_run_model_map,
+)
+from quickvideo_tpu.models.qwen25_vl import get_config
+from quickvideo_tpu.models.qwen25_vl import model as qmodel
+from quickvideo_tpu.prefill.engine import LVUEngine
+from quickvideo_tpu.tokenization import load_tokenizer
+
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
+
+
+class LVU:
+    def __init__(self, config: LVUConfig, params: Optional[dict] = None):
+        ensure_builtin_engines()
+        self.config = config
+        self.model_config = get_config(config.model_name_or_path or "qwen25-vl-7b")
+        dtype = _DTYPES[config.dtype]
+        if params is not None:
+            self.params = params
+        elif os.path.isdir(config.model_name_or_path or ""):
+            from quickvideo_tpu.models.qwen25_vl.load import load_params
+
+            self.params = load_params(
+                config.model_name_or_path, self.model_config, dtype
+            )
+        else:
+            # no checkpoint available (e.g. offline bench): random init at the
+            # preset's true shapes — identical compute/memory profile
+            self.params = qmodel.init_params(
+                self.model_config, seed=config.seed, dtype=dtype
+            )
+        self.tokenizer = load_tokenizer(
+            config.model_name_or_path or "", self.model_config
+        )
+        self.engine = LVUEngine(self.params, self.model_config, config, dtype)
+        self.last_result = None
+        self.init_lvu()
+
+    def init_lvu(self):
+        model_type = self.config.model_type
+        if model_type not in lvu_init_model_map:
+            raise ValueError(
+                f"model_type {model_type!r} not registered; have "
+                f"{sorted(lvu_init_model_map)}"
+            )
+        lvu_init_model_map[model_type](self, self.config)
+        self._run = lvu_run_model_map[model_type]
+        self._chat = lvu_chat_model_map.get(model_type)
+
+    def generate(self, question: str, video_path: str, **generation_kwargs) -> List[str]:
+        return self._run(self, question, video_path, **generation_kwargs)
+
+    def chat(self, messages, **generation_kwargs) -> List[str]:
+        if self._chat is None:
+            raise ValueError(
+                f"model_type {self.config.model_type!r} has no chat driver"
+            )
+        return self._chat(self, messages, **generation_kwargs)

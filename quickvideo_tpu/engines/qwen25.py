@@ -1,0 +1,144 @@
+"""Qwen2.5-VL engines: sync (batch decode) and interleaved (overlap).
+
+`run_*` signatures mirror the reference's run_lvu_model(question, video_path)
+drivers; `chat_*` accept reference-style messages lists
+(lvu/models/qwen25_vl.py:314-346)."""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from quickvideo_tpu.prefill.engine import PrefillInputs
+from quickvideo_tpu.tokenization import build_chat_ids
+from quickvideo_tpu.utils.timing import SpanTimer
+from quickvideo_tpu.video import preprocess as pp
+from quickvideo_tpu.video import reader as vreader
+
+
+def init_lvu_model(lvu, config):
+    """Engine init hook. The TPU build has no layers to monkey-patch — the
+    pruning hook is native to the decoder stack — so this validates config
+    and warms nothing. Kept for registry parity (reference
+    lvu/models/__init__.py contract)."""
+    return lvu
+
+
+def _question_from_messages(messages) -> tuple:
+    """Extract (video_path, question, video_kwargs) from reference-style
+    messages."""
+    video_path, question, vkw = None, "", {}
+    for m in messages:
+        if m.get("role") != "user":
+            continue
+        content = m.get("content")
+        if isinstance(content, str):
+            question = content
+            continue
+        for item in content:
+            if item.get("type") == "video":
+                video_path = item["video"]
+                vkw = {
+                    k: v for k, v in item.items() if k not in ("type", "video")
+                }
+            elif item.get("type") == "text":
+                question = item.get("text", "")
+    return video_path, question, vkw
+
+
+def run_sync(lvu, question: str, video_path: str, **generation_kwargs):
+    messages = [
+        {
+            "role": "user",
+            "content": [
+                {"type": "video", "video": video_path},
+                {"type": "text", "text": question},
+            ],
+        }
+    ]
+    return chat_sync(lvu, messages, **generation_kwargs)
+
+
+def chat_sync(lvu, messages, **generation_kwargs) -> List[str]:
+    """Decode-everything-then-prefill driver (reference qwen25_lvu flow,
+    SURVEY.md section 3.2)."""
+    video_path, question, _ = _question_from_messages(messages)
+    timer = SpanTimer()
+    with timer.span("frame_fetch"):
+        frames, plan = vreader.decode_video_batch(video_path, lvu.config)
+    n_video_tokens = sum(plan.tokens_per_group)
+    ids = build_chat_ids(
+        lvu.tokenizer, lvu.model_config, question, n_video_tokens
+    )
+    with timer.span("processing"):
+        inputs = vreader.build_prefill_inputs_from_frames(frames, plan, ids)
+    return _generate(lvu, inputs, timer, generation_kwargs)
+
+
+def run_interleaved(lvu, question: str, video_path: str, **generation_kwargs):
+    messages = [
+        {
+            "role": "user",
+            "content": [
+                {"type": "video", "video": video_path},
+                {"type": "text", "text": question},
+            ],
+        }
+    ]
+    return chat_interleaved(lvu, messages, **generation_kwargs)
+
+
+def chat_interleaved(lvu, messages, **generation_kwargs) -> List[str]:
+    """Overlapped driver: native interval decode + host preprocessing run
+    ahead of the TPU prefill loop (reference qwen25_lvu_interleaved flow,
+    SURVEY.md section 3.3)."""
+    from quickvideo_tpu.video.stream import AsyncPixelGroups
+
+    video_path, question, _ = _question_from_messages(messages)
+    timer = SpanTimer()
+    stream = AsyncPixelGroups(video_path, lvu.config, timer=timer)
+    plan = stream.plan
+    n_video_tokens = sum(plan.tokens_per_group)
+    ids = build_chat_ids(
+        lvu.tokenizer, lvu.model_config, question, n_video_tokens
+    )
+    inputs = PrefillInputs(
+        input_ids=ids,
+        video_grid_thw=plan.grid_thw,
+        pixel_groups=iter(stream),
+        group_grids=plan.group_grids,
+        second_per_grid_ts=plan.second_per_grid_ts,
+    )
+    try:
+        return _generate(lvu, inputs, timer, generation_kwargs)
+    finally:
+        stream.close()
+
+
+def _generate(lvu, inputs, timer, generation_kwargs) -> List[str]:
+    eos = [lvu.tokenizer.eos_token_id]
+    res = lvu.engine.generate(
+        inputs,
+        max_new_tokens=generation_kwargs.get("max_new_tokens"),
+        eos_token_ids=eos,
+        greedy=not generation_kwargs.get("do_sample", False),
+        temperature=generation_kwargs.get("temperature", 1.0),
+    )
+    for k, v in timer.totals().items():
+        res.timings[k] = res.timings.get(k, 0.0) + v
+    lvu.last_result = res
+    if lvu.config.use_tqdm or generation_kwargs.get("verbose"):
+        print(
+            f"Time taken -- "
+            f"frame fetch: {res.timings.get('frame_fetch', 0):.2f}s, "
+            f"processing: {res.timings.get('processing', 0):.2f}s, "
+            f"prefill: {res.timings.get('prefill', 0):.2f}s, "
+            f"decode: {res.timings.get('decode', 0):.2f}s, "
+            f"e2e: {res.timings.get('e2e', 0):.2f}s"
+        )
+    text = lvu.tokenizer.decode(
+        [t for t in res.tokens if t not in eos]
+    )
+    return [text]

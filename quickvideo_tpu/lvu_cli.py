@@ -1,0 +1,104 @@
+"""CLI entry point: `python -m quickvideo_tpu.lvu_cli` (reference
+`python -m lvu.lvu`, lvu/lvu.py:59-119, fire-based; argparse here).
+
+Runs one or more questions against a video through the configured engine and
+prints answers plus the timing breakdown. With --demo and no video, generates
+a synthetic test clip first (no bundled assets in this environment).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("quickvideo-tpu")
+    p.add_argument("--model_name_or_path", default="qwen25-vl-7b")
+    p.add_argument("--model_type", default="qwen25_lvu_interleaved")
+    p.add_argument("--video_path", default=None)
+    p.add_argument("--question", action="append", default=None)
+    p.add_argument("--top_k_predict_type", default="key_norms_small")
+    p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--top_p", type=float, default=0.2)
+    p.add_argument("--top_k_starting_layer", type=int, default=None)
+    p.add_argument("--video_group_size", type=int, default=16)
+    p.add_argument("--prefill_prune_starting_layer", type=int, default=None)
+    p.add_argument("--fps", type=float, default=None)
+    p.add_argument("--num_frames", type=int, default=32)
+    p.add_argument("--adaptive_local_attention", action="store_true", default=True)
+    p.add_argument("--do_top_k_for_query", action="store_true")
+    p.add_argument("--top_k_decay_type", default=None)
+    p.add_argument("--top_k_decay_factor", type=float, default=None)
+    p.add_argument("--max_new_tokens", type=int, default=128)
+    p.add_argument("--decode_threads", type=int, default=8)
+    p.add_argument("--decode_intervals", type=int, default=64)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--use_tqdm", action="store_true")
+    p.add_argument("--demo", action="store_true",
+                   help="generate a synthetic demo clip if no video given")
+    p.add_argument("--json", action="store_true", help="print machine-readable result")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from quickvideo_tpu.config import LVUConfig
+    from quickvideo_tpu.api import LVU
+
+    video = args.video_path
+    if video is None:
+        if not args.demo:
+            print("error: --video_path required (or pass --demo)", file=sys.stderr)
+            return 2
+        from quickvideo_tpu.video import quickdecode as qd
+
+        video = tempfile.mktemp(suffix=".mp4")
+        qd.encode_test_video(video, 448, 448, nframes=240, fps=24, gop=24)
+        print(f"[demo] synthetic clip at {video}")
+
+    cfg = LVUConfig(
+        model_name_or_path=args.model_name_or_path,
+        model_type=args.model_type,
+        top_k_predict_type=args.top_k_predict_type,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        top_k_starting_layer=args.top_k_starting_layer,
+        video_group_size=args.video_group_size,
+        prefill_prune_starting_layer=args.prefill_prune_starting_layer,
+        fps=args.fps,
+        num_frames=args.num_frames,
+        adaptive_local_attention=args.adaptive_local_attention,
+        do_top_k_for_query=args.do_top_k_for_query,
+        top_k_decay_type=args.top_k_decay_type,
+        top_k_decay_factor=args.top_k_decay_factor,
+        use_tqdm=args.use_tqdm,
+        decode_threads=args.decode_threads,
+        decode_intervals=args.decode_intervals,
+        max_decode_tokens=max(args.max_new_tokens, 16),
+        dtype=args.dtype,
+    )
+    lvu = LVU(cfg)
+    questions = args.question or ["Describe this video."]
+    for q in questions:
+        out = lvu.generate(q, video, max_new_tokens=args.max_new_tokens,
+                           verbose=True)
+        res = lvu.last_result
+        if args.json:
+            print(json.dumps({
+                "question": q,
+                "answer": out[0],
+                "tokens": int(len(res.tokens)),
+                "prefill_tokens": int(res.prefill_tokens),
+                "cache_length": int(res.cache_length),
+                "timings": {k: round(v, 3) for k, v in res.timings.items()},
+            }))
+        else:
+            print(f"Q: {q}\nA: {out[0]}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

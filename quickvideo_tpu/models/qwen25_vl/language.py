@@ -104,6 +104,7 @@ class StepSpec:
     prompt_len: int = 0  # query-based: trailing prompt tokens (stripped)
     causal: bool = True
     cascade: bool = False  # prune activations for the next layer too
+    attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla' (past-buffer partial)
 
     @property
     def video_len(self) -> int:
@@ -185,12 +186,10 @@ def layer_step(
         cmask = cmask.at[:gv, :].set(jnp.tril(jnp.ones((gv, gv), jnp.bool_)))
         pg = attn_ops._partial_attention(q, k_grp, v_grp, cmask, scale)
         if use_cache_past:
-            capacity = k_buf.shape[1]
-            pmask = jnp.broadcast_to(
-                jnp.arange(capacity, dtype=jnp.int32)[None] < length,
-                (spec.q_len, capacity),
+            pp = attn_ops.past_partial_attention(
+                q, k_buf, v_buf, length, spec.q_len, scale,
+                impl=spec.attn_impl,
             )
-            pp = attn_ops._partial_attention(q, k_buf, v_buf, pmask, scale)
             out, _ = attn_ops.merge_partials(pp, pg)
         else:
             out = pg.out
@@ -205,6 +204,7 @@ def layer_step(
             scale=scale,
             return_group_probs=spec.needs_probs,
             causal=spec.causal,
+            impl=spec.attn_impl,
         )
 
     hq = cfg.num_attention_heads

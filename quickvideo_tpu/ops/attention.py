@@ -81,6 +81,94 @@ def merge_partials(a: PartialAttn, b: PartialAttn) -> Tuple[Array, Array]:
     return out, lse
 
 
+def _blockwise_partial_attention(
+    q: Array,  # (Hq, Q, D)
+    k: Array,  # (Hkv, L, D) fixed-capacity buffer
+    v: Array,
+    length: Array,  # () int32 valid prefix
+    scale: float,
+    block: int = 1024,
+) -> PartialAttn:
+    """Online-softmax partial attention over a length-masked buffer,
+    lax.scan over KV blocks — flash-attention structure in pure XLA. Peak
+    memory O(Q * block) instead of O(Q * capacity); blocks beyond `length`
+    still execute (static grid) but a Pallas kernel skips them
+    (quickvideo_tpu.ops.flash_attention)."""
+    hkv, cap, d = k.shape
+    hq, qlen, _ = q.shape
+    rep = hq // hkv
+    nblocks = pl_cdiv = -(-cap // block)
+    pad = nblocks * block - cap
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    kb = k.reshape(hkv, nblocks, block, d).transpose(1, 0, 2, 3)
+    vb = v.reshape(hkv, nblocks, block, d).transpose(1, 0, 2, 3)
+    qf = _fold_gqa(q, hkv).astype(jnp.float32)
+
+    def body(carry, xs):
+        m_prev, s_prev, o_prev, bi = carry
+        kblk, vblk = xs
+        scores = jnp.einsum(
+            "hrqd,hld->hrql", qf, kblk.astype(jnp.float32)
+        ) * scale
+        pos = bi * block + jnp.arange(block, dtype=jnp.int32)
+        mask = pos[None, None, None, :] < length
+        scores = jnp.where(mask, scores, NEG_INF)
+        m_blk = jnp.max(scores, axis=-1)
+        m_new = jnp.maximum(m_prev, m_blk)
+        m_safe = jnp.maximum(m_new, -1e29)
+        p = jnp.exp(scores - m_safe[..., None])
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(jnp.maximum(m_prev, -1e29) - m_safe)
+        s_new = s_prev * alpha + jnp.sum(p, axis=-1)
+        o_new = o_prev * alpha[..., None] + jnp.einsum(
+            "hrql,hld->hrqd", p, vblk.astype(jnp.float32)
+        )
+        return (m_new, s_new, o_new, bi + 1), None
+
+    m0 = jnp.full((hkv, rep, qlen), NEG_INF, jnp.float32)
+    s0 = jnp.zeros((hkv, rep, qlen), jnp.float32)
+    o0 = jnp.zeros((hkv, rep, qlen, d), jnp.float32)
+    (m, s, o, _), _ = jax.lax.scan(body, (m0, s0, o0, jnp.int32(0)), (kb, vb))
+    out = o / jnp.maximum(s[..., None], 1e-30)
+    lse = jnp.where(
+        s > 0, jnp.maximum(m, -1e29) + jnp.log(jnp.maximum(s, 1e-30)), NEG_INF
+    )
+    return PartialAttn(out.reshape(hq, qlen, d), lse.reshape(hq, qlen))
+
+
+# past-buffer sizes at/above this use the blockwise path (memory bound);
+# smaller buffers use the single-shot einsum (fewer kernels)
+BLOCKWISE_THRESHOLD = 4096
+
+
+def past_partial_attention(
+    q: Array, k_past: Array, v_past: Array, past_length: Array,
+    g: int, scale: float, impl: str = "auto",
+) -> PartialAttn:
+    """Dispatch the past-buffer partial: 'pallas' -> flash kernel,
+    'xla' -> single-shot or blockwise by capacity, 'auto' -> pallas on TPU
+    backends for big buffers, xla otherwise."""
+    capacity = k_past.shape[1]
+    if impl == "auto":
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        impl = "pallas" if (on_tpu and capacity >= BLOCKWISE_THRESHOLD) else "xla"
+    if impl == "pallas":
+        from quickvideo_tpu.ops.flash_attention import flash_past_attention
+
+        return flash_past_attention(q, k_past, v_past, past_length, scale=scale)
+    if capacity >= BLOCKWISE_THRESHOLD:
+        return _blockwise_partial_attention(
+            q, k_past, v_past, past_length, scale
+        )
+    pmask = jnp.broadcast_to(
+        jnp.arange(capacity, dtype=jnp.int32)[None, :] < past_length,
+        (g, capacity),
+    )
+    return _partial_attention(q, k_past, v_past, pmask, scale)
+
+
 def grouped_attention(
     q: Array,  # (Hq, G, D) current-group queries, RoPE applied
     k_group: Array,  # (Hkv, G, D) current-group keys, RoPE applied
@@ -92,6 +180,7 @@ def grouped_attention(
     scale: float,
     return_group_probs: bool = False,
     causal: bool = True,
+    impl: str = "auto",
 ):
     """Attention of group queries over [past cache (masked), group (causal)].
 
@@ -112,12 +201,9 @@ def grouped_attention(
     if k_past is None:
         out, lse_tot = pg.out, pg.lse
     else:
-        capacity = k_past.shape[1]
-        pmask = jnp.broadcast_to(
-            jnp.arange(capacity, dtype=jnp.int32)[None, :] < past_length,
-            (g, capacity),
+        pp = past_partial_attention(
+            q, k_past, v_past, past_length, g, scale, impl=impl
         )
-        pp = _partial_attention(q, k_past, v_past, pmask, scale)
         out, lse_tot = merge_partials(pp, pg)
     if not return_group_probs:
         return out, None

@@ -1,0 +1,195 @@
+"""Pallas TPU flash attention over the fixed-capacity KV cache buffer.
+
+Replaces the XLA blockwise past-partial (quickvideo_tpu.ops.attention.
+_blockwise_partial_attention) on TPU: the reference's CUDA flash-attn role
+(reference lvu/models/qwen25_vl.py:95-105) for the grouped-prefill hot loop.
+
+Kernel shape: grid (num_kv_heads, num_q_blocks, num_kv_blocks), kv innermost
+(sequential) with running max/sum/accumulator in VMEM scratch — the standard
+flash structure. GQA is folded so each kv head's `rep` query heads share one
+K/V block load. Blocks entirely beyond the valid cache `length` (scalar
+prefetch) skip their compute via @pl.when; the final kv step normalizes and
+emits both the output and the log-sum-exp needed for the exact merge with the
+in-group partial (ops.attention.merge_partials).
+
+Returns a PartialAttn, so the caller-side contract is identical to the XLA
+path — tests compare the two bit-for-bit-ish (f32 tolerance).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quickvideo_tpu.ops.attention import NEG_INF, PartialAttn
+
+Array = jax.Array
+
+
+def _flash_kernel(
+    length_ref,  # scalar prefetch: (1,) int32 valid cache length
+    q_ref,  # (1, rep*BQ, D)
+    k_ref,  # (1, BK, D)
+    v_ref,  # (1, BK, D)
+    o_ref,  # (1, rep*BQ, D) f32
+    lse_ref,  # (1, rep*BQ) f32
+    m_scr,  # VMEM (rep*BQ, 1) f32
+    s_scr,  # VMEM (rep*BQ, 1) f32
+    acc_scr,  # VMEM (rep*BQ, D) f32
+    *,
+    block_k: int,
+    scale: float,
+):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    length = length_ref[0]
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        s_scr[:] = jnp.zeros_like(s_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    blk_start = ki * block_k
+
+    @pl.when(blk_start < length)
+    def _compute():
+        q = q_ref[0]  # (rep*BQ, D)
+        k = k_ref[0]  # (BK, D)
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (rep*BQ, BK)
+        pos = blk_start + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, dimension=1
+        )
+        mask = pos < length
+        scores = jnp.where(mask, scores, NEG_INF)
+        m_prev = m_scr[:, 0]
+        m_blk = jnp.max(scores, axis=-1)
+        m_new = jnp.maximum(m_prev, m_blk)
+        m_safe = jnp.maximum(m_new, -1e29)
+        p = jnp.exp(scores - m_safe[:, None])
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(jnp.maximum(m_prev, -1e29) - m_safe)
+        s_scr[:, 0] = s_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
+        acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:, 0] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        s = s_scr[:, 0]
+        m = m_scr[:, 0]
+        o_ref[0] = acc_scr[:] / jnp.maximum(s, 1e-30)[:, None]
+        lse = jnp.where(
+            s > 0,
+            jnp.maximum(m, -1e29) + jnp.log(jnp.maximum(s, 1e-30)),
+            NEG_INF,
+        )
+        lse_ref[0] = lse
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def flash_past_attention(
+    q: Array,  # (Hq, G, D)
+    k_past: Array,  # (Hkv, capacity, D)
+    v_past: Array,
+    length: Array,  # () int32
+    *,
+    scale: float,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> PartialAttn:
+    hq, g, d = q.shape
+    hkv, cap, _ = k_past.shape
+    rep = hq // hkv
+    block_q = min(block_q, g)
+    block_k = min(block_k, cap)
+    nq = -(-g // block_q)
+    nk = -(-cap // block_k)
+    pad_q = nq * block_q - g
+    pad_k = nk * block_k - cap
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k_past = jnp.pad(k_past, ((0, 0), (0, pad_k), (0, 0)))
+        v_past = jnp.pad(v_past, ((0, 0), (0, pad_k), (0, 0)))
+    gq = g + pad_q  # padded G
+    rbq = rep * block_q
+    # fold GQA (query head h serves kv head h // rep): (Hkv, rep, Gp, D)
+    qf = q.reshape(hkv, rep, gq, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(hkv, nq, nk),
+        in_specs=[
+            pl.BlockSpec(
+                (1, rbq, d), lambda h, qi, ki, *_: (h, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_k, d), lambda h, qi, ki, *_: (h, ki, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_k, d), lambda h, qi, ki, *_: (h, ki, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, rbq, d), lambda h, qi, ki, *_: (h, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, rbq), lambda h, qi, ki, *_: (h, qi),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rbq, 1), jnp.float32),
+            pltpu.VMEM((rbq, 1), jnp.float32),
+            pltpu.VMEM((rbq, d), jnp.float32),
+        ],
+    )
+    # q-block layout: (Hkv, nq * rep*block_q, D) — each grid q-step sees the
+    # rep query heads' rows for one G-block contiguously
+    qblocks = (
+        qf.reshape(hkv, rep, nq, block_q, d)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(hkv, nq * rbq, d)
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((hkv, nq * rbq, d), jnp.float32),
+            jax.ShapeDtypeStruct((hkv, nq * rbq), jnp.float32),
+        ],
+        interpret=interpret,
+    )(length.reshape(1), qblocks, k_past, v_past)
+    # unfold back to (Hq, G, D)
+    out = (
+        out.reshape(hkv, nq, rep, block_q, d)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(hq, gq, d)[:, :g]
+    )
+    lse = (
+        lse.reshape(hkv, nq, rep, block_q)
+        .transpose(0, 2, 1, 3)
+        .reshape(hq, gq)[:, :g]
+    )
+    return PartialAttn(out, lse)

@@ -265,6 +265,7 @@ class LVUEngine:
                 predict_type=lvu.top_k_predict_type,
                 needs_probs=lvu.needs_attn_stats,
                 prompt_len=prompt_len,
+                attn_impl=lvu.attention_impl,
             )
             self._rng, rng = jax.random.split(self._rng)
             with timer.span("prefill"):
@@ -341,6 +342,7 @@ class LVUEngine:
             keep_k=keep_k,
             predict_type=lvu.top_k_predict_type,
             needs_probs=lvu.needs_attn_stats and keep_k > 0,
+            attn_impl=lvu.attention_impl,
         )
         with timer.span("final_prefill"):
             x = self._embed_scatter_jit(jnp.asarray(ids[ss:], jnp.int32), None)

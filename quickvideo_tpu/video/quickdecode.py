@@ -1,0 +1,290 @@
+"""Python surface over the native QuickDecode engine (ctypes).
+
+API-parity with the reference's `deepcodec` package as used by the reference
+engines (SURVEY.md section 2.1):
+
+  * `VideoReader(path, num_threads=...)` with `len()`, `.get_fps()`, settable
+    `.height`/`.width`/`.interpolation` ("LANCZOS"/"BICUBIC"/...), and
+    `.get_batch(indices) -> np.ndarray` in TCHW uint8, already resized
+    (reference lvu/models/qwen25_lvu.py:287-322).
+  * `InterleavedVideoReader(path, num_threads=, num_intervals=)` adding
+    `.process(indices)` (async decode start), `.frame_iter = n` (frames per
+    block), and iteration yielding TCHW uint8 blocks in presentation order,
+    blocking until decoded (reference qwen25_lvu_interleaved.py:385-520).
+
+Thread counts default from QUICKCODEC_CORES, interval count from
+QUICKCODEC_INTERVALS (reference env contract, README.md:417-427).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+_INTERP = {"LANCZOS": 0, "BICUBIC": 1, "BILINEAR": 2, "AREA": 3}
+
+_LIB: Optional[ctypes.CDLL] = None
+
+
+def _find_lib() -> str:
+    env = os.environ.get("QUICKDECODE_LIB")
+    if env and os.path.exists(env):
+        return env
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = [
+        os.path.join(here, "..", "..", "cpp", "quickdecode", "libquickdecode.so"),
+        os.path.join(here, "libquickdecode.so"),
+    ]
+    for c in candidates:
+        if os.path.exists(c):
+            return os.path.abspath(c)
+    raise FileNotFoundError(
+        "libquickdecode.so not found; build with `make -C cpp/quickdecode`"
+    )
+
+
+def _lib() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    lib = ctypes.CDLL(_find_lib())
+    lib.qd_open.restype = ctypes.c_void_p
+    lib.qd_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.qd_close.argtypes = [ctypes.c_void_p]
+    lib.qd_frame_count.restype = ctypes.c_int64
+    lib.qd_frame_count.argtypes = [ctypes.c_void_p]
+    lib.qd_fps.restype = ctypes.c_double
+    lib.qd_fps.argtypes = [ctypes.c_void_p]
+    lib.qd_width.restype = ctypes.c_int
+    lib.qd_width.argtypes = [ctypes.c_void_p]
+    lib.qd_height.restype = ctypes.c_int
+    lib.qd_height.argtypes = [ctypes.c_void_p]
+    lib.qd_keyframe_count.restype = ctypes.c_int64
+    lib.qd_keyframe_count.argtypes = [ctypes.c_void_p]
+    lib.qd_set_output_size.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.qd_get_batch.restype = ctypes.c_int
+    lib.qd_get_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.qd_process.restype = ctypes.c_int
+    lib.qd_process.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+    ]
+    lib.qd_set_frames_per_block.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.qd_next_block.restype = ctypes.c_int64
+    lib.qd_next_block.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.qd_last_error.restype = ctypes.c_char_p
+    lib.qd_last_error.argtypes = [ctypes.c_void_p]
+    lib.qd_encode_test_video.restype = ctypes.c_int
+    lib.qd_encode_test_video.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    _LIB = lib
+    return lib
+
+
+def is_available() -> bool:
+    """Backend availability (honors DEEPCODEC_DISABLED like the reference's
+    is_deepcodec_available, lvu/models/qwen25_lvu.py:247-252)."""
+    if "DEEPCODEC_DISABLED" in os.environ:
+        return False
+    try:
+        _find_lib()
+        return True
+    except FileNotFoundError:
+        return False
+
+
+class VideoReader:
+    """Batch reader (deepcodec.VideoReader surface)."""
+
+    def __init__(
+        self,
+        path: str,
+        num_threads: Optional[int] = None,
+        height: int = 0,
+        width: int = 0,
+    ):
+        if num_threads is None:
+            num_threads = int(os.environ.get("QUICKCODEC_CORES", "8"))
+        self._lib = _lib()
+        self._h = self._lib.qd_open(path.encode(), num_threads, 0)
+        if not self._h:
+            raise IOError(f"QuickDecode: cannot open {path}")
+        self._height = height
+        self._width = width
+        self._interp = "LANCZOS"
+        self.path = path
+
+    def __len__(self):
+        return int(self._lib.qd_frame_count(self._h))
+
+    def get_fps(self) -> float:
+        return float(self._lib.qd_fps(self._h))
+
+    def get_avg_fps(self) -> float:  # decord-compat alias
+        return self.get_fps()
+
+    @property
+    def source_width(self):
+        return int(self._lib.qd_width(self._h))
+
+    @property
+    def source_height(self):
+        return int(self._lib.qd_height(self._h))
+
+    @property
+    def num_keyframes(self):
+        return int(self._lib.qd_keyframe_count(self._h))
+
+    # settable output geometry, deepcodec-style
+    @property
+    def height(self):
+        return self._height or self.source_height
+
+    @height.setter
+    def height(self, v):
+        self._height = int(v)
+
+    @property
+    def width(self):
+        return self._width or self.source_width
+
+    @width.setter
+    def width(self, v):
+        self._width = int(v)
+
+    @property
+    def interpolation(self):
+        return self._interp
+
+    @interpolation.setter
+    def interpolation(self, v: str):
+        if v.upper() not in _INTERP:
+            raise ValueError(f"unknown interpolation {v!r}")
+        self._interp = v.upper()
+
+    def _apply_output(self):
+        self._lib.qd_set_output_size(
+            self._h, self.width, self.height, _INTERP[self._interp]
+        )
+
+    def get_batch(self, indices: Sequence[int]) -> np.ndarray:
+        """-> (T, C, H, W) uint8, resized in-decoder."""
+        self._apply_output()
+        idx = np.asarray(sorted(int(i) for i in indices), np.int64)
+        out = np.empty((len(idx), 3, self.height, self.width), np.uint8)
+        r = self._lib.qd_get_batch(
+            self._h,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(idx),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if r != 0:
+            raise IOError(
+                f"QuickDecode get_batch failed: "
+                f"{self._lib.qd_last_error(self._h).decode()}"
+            )
+        return out
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.qd_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class InterleavedVideoReader(VideoReader):
+    """Streaming reader (deepcodec.InterleavedVideoReader surface):
+    keyframe-aligned intervals decoded concurrently, consumed in order."""
+
+    def __init__(
+        self,
+        path: str,
+        num_threads: Optional[int] = None,
+        num_intervals: Optional[int] = None,
+    ):
+        if num_threads is None:
+            num_threads = int(os.environ.get("QUICKCODEC_CORES", "8"))
+        if num_intervals is None:
+            num_intervals = int(os.environ.get("QUICKCODEC_INTERVALS", "64"))
+        self._lib = _lib()
+        self._h = self._lib.qd_open(path.encode(), num_threads, num_intervals)
+        if not self._h:
+            raise IOError(f"QuickDecode: cannot open {path}")
+        self._height = 0
+        self._width = 0
+        self._interp = "LANCZOS"
+        self.path = path
+        self._n_requested = 0
+        self.frame_iter = 1
+
+    def process(self, indices: Sequence[int]):
+        """Start asynchronous decode of the selected frame ordinals
+        (reference call site qwen25_lvu_interleaved.py:442)."""
+        self._apply_output()
+        idx = np.asarray(sorted(int(i) for i in indices), np.int64)
+        self._n_requested = len(idx)
+        r = self._lib.qd_process(
+            self._h,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(idx),
+        )
+        if r != 0:
+            raise IOError(
+                f"QuickDecode process failed: "
+                f"{self._lib.qd_last_error(self._h).decode()}"
+            )
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        """Blocking: next block of `frame_iter` frames, (n, C, H, W) uint8."""
+        self._lib.qd_set_frames_per_block(self._h, int(self.frame_iter))
+        out = np.empty(
+            (int(self.frame_iter), 3, self.height, self.width), np.uint8
+        )
+        n = self._lib.qd_next_block(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        )
+        if n < 0:
+            raise IOError(
+                f"QuickDecode next_block failed: "
+                f"{self._lib.qd_last_error(self._h).decode()}"
+            )
+        if n == 0:
+            raise StopIteration
+        return out[:n]
+
+
+def encode_test_video(
+    path: str, width=224, height=224, nframes=120, fps=10, gop=12
+):
+    """Synthetic fixture: luma encodes frame index (Y = 20 + i % 200)."""
+    r = _lib().qd_encode_test_video(
+        path.encode(), width, height, nframes, fps, gop
+    )
+    if r != 0:
+        raise IOError(f"encode_test_video failed with code {r}")
+    return path
+
+
+def expected_test_luma(i: int) -> int:
+    return 20 + (i % 200)

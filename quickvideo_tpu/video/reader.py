@@ -1,0 +1,124 @@
+"""Video reader backend registry + request building.
+
+Mirrors the reference's backend selection contract
+(lvu/models/qwen25_lvu.py:247-265): priority FORCE_QWENVL_VIDEO_READER env >
+quickdecode (the native engine, deepcodec-equivalent) > registered fallbacks,
+with DEEPCODEC_DISABLED disabling the native engine. On backend exception the
+next backend in the chain is tried (reference fallback behavior, :344-348).
+
+Also hosts the high-level `build_prefill_inputs` / `stream_prefill_inputs`
+that turn (video path, question token layout, LVUConfig) into engine-ready
+PrefillInputs — the TPU equivalents of the reference's fetch_video +
+processor + group-split pipeline (sync: qwen25_lvu.py; streaming:
+qwen25_lvu_interleaved.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from quickvideo_tpu.config import LVUConfig
+from quickvideo_tpu.video import preprocess as pp
+from quickvideo_tpu.video import quickdecode as qd
+
+# backend name -> factory(path, num_threads) returning a VideoReader-like
+# object (len, get_fps, height/width/interpolation, get_batch)
+_BACKENDS: Dict[str, Callable] = {}
+
+
+def register_backend(name: str, factory: Callable):
+    _BACKENDS[name] = factory
+
+
+register_backend(
+    "quickdecode", lambda path, threads: qd.VideoReader(path, num_threads=threads)
+)
+# alias so reference-style env values keep working
+register_backend(
+    "deepcodec", lambda path, threads: qd.VideoReader(path, num_threads=threads)
+)
+
+
+def backend_priority() -> List[str]:
+    forced = os.environ.get("FORCE_QWENVL_VIDEO_READER")
+    if forced:
+        return [forced]
+    names = []
+    if qd.is_available():
+        names.append("quickdecode")
+    names.extend(n for n in _BACKENDS if n not in ("quickdecode", "deepcodec"))
+    if not names:
+        raise RuntimeError(
+            "no video backend available (build cpp/quickdecode or register one)"
+        )
+    return names
+
+
+def open_reader(path: str, num_threads: Optional[int] = None):
+    if num_threads is None:
+        num_threads = int(os.environ.get("QUICKCODEC_CORES", "8"))
+    errors = []
+    for name in backend_priority():
+        try:
+            return name, _BACKENDS[name](path, num_threads)
+        except Exception as e:  # noqa: BLE001 — fallback chain by design
+            errors.append(f"{name}: {e}")
+    raise IOError(f"all video backends failed for {path}: {errors}")
+
+
+def plan_from_reader(reader, lvu: LVUConfig) -> pp.VideoPlan:
+    extra = lvu.extra_kwargs or {}
+    return pp.plan_video(
+        total_frames=len(reader),
+        video_fps=reader.get_fps(),
+        height=reader.source_height,
+        width=reader.source_width,
+        video_group_size=lvu.video_group_size,
+        nframes=None if lvu.fps is not None else lvu.num_frames,
+        fps=lvu.fps,
+        requested_max_pixels=extra.get("max_pixels", 360 * 420),
+    )
+
+
+def decode_video_batch(
+    path: str, lvu: LVUConfig
+) -> Tuple[np.ndarray, pp.VideoPlan]:
+    """Sync decode of all sampled frames with in-decoder resize ->
+    (frames TCHW uint8, plan). The qwen25_lvu engine path."""
+    name, reader = open_reader(path, lvu.decode_threads)
+    plan = plan_from_reader(reader, lvu)
+    reader.height = plan.resized_height
+    reader.width = plan.resized_width
+    if hasattr(reader, "interpolation"):
+        reader.interpolation = "LANCZOS"
+    frames = reader.get_batch(plan.indices.tolist())
+    reader.close()
+    return frames, plan
+
+
+def build_prefill_inputs_from_frames(
+    frames: np.ndarray,  # (T, C, H, W) uint8 resized
+    plan: pp.VideoPlan,
+    input_ids: np.ndarray,
+):
+    """Patchify per group -> PrefillInputs (sync list form)."""
+    from quickvideo_tpu.prefill.engine import PrefillInputs
+
+    groups = []
+    off = 0
+    for cnt in plan.group_frame_counts:
+        g = pp.normalize_frames(frames[off : off + cnt])
+        patches, grid = pp.patchify_frames(g)
+        groups.append(patches)
+        off += cnt
+    return PrefillInputs(
+        input_ids=input_ids,
+        video_grid_thw=plan.grid_thw,
+        pixel_groups=groups,
+        group_grids=plan.group_grids,
+        second_per_grid_ts=plan.second_per_grid_ts,
+    )

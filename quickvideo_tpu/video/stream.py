@@ -1,0 +1,97 @@
+"""Overlapped decode -> preprocess -> prefill pipeline.
+
+The reference's AsyncPixelIterator (lvu/models/qwen25_lvu_interleaved.py:
+273-341): a daemon thread pulls decoded frame blocks from the native
+interleaved reader, runs the image pipeline, and buffers results in a bounded
+queue (maxsize 3, :277) with exception propagation to the consumer
+(:289-316). Here the producer additionally patchifies on the host, so the
+consumer (TPU prefill loop) receives engine-ready pixel groups; XLA's async
+dispatch overlaps the resulting H2D transfer of group i+1 with the prefill
+compute of group i.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Iterator, Optional
+
+import numpy as np
+
+from quickvideo_tpu.config import LVUConfig
+from quickvideo_tpu.video import preprocess as pp
+from quickvideo_tpu.video import quickdecode as qd
+from quickvideo_tpu.video.reader import plan_from_reader
+from quickvideo_tpu.utils.timing import SpanTimer
+
+_SENTINEL = object()
+
+
+class AsyncPixelGroups:
+    """Iterator of patchified pixel groups, produced by a background thread
+    that consumes the native interleaved decoder as blocks arrive."""
+
+    def __init__(
+        self,
+        path: str,
+        lvu: LVUConfig,
+        plan: Optional[pp.VideoPlan] = None,
+        timer: Optional[SpanTimer] = None,
+    ):
+        self.lvu = lvu
+        self.timer = timer or SpanTimer()
+        t0 = time.perf_counter()
+        self.reader = qd.InterleavedVideoReader(
+            path,
+            num_threads=lvu.decode_threads,
+            num_intervals=lvu.decode_intervals,
+        )
+        self.plan = plan or plan_from_reader(self.reader, lvu)
+        self.reader.height = self.plan.resized_height
+        self.reader.width = self.plan.resized_width
+        self.reader.interpolation = "LANCZOS"
+        # kick off async native decode of the sampled frames NOW — decode of
+        # group i+1 overlaps prefill of group i (reference :442)
+        self.reader.process(self.plan.indices.tolist())
+        self.timer.add("decode_start", time.perf_counter() - t0)
+        self._q: queue.Queue = queue.Queue(maxsize=lvu.prefetch_depth)
+        self._exc: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _produce(self):
+        try:
+            for gi, cnt in enumerate(self.plan.group_frame_counts):
+                self.reader.frame_iter = cnt
+                t0 = time.perf_counter()
+                block = next(self.reader)  # blocking on native decode
+                self.timer.add("frame_fetch", time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                if block.shape[0] != cnt:
+                    raise IOError(
+                        f"group {gi}: expected {cnt} frames, got {block.shape[0]}"
+                    )
+                frames = pp.normalize_frames(block)
+                patches, _ = pp.patchify_frames(frames)
+                self.timer.add("processing", time.perf_counter() - t0)
+                self._q.put(patches)
+            self._q.put(_SENTINEL)
+        except BaseException as e:  # noqa: BLE001 — re-raised on consumer side
+            self._exc = e
+            try:
+                self._q.put(_SENTINEL, timeout=1)
+            except queue.Full:
+                pass
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            item = self._q.get()
+            if item is _SENTINEL:
+                if self._exc is not None:
+                    raise self._exc
+                return
+            yield item
+
+    def close(self):
+        self.reader.close()

@@ -1,0 +1,87 @@
+"""End-to-end: synthetic mp4 -> LVU API -> generated tokens, on the tiny
+model. Exercises decode (native engine), preprocessing, tokenization,
+grouped prefill with pruning, and decode — and checks the sync and
+interleaved engines agree bit-for-bit (same frames must yield same tokens)."""
+
+import numpy as np
+import pytest
+
+from quickvideo_tpu.config import LVUConfig
+from quickvideo_tpu.video import quickdecode as qd
+
+pytestmark = pytest.mark.skipif(
+    not qd.is_available(), reason="libquickdecode.so not built"
+)
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("e2e") / "clip.mp4")
+    qd.encode_test_video(path, width=112, height=112, nframes=64, fps=8, gop=16)
+    return path
+
+
+def make_lvu(**kw):
+    from quickvideo_tpu.api import LVU
+
+    cfg = LVUConfig(
+        model_name_or_path="tiny",
+        num_frames=8,
+        video_group_size=4,
+        top_p=0.5,
+        max_decode_tokens=8,
+        dtype="float32",
+        **kw,
+    )
+    return LVU(cfg)
+
+
+@pytest.fixture(scope="module")
+def lvu_sync(video):
+    return make_lvu(model_type="qwen25_lvu")
+
+
+def test_generate_sync(lvu_sync, video):
+    out = lvu_sync.generate("What is happening?", video, max_new_tokens=4)
+    assert isinstance(out, list) and len(out) == 1
+    res = lvu_sync.last_result
+    assert len(res.tokens) >= 1
+    assert res.timings["e2e"] > 0
+    assert res.timings["frame_fetch"] > 0
+    # pruning active: cache much smaller than full token count
+    assert res.cache_length < res.prefill_tokens
+
+
+def test_interleaved_matches_sync(lvu_sync, video):
+    out_sync = lvu_sync.generate("Describe.", video, max_new_tokens=4)
+    res_sync = lvu_sync.last_result
+
+    lvu_i = make_lvu(model_type="qwen25_lvu_interleaved")
+    # same params for a fair comparison
+    lvu_i.params = lvu_sync.params
+    lvu_i.engine = lvu_sync.engine
+    out_i = lvu_i.generate("Describe.", video, max_new_tokens=4)
+    res_i = lvu_i.last_result
+    np.testing.assert_array_equal(res_sync.tokens, res_i.tokens)
+    assert out_sync == out_i
+
+
+def test_chat_api(lvu_sync, video):
+    messages = [
+        {
+            "role": "user",
+            "content": [
+                {"type": "video", "video": video},
+                {"type": "text", "text": "What color?"},
+            ],
+        }
+    ]
+    out = lvu_sync.chat(messages, max_new_tokens=3)
+    assert isinstance(out[0], str)
+
+
+def test_unknown_model_type(video):
+    from quickvideo_tpu.api import LVU
+
+    with pytest.raises(ValueError, match="not registered"):
+        LVU(LVUConfig(model_name_or_path="tiny", model_type="nope", dtype="float32"))

@@ -1,0 +1,62 @@
+"""Pallas flash kernel vs the XLA oracle (interpret mode on CPU; the same
+kernel runs compiled on TPU — see bench/verify drives)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from quickvideo_tpu.ops import attention
+from quickvideo_tpu.ops.flash_attention import flash_past_attention
+
+HQ, HKV, D = 8, 2, 128
+SCALE = D ** -0.5
+
+
+def oracle(q, k, v, length):
+    cap = k.shape[1]
+    g = q.shape[1]
+    mask = jnp.broadcast_to(jnp.arange(cap)[None] < length, (g, cap))
+    return attention._partial_attention(q, k, v, mask, SCALE)
+
+
+@pytest.mark.parametrize("g,cap,length", [
+    (256, 1024, 700),
+    (256, 1024, 0),
+    (100, 1500, 1500),   # padding on both axes
+    (256, 2048, 1),
+])
+def test_flash_matches_oracle(rng_np, g, cap, length):
+    q = jnp.asarray(rng_np.standard_normal((HQ, g, D)).astype(np.float32))
+    k = jnp.asarray(rng_np.standard_normal((HKV, cap, D)).astype(np.float32))
+    v = jnp.asarray(rng_np.standard_normal((HKV, cap, D)).astype(np.float32))
+    got = flash_past_attention(
+        q, k, v, jnp.int32(length), scale=SCALE, block_q=128, block_k=256,
+        interpret=True,
+    )
+    ref = oracle(q, k, v, jnp.int32(length))
+    np.testing.assert_allclose(got.out, ref.out, rtol=3e-5, atol=3e-5)
+    # lse comparison only where defined (length > 0)
+    if length > 0:
+        np.testing.assert_allclose(got.lse, ref.lse, rtol=3e-5, atol=3e-4)
+
+
+def test_flash_then_merge_equals_concat(rng_np):
+    """Full grouped-attention assembly with the Pallas partial."""
+    g, cap, length = 128, 1024, 511
+    q = jnp.asarray(rng_np.standard_normal((HQ, g, D)).astype(np.float32))
+    kbuf = jnp.asarray(rng_np.standard_normal((HKV, cap, D)).astype(np.float32))
+    vbuf = jnp.asarray(rng_np.standard_normal((HKV, cap, D)).astype(np.float32))
+    kg = jnp.asarray(rng_np.standard_normal((HKV, g, D)).astype(np.float32))
+    vg = jnp.asarray(rng_np.standard_normal((HKV, g, D)).astype(np.float32))
+    pp = flash_past_attention(
+        q, kbuf, vbuf, jnp.int32(length), scale=SCALE, interpret=True
+    )
+    cmask = jnp.tril(jnp.ones((g, g), bool))
+    pg = attention._partial_attention(q, kg, vg, cmask, SCALE)
+    out, _ = attention.merge_partials(pp, pg)
+    # oracle
+    ref_out, _ = attention.grouped_attention(
+        q, kg, vg, kbuf, vbuf, jnp.int32(length), scale=SCALE
+    )
+    np.testing.assert_allclose(out, ref_out, rtol=3e-5, atol=3e-5)

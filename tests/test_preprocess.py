@@ -1,0 +1,98 @@
+"""Preprocessing parity: patchify/normalize vs the HF Qwen2VL image
+processor, plus smart_resize / smart_nframes / budget semantics."""
+
+import numpy as np
+import pytest
+
+from quickvideo_tpu.video import preprocess as pp
+
+
+class TestSmartResize:
+    def test_multiples_of_28(self):
+        h, w = pp.smart_resize(480, 640)
+        assert h % 28 == 0 and w % 28 == 0
+
+    def test_max_pixels_respected(self):
+        h, w = pp.smart_resize(1080, 1920, max_pixels=448 * 448)
+        assert h * w <= 448 * 448
+        assert h % 28 == 0 and w % 28 == 0
+
+    def test_min_pixels_respected(self):
+        h, w = pp.smart_resize(56, 56, min_pixels=256 * 28 * 28)
+        assert h * w >= 256 * 28 * 28
+
+    def test_aspect_guard(self):
+        with pytest.raises(ValueError):
+            pp.smart_resize(28, 28 * 300)
+
+
+class TestSmartNframes:
+    def test_nframes_rounding(self):
+        assert pp.smart_nframes(total_frames=100, video_fps=30, nframes=33) == 32
+
+    def test_fps_mode(self):
+        # 300 frames at 30fps = 10s; fps=2 -> 20 frames
+        assert pp.smart_nframes(total_frames=300, video_fps=30, fps=2.0) == 20
+
+    def test_hour_long_cap_lifted(self):
+        # 1 fps over an hour at 24fps: 3600 frames; upstream cap 768 would
+        # clamp — the reference lifts FPS_MAX_FRAMES to 100k
+        n = pp.smart_nframes(total_frames=86400, video_fps=24, fps=1.0)
+        assert n == 3600
+
+    def test_budget(self):
+        mn, mx = pp.video_pixel_budget(3600)
+        assert mx >= int(mn * 1.05)
+        mn2, mx2 = pp.video_pixel_budget(4, requested_max_pixels=360 * 420)
+        assert mx2 == 360 * 420
+
+
+class TestPatchifyParity:
+    @pytest.mark.parametrize("t,h,w", [(4, 56, 84), (2, 112, 112), (3, 56, 56)])
+    def test_matches_hf_processor(self, t, h, w):
+        torch = pytest.importorskip("torch")
+        from transformers.models.qwen2_vl.image_processing_qwen2_vl import (
+            Qwen2VLImageProcessor,
+        )
+
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 256, (t, h, w, 3), dtype=np.uint8)
+        proc = Qwen2VLImageProcessor(do_resize=False)
+        out = proc(
+            images=None, videos=[list(frames)], return_tensors="np"
+        )
+        hf_patches = out["pixel_values_videos"]
+        hf_grid = tuple(out["video_grid_thw"][0].tolist())
+
+        ours = pp.normalize_frames(frames)
+        patches, grid = pp.patchify_frames(ours)
+        assert grid == hf_grid
+        np.testing.assert_allclose(patches, hf_patches, rtol=2e-3, atol=2e-3)
+
+    def test_odd_frame_count_repeats_last(self):
+        frames = np.zeros((3, 28, 28, 3), np.uint8)
+        frames[2] = 255
+        patches, grid = pp.patchify_frames(pp.normalize_frames(frames))
+        assert grid == (2, 2, 2)
+
+
+class TestPlan:
+    def test_group_split(self):
+        plan = pp.plan_video(
+            total_frames=600, video_fps=30, height=480, width=640,
+            video_group_size=7, fps=1.0,
+        )
+        # 20 frames sampled at 1fps; group size rounded up to 8
+        assert plan.nframes == 20
+        assert plan.group_frame_counts == [8, 8, 4]
+        assert [g[0] for g in plan.group_grids] == [4, 4, 2]
+        assert plan.grid_thw[0] == 10
+        assert plan.resized_height % 28 == 0
+
+    def test_no_grouping(self):
+        plan = pp.plan_video(
+            total_frames=100, video_fps=10, height=280, width=280,
+            video_group_size=None, nframes=10,
+        )
+        assert plan.group_frame_counts == [10]
+        assert plan.second_per_grid_ts == pytest.approx(2 / plan.sample_fps)

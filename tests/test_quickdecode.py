@@ -1,0 +1,137 @@
+"""Native QuickDecode engine tests against synthetic fixtures whose frame
+index is recoverable from pixel luma (no ffmpeg CLI in this environment).
+
+Covers the reference decode contracts (SURVEY.md section 2.1): batch decode
+with in-decoder resize, frame-ordinal accuracy across seeks, interleaved
+streaming in presentation order with frame_iter blocks, thread scaling."""
+
+import os
+
+import numpy as np
+import pytest
+
+from quickvideo_tpu.video import quickdecode as qd
+
+pytestmark = pytest.mark.skipif(
+    not qd.is_available(), reason="libquickdecode.so not built"
+)
+
+# BT.601 limited-range luma -> RGB of a flat gray (U=V=128) frame is ~Y
+# scaled to full range: R=G=B ~= (Y - 16) * 255/219
+
+
+def luma_to_rgb(y):
+    return np.clip((y - 16.0) * 255.0 / 219.0, 0, 255)
+
+
+def rgb_to_frame_index(frame_chw):
+    """Frame index lives in the top-left quarter's luma; sample its interior
+    (away from block-edge blur after resize)."""
+    h, w = frame_chw.shape[1:]
+    region = frame_chw[:, h // 8 : 3 * h // 8, w // 8 : 3 * w // 8]
+    y = region.mean() * 219.0 / 255.0 + 16.0
+    return int(round(y - 20.0))
+
+
+@pytest.fixture(scope="module")
+def fixture_video(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "test_120f.mp4")
+    qd.encode_test_video(path, width=160, height=128, nframes=120, fps=10, gop=12)
+    return path
+
+
+class TestVideoReader:
+    def test_metadata(self, fixture_video):
+        vr = qd.VideoReader(fixture_video, num_threads=2)
+        assert len(vr) == 120
+        assert abs(vr.get_fps() - 10.0) < 0.01
+        assert vr.source_width == 160 and vr.source_height == 128
+        assert vr.num_keyframes >= 120 // 12  # gop 12 -> ~10 keyframes
+
+    def test_get_batch_identity_and_resize(self, fixture_video):
+        vr = qd.VideoReader(fixture_video, num_threads=4)
+        vr.height = 64
+        vr.width = 96
+        vr.interpolation = "LANCZOS"
+        idx = [0, 7, 23, 24, 50, 99, 119]
+        batch = vr.get_batch(idx)
+        assert batch.shape == (7, 3, 64, 96)
+        assert batch.dtype == np.uint8
+        for j, i in enumerate(idx):
+            got = rgb_to_frame_index(batch[j])
+            assert abs(got - i) <= 2, f"frame {i} decoded as ~{got}"
+
+    def test_get_batch_native_size(self, fixture_video):
+        vr = qd.VideoReader(fixture_video, num_threads=2)
+        batch = vr.get_batch([5])
+        assert batch.shape == (1, 3, 128, 160)
+        assert abs(rgb_to_frame_index(batch[0]) - 5) <= 2
+
+    def test_thread_counts_agree(self, fixture_video):
+        idx = list(range(0, 120, 7))
+        ref = None
+        for nt in (1, 2, 8):
+            vr = qd.VideoReader(fixture_video, num_threads=nt)
+            vr.height = 64
+            vr.width = 64
+            b = vr.get_batch(idx)
+            if ref is None:
+                ref = b
+            else:
+                np.testing.assert_array_equal(b, ref)
+
+    def test_missing_file(self):
+        with pytest.raises(IOError):
+            qd.VideoReader("/nonexistent/file.mp4")
+
+
+class TestInterleaved:
+    def test_stream_in_order(self, fixture_video):
+        vr = qd.InterleavedVideoReader(
+            fixture_video, num_threads=4, num_intervals=8
+        )
+        vr.height = 64
+        vr.width = 64
+        idx = list(range(0, 120, 3))  # 40 frames
+        vr.process(idx)
+        vr.frame_iter = 6
+        got = []
+        blocks = 0
+        for block in vr:
+            assert block.shape[1:] == (3, 64, 64)
+            blocks += 1
+            for f in block:
+                got.append(rgb_to_frame_index(f))
+        assert blocks == (40 + 5) // 6
+        assert len(got) == 40
+        for want, g in zip(idx, got):
+            assert abs(g - want) <= 2
+
+    def test_single_interval_single_thread(self, fixture_video):
+        vr = qd.InterleavedVideoReader(
+            fixture_video, num_threads=1, num_intervals=1
+        )
+        vr.process([0, 10, 20])
+        vr.frame_iter = 2
+        frames = [f for block in vr for f in block]
+        assert len(frames) == 3
+
+
+def test_long_fixture_many_intervals(tmp_path):
+    """600-frame fixture, gop 30, 16 intervals x 8 threads."""
+    path = str(tmp_path / "long.mp4")
+    qd.encode_test_video(path, width=128, height=96, nframes=600, fps=30, gop=30)
+    vr = qd.InterleavedVideoReader(path, num_threads=8, num_intervals=16)
+    vr.height = 56
+    vr.width = 56
+    idx = list(range(0, 600, 10))  # 60 frames, 1 "fps"
+    vr.process(idx)
+    vr.frame_iter = 16
+    got = [rgb_to_frame_index(f) for block in vr for f in block]
+    assert len(got) == 60
+    # luma encodes i % 200 — compare modulo the wrap
+    bad = sum(
+        1 for want, g in zip(idx, got)
+        if min(abs(g - want % 200), 200 - abs(g - want % 200)) > 2
+    )
+    assert bad == 0, f"{bad} misdecoded frames"
