@@ -42,11 +42,10 @@ class LVU:
                 config.model_name_or_path, self.model_config, dtype
             )
         else:
-            # no checkpoint available (e.g. offline bench): random init at the
-            # preset's true shapes — identical compute/memory profile
-            self.params = qmodel.init_params(
-                self.model_config, seed=config.seed, dtype=dtype
-            )
+            # no checkpoint available (e.g. offline bench): deterministic
+            # fast init at the preset's true shapes — identical
+            # compute/memory profile
+            self.params = qmodel.init_params_fast(self.model_config, dtype)
         self.tokenizer = load_tokenizer(
             config.model_name_or_path or "", self.model_config
         )

@@ -67,7 +67,7 @@ def chat_sync(lvu, messages, **generation_kwargs) -> List[str]:
     video_path, question, _ = _question_from_messages(messages)
     timer = SpanTimer()
     with timer.span("frame_fetch"):
-        frames, plan = vreader.decode_video_batch(video_path, lvu.config)
+        frames, plan = _fetch_frames(lvu, video_path, timer)
     n_video_tokens = sum(plan.tokens_per_group)
     ids = build_chat_ids(
         lvu.tokenizer, lvu.model_config, question, n_video_tokens
@@ -75,6 +75,31 @@ def chat_sync(lvu, messages, **generation_kwargs) -> List[str]:
     with timer.span("processing"):
         inputs = vreader.build_prefill_inputs_from_frames(frames, plan, ids)
     return _generate(lvu, inputs, timer, generation_kwargs)
+
+
+def _fetch_frames(lvu, video_path, timer):
+    """Decode with optional disk frame cache (reference
+    lvu/models/qwen25_lvu.py:552-592; gated by save_video_cache)."""
+    from quickvideo_tpu.video import frame_cache
+    from quickvideo_tpu.video.reader import open_reader, plan_from_reader
+
+    cfg = lvu.config
+    if not cfg.save_video_cache:
+        return vreader.decode_video_batch(video_path, cfg)
+    name, reader = open_reader(video_path, cfg.decode_threads)
+    plan = plan_from_reader(reader, cfg)
+    cached = frame_cache.load(video_path, plan, cfg.cache_dir)
+    if cached is not None:
+        reader.close()
+        return np.asarray(cached), plan
+    reader.height = plan.resized_height
+    reader.width = plan.resized_width
+    if hasattr(reader, "interpolation"):
+        reader.interpolation = "LANCZOS"
+    frames = reader.get_batch(plan.indices.tolist())
+    reader.close()
+    frame_cache.save(video_path, plan, frames, cfg.cache_dir)
+    return frames, plan
 
 
 def run_interleaved(lvu, question: str, video_path: str, **generation_kwargs):

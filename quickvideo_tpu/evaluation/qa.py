@@ -1,0 +1,171 @@
+"""Multiple-choice video-QA evaluation.
+
+Standalone runner with the benchmark conventions of the reference's eval
+suite (VideoMME / LongVideoBench / LVBench / MLVU, reference
+README.md:398-412): one video + MC question per sample, accuracy = exact
+letter match after robust answer extraction. The reference threads LVU
+options through lmms-eval model args (`adaptive_local_attention=True,
+local_attention_group_size=16, top_k=64, predict_type=key_norms_small`);
+here the LVU config is first-class.
+
+When `lmms_eval` is installed, `register_lmms_model()` exposes the engine as
+an lmms-eval model named "quickvideo_tpu" so the reference's exact eval
+commands port over; without it, `run_qa_eval` evaluates any iterable of
+QASample (JSON-lines loader included) with DP sharding across processes left
+to the caller (the reference's accelerate launch does the same —
+communication-free eval DP).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence
+
+
+@dataclass
+class QASample:
+    video: str
+    question: str
+    options: Sequence[str]  # ["A. ...", "B. ...", ...] or bare texts
+    answer: str  # "A" | "B" | ...
+    id: Optional[str] = None
+    meta: dict = field(default_factory=dict)
+
+
+MC_PROMPT = (
+    "Select the best answer to the following multiple-choice question based "
+    "on the video. Respond with only the letter (A, B, C, or D) of the "
+    "correct option.\n{question}\n{options}\nThe best answer is:"
+)
+
+
+def format_mc_question(sample: QASample) -> str:
+    opts = []
+    for i, o in enumerate(sample.options):
+        letter = chr(ord("A") + i)
+        o = str(o)
+        opts.append(o if re.match(r"^[A-Z][.)]", o) else f"{letter}. {o}")
+    return MC_PROMPT.format(question=sample.question, options="\n".join(opts))
+
+
+def extract_choice(text: str, n_options: int = 4) -> Optional[str]:
+    """Robust letter extraction (answer-matching conventions of the
+    benchmark suites: leading letter, 'answer is X', parenthesized, etc.)."""
+    letters = "".join(chr(ord("A") + i) for i in range(n_options))
+    t = text.strip()
+    m = re.match(rf"^\(?([{letters}])\)?[.):\s]", t + " ")
+    if m:
+        return m.group(1)
+    m = re.search(rf"answer is\s*:?\s*\(?([{letters}])\)?", t, re.I)
+    if m:
+        return m.group(1).upper()
+    m = re.search(rf"\(([{letters}])\)", t)
+    if m:
+        return m.group(1)
+    m = re.search(rf"\b([{letters}])\b", t)
+    if m:
+        return m.group(1)
+    return None
+
+
+def load_jsonl(path: str) -> List[QASample]:
+    out = []
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            d = json.loads(line)
+            out.append(
+                QASample(
+                    video=d["video"],
+                    question=d["question"],
+                    options=d["options"],
+                    answer=d["answer"],
+                    id=d.get("id"),
+                    meta=d.get("meta", {}),
+                )
+            )
+    return out
+
+
+def run_qa_eval(
+    lvu,
+    samples: Iterable[QASample],
+    max_new_tokens: int = 16,
+    verbose: bool = False,
+) -> Dict:
+    """Evaluate; returns {"accuracy", "n", "per_sample"}."""
+    n = 0
+    correct = 0
+    per_sample = []
+    for s in samples:
+        prompt = format_mc_question(s)
+        out = lvu.generate(prompt, s.video, max_new_tokens=max_new_tokens)
+        pred = extract_choice(out[0], n_options=len(s.options))
+        ok = pred == s.answer
+        n += 1
+        correct += int(ok)
+        per_sample.append(
+            {"id": s.id, "pred": pred, "answer": s.answer, "correct": ok,
+             "raw": out[0][:200]}
+        )
+        if verbose:
+            print(f"[{n}] pred={pred} gold={s.answer} ok={ok}")
+    return {
+        "accuracy": correct / max(n, 1),
+        "n": n,
+        "per_sample": per_sample,
+    }
+
+
+def register_lmms_model():  # pragma: no cover - optional integration
+    """Register as an lmms-eval model when that package is available, so the
+    reference's eval commands (README.md:398-412) work against this engine."""
+    try:
+        from lmms_eval.api.model import lmms
+        from lmms_eval.api.registry import register_model
+    except ImportError as e:
+        raise ImportError(
+            "lmms_eval is not installed; use run_qa_eval for standalone eval"
+        ) from e
+
+    from quickvideo_tpu.api import LVU
+    from quickvideo_tpu.config import LVUConfig
+
+    @register_model("quickvideo_tpu")
+    class QuickVideoTPU(lmms):
+        def __init__(self, pretrained="qwen25-vl-7b", model_type="qwen25_lvu",
+                     video_group_size=16, top_k=64,
+                     predict_type="key_norms_small", **kw):
+            super().__init__()
+            self.lvu = LVU(LVUConfig(
+                model_name_or_path=pretrained,
+                model_type=model_type,
+                video_group_size=int(video_group_size),
+                top_k=int(top_k) if top_k else None,
+                top_k_predict_type=predict_type,
+            ))
+
+        def generate_until(self, requests):
+            out = []
+            for req in requests:
+                ctx, gen_kwargs, doc_to_visual, doc_id, task, split = req.args
+                visual = doc_to_visual(self.task_dict[task][split][doc_id])
+                video = visual[0] if isinstance(visual, list) else visual
+                out.append(
+                    self.lvu.generate(
+                        ctx, video,
+                        max_new_tokens=gen_kwargs.get("max_new_tokens", 16),
+                    )[0]
+                )
+            return out
+
+        def loglikelihood(self, requests):
+            raise NotImplementedError
+
+        def generate_until_multi_round(self, requests):
+            raise NotImplementedError
+
+    return QuickVideoTPU

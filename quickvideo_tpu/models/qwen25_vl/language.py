@@ -169,6 +169,7 @@ def layer_step(
     caller advances `length` by spec.append_n after the full stack."""
     cfg = spec.cfg
     scale = cfg.head_dim ** -0.5
+    already_appended = False
     h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
     q, k, v = _project_qkv(lp, h, cfg)
     q, k = apply_rotary(q, k, cos, sin)
@@ -182,8 +183,9 @@ def layer_step(
         k_grp, v_grp = k[:, :gv], v[:, :gv]
         accum = _prompt_accum_scores(q[:, gv:], k_grp, cfg)
         # mask: video rows causal over video keys; prompt rows see all video
-        cmask = jnp.ones((spec.q_len, gv), jnp.bool_)
-        cmask = cmask.at[:gv, :].set(jnp.tril(jnp.ones((gv, gv), jnp.bool_)))
+        row = jax.lax.broadcasted_iota(jnp.int32, (spec.q_len, gv), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (spec.q_len, gv), 1)
+        cmask = (col <= row) | (row >= gv)  # prompt rows see all video keys
         pg = attn_ops._partial_attention(q, k_grp, v_grp, cmask, scale)
         if use_cache_past:
             pp = attn_ops.past_partial_attention(
@@ -196,16 +198,56 @@ def layer_step(
         group_probs = None
     else:
         k_grp, v_grp = k, v
-        out, group_probs = attn_ops.grouped_attention(
-            q, k_grp, v_grp,
-            k_buf if use_cache_past else None,
-            v_buf if use_cache_past else None,
-            length if use_cache_past else None,
-            scale=scale,
-            return_group_probs=spec.needs_probs,
-            causal=spec.causal,
-            impl=spec.attn_impl,
-        )
+        impl = spec.attn_impl
+        if impl == "auto" and use_cache_past:
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            big = k_buf.shape[1] >= attn_ops.BLOCKWISE_THRESHOLD
+            impl = "pallas_unified" if (on_tpu and big) else "xla"
+        if impl in ("pallas", "pallas_unified") and use_cache_past and spec.causal:
+            # unified path: append raw group K/V at [length, length+G), run ONE
+            # flash kernel causally over [0, length+G), then (below) overwrite
+            # the raw span with the pruned compact. Avoids both the two-partial
+            # merge and the (G, G) f32 score materialization.
+            from quickvideo_tpu.ops.flash_attention import flash_past_attention
+
+            import os as _os
+
+            k_buf, v_buf = kv.layer_append(k_buf, v_buf, length, k_grp, v_grp)
+            already_appended = True
+            pa = flash_past_attention(
+                q, k_buf, v_buf, length, scale=scale, causal=True,
+                interpret=bool(_os.environ.get("QV_PALLAS_INTERPRET")),
+            )
+            out = pa.out
+            group_probs = None
+            if spec.needs_probs:
+                # probs of group columns under the full denominator, from lse
+                hkv = cfg.num_key_value_heads
+                qf = q.reshape(hkv, cfg.num_kv_groups, spec.q_len, cfg.head_dim)
+                scores = jnp.einsum(
+                    "hrqd,hld->hrql",
+                    qf.astype(jnp.float32),
+                    k_grp.astype(jnp.float32),
+                ) * scale
+                scores = scores.reshape(
+                    cfg.num_attention_heads, spec.q_len, spec.q_len
+                )
+                probs = jnp.exp(scores - pa.lse[..., None])
+                probs = jnp.where(
+                    attn_ops.causal_mask(spec.q_len)[None], probs, 0.0
+                )
+                group_probs = jnp.mean(probs, axis=0)
+        else:
+            out, group_probs = attn_ops.grouped_attention(
+                q, k_grp, v_grp,
+                k_buf if use_cache_past else None,
+                v_buf if use_cache_past else None,
+                length if use_cache_past else None,
+                scale=scale,
+                return_group_probs=spec.needs_probs,
+                causal=spec.causal,
+                impl="xla" if impl in ("auto", "pallas_unified") else impl,
+            )
 
     hq = cfg.num_attention_heads
     attn_out = out.astype(x.dtype).transpose(1, 0, 2).reshape(
@@ -231,12 +273,16 @@ def layer_step(
             accum_attn=accum,
             rng=rng,
         )
+        # unified-kernel path already wrote the raw group at [length, ...);
+        # the compact overwrite below replaces its first keep_k slots (the
+        # leftover raw tail stays beyond the valid length, masked off)
         k_buf, v_buf, _ = prune_ops.prune_append_layer(
             k_buf, v_buf, length, res
         )
         indices = res.indices
     else:
-        k_buf, v_buf = kv.layer_append(k_buf, v_buf, length, k_grp, v_grp)
+        if not already_appended:
+            k_buf, v_buf = kv.layer_append(k_buf, v_buf, length, k_grp, v_grp)
 
     h2 = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
     x = x + swiglu_mlp(h2, lp)

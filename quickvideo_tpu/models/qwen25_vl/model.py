@@ -25,6 +25,7 @@ from quickvideo_tpu.models.qwen25_vl.language import (
 from quickvideo_tpu.models.qwen25_vl.vision import (
     build_layout,
     init_vision_params,
+    layout_arrays_for,
     vision_forward,
 )
 
@@ -39,21 +40,53 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16):
     }
 
 
-def encode_video_group(
-    params: dict,
-    cfg: ModelConfig,
-    pixels: Array,  # (S, patch_input_dim)
-    grid_thw: Tuple[int, int, int],
-) -> Array:
-    """Vision tower over one video group -> (S/merge_unit, text_hidden)."""
-    layout = build_layout(
+def init_params_fast(cfg: ModelConfig, dtype=jnp.bfloat16):
+    """Deterministic non-RNG init at true shapes — same compute/memory
+    profile as real weights at a fraction of the init cost (billions of
+    jax.random.normal samples are expensive to generate over a remote
+    device transport). Used for checkpoint-less runs (benchmarks, demos);
+    numerics are nonsense but well-conditioned (values in [-0.08, 0.08])."""
+    shapes = jax.eval_shape(lambda: init_params(cfg, 0, dtype))
+
+    @jax.jit
+    def mk():
+        def leaf(s):
+            n = int(np.prod(s.shape))
+            v = (
+                jax.lax.iota(jnp.int32, n) % 17 - 8
+            ).astype(jnp.float32) * 0.01
+            return v.reshape(s.shape).astype(s.dtype)
+
+        return jax.tree.map(leaf, shapes)
+
+    return mk()
+
+
+def layout_for(cfg: ModelConfig, grid_thw: Tuple[int, int, int]):
+    return build_layout(
         tuple(int(x) for x in grid_thw),
         cfg.vision.patch_size,
         cfg.vision.spatial_merge_size,
         cfg.vision.window_size,
         cfg.vision.head_dim,
     )
-    return vision_forward(params["vision"], pixels, layout, cfg.vision)
+
+
+def encode_video_group(
+    params: dict,
+    cfg: ModelConfig,
+    pixels: Array,  # (S, patch_input_dim)
+    grid_thw: Tuple[int, int, int],
+    layout_arrays: Optional[dict] = None,
+) -> Array:
+    """Vision tower over one video group -> (S/merge_unit, text_hidden).
+
+    Jitted callers pass `layout_arrays` (index tables as traced args, see
+    vision.layout_arrays_for) with static (cfg, grid_thw)."""
+    layout = layout_for(cfg, grid_thw)
+    return vision_forward(
+        params["vision"], pixels, layout, cfg.vision, layout_arrays
+    )
 
 
 def merge_vision_embeddings(

@@ -22,7 +22,7 @@ rebuilt for XLA:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -264,12 +264,8 @@ def vision_block(
         kb = k[safe]
         vb = v[safe]
         ob = _block_attention(qb, kb, vb, valid, scale)
-        out = jnp.zeros_like(q).at[safe.reshape(-1)].set(
-            ob.reshape(-1, nh, hd), mode="drop"
-        )
-        # padded lanes scatter to index 0 of safe==0 — overwrite with correct
-        # values by masking: scatter only valid lanes
-        out = jnp.zeros_like(q).at[
+        # scatter only valid lanes (pad lanes map out of range -> dropped)
+        out = jnp.zeros(q.shape, jnp.float32).at[
             jnp.where(valid.reshape(-1), gidx.reshape(-1), s_len)
         ].set(ob.reshape(-1, nh, hd), mode="drop")
 
@@ -290,37 +286,67 @@ def vision_block(
     return x + mlp
 
 
-def vision_forward(
-    params: dict,
-    pixels: Array,  # (S, patch_input_dim) raster order (HF pixel_values layout)
-    layout: VisionLayout,
-    cfg: VisionConfig,
-) -> Array:
-    """Full tower: patch embed -> window-reorder -> blocks -> merger ->
-    original order. Returns (S / merge_unit, out_hidden_size)."""
-    x = jnp.dot(
-        pixels.astype(params["patch_embed"].dtype),
-        params["patch_embed"],
-        preferred_element_type=jnp.float32,
-    ).astype(params["patch_embed"].dtype)
-    perm = jnp.asarray(layout.perm)
-    x = x[perm]
-    layout_arrays = {
+def layout_arrays_for(layout: VisionLayout) -> dict:
+    """Device-array view of a layout — passed as ARGUMENTS to the jitted
+    tower (baking them in as HLO constants adds O(S * head_dim) bytes to the
+    program, which overflows remote-compile transports and bloats caches)."""
+    return {
+        "perm": jnp.asarray(layout.perm),
+        "inv_perm_units": jnp.asarray(layout.inv_perm_units),
         "cos": jnp.asarray(layout.cos),
         "sin": jnp.asarray(layout.sin),
         "win_gather": jnp.asarray(layout.win_gather),
         "win_valid": jnp.asarray(layout.win_valid),
     }
+
+
+def vision_forward(
+    params: dict,
+    pixels: Array,  # (S, patch_input_dim) raster order (HF pixel_values layout)
+    layout: VisionLayout,
+    cfg: VisionConfig,
+    layout_arrays: Optional[dict] = None,
+) -> Array:
+    """Full tower: patch embed -> window-reorder -> blocks -> merger ->
+    original order. Returns (S / merge_unit, out_hidden_size).
+
+    `layout_arrays` (from layout_arrays_for) should be passed as traced
+    arguments by jitted callers; when None they are materialized inline
+    (eager/test use)."""
+    if layout_arrays is None:
+        layout_arrays = layout_arrays_for(layout)
+    x = jnp.dot(
+        pixels.astype(params["patch_embed"].dtype),
+        params["patch_embed"],
+        preferred_element_type=jnp.float32,
+    ).astype(params["patch_embed"].dtype)
+    x = x[layout_arrays["perm"]]
     t = layout.grid_thw[0]
     nw, mw = layout.win_gather.shape
-    for li in range(cfg.depth):
-        bp = jax.tree.map(lambda a: a[li], params["blocks"])
-        x = vision_block(
-            bp, x, layout_arrays, cfg,
-            full_attn=(li in cfg.fullatt_block_indexes),
-            uniform=layout.win_uniform,
-            nw=nw, mw=mw, t=t, frame_len=layout.frame_len,
+    # scan over blocks with a per-layer full/window flag — one compiled layer
+    # body instead of a depth-unrolled HLO (32 blocks unrolled made XLA
+    # compile times explode on the 670M tower)
+    full_flags = jnp.asarray(
+        [li in cfg.fullatt_block_indexes for li in range(cfg.depth)],
+        jnp.bool_,
+    )
+
+    def body(xh, xs):
+        bp, is_full = xs
+        kw = dict(
+            layout_arrays=layout_arrays, cfg=cfg,
+            uniform=layout.win_uniform, nw=nw, mw=mw, t=t,
+            frame_len=layout.frame_len,
         )
+        xh = jax.lax.cond(
+            is_full,
+            lambda h: vision_block(bp, h, full_attn=True, **kw),
+            lambda h: vision_block(bp, h, full_attn=False, **kw),
+            xh,
+        )
+        return xh, None
+
+    x, _ = jax.lax.scan(body, x, (params["blocks"], full_flags))
     # merger (HF Qwen2_5_VLPatchMerger): RMSNorm -> concat merge_unit patches
     # -> Linear -> GELU -> Linear
     mp = params["merger"]
@@ -333,5 +359,4 @@ def vision_forward(
         jnp.dot(h1, mp["w2"], preferred_element_type=jnp.float32)
         .astype(x.dtype) + mp["b2"]
     )
-    inv = jnp.asarray(layout.inv_perm_units)
-    return out[inv]
+    return out[layout_arrays["inv_perm_units"]]

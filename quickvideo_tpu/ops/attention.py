@@ -28,6 +28,12 @@ Array = jax.Array
 NEG_INF = -1e30
 
 
+def causal_mask(g: int):
+    row = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    return col <= row
+
+
 class PartialAttn(NamedTuple):
     """A self-contained softmax partial: `out` is the already-normalized
     attention output over this partial's keys; `lse` the log-sum-exp of its
@@ -196,7 +202,9 @@ def grouped_attention(
         lvu/utils.py:33).
     """
     g = q.shape[1]
-    cmask = jnp.tril(jnp.ones((g, g), jnp.bool_)) if causal else None
+    # iota-comparison mask (a literal tril constant would bloat the HLO
+    # payload by O(G^2) bytes — too big for remote-compile transports)
+    cmask = causal_mask(g) if causal else None
     pg = _partial_attention(q, k_group, v_group, cmask, scale)
     if k_past is None:
         out, lse_tot = pg.out, pg.lse

@@ -32,22 +32,27 @@ Array = jax.Array
 
 
 def _flash_kernel(
-    length_ref,  # scalar prefetch: (1,) int32 valid cache length
+    length_ref,  # scalar prefetch: (2,) int32 [valid cache length, group_start]
+                 # group_start < 0 => pure past mode (no causal span)
     q_ref,  # (1, rep*BQ, D)
     k_ref,  # (1, BK, D)
     v_ref,  # (1, BK, D)
     o_ref,  # (1, rep*BQ, D) f32
-    lse_ref,  # (1, rep*BQ) f32
+    lse_ref,  # (1, rep*BQ, 128) f32 (lse broadcast over lanes; TPU block
+              # shapes need the minor dim divisible by 128)
     m_scr,  # VMEM (rep*BQ, 1) f32
     s_scr,  # VMEM (rep*BQ, 1) f32
     acc_scr,  # VMEM (rep*BQ, D) f32
     *,
+    block_q: int,
     block_k: int,
     scale: float,
 ):
+    qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
     length = length_ref[0]
+    group_start = length_ref[1]
 
     @pl.when(ki == 0)
     def _init():
@@ -56,8 +61,14 @@ def _flash_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     blk_start = ki * block_k
+    # attendable horizon for this q block: pure-past mode attends [0, length);
+    # causal mode additionally attends the appended group up to its own row
+    causal = group_start >= 0
+    max_kv = jnp.where(
+        causal, group_start + (qi + 1) * block_q, length
+    )
 
-    @pl.when(blk_start < length)
+    @pl.when(blk_start < max_kv)
     def _compute():
         q = q_ref[0]  # (rep*BQ, D)
         k = k_ref[0]  # (BK, D)
@@ -69,7 +80,12 @@ def _flash_kernel(
         pos = blk_start + jax.lax.broadcasted_iota(
             jnp.int32, scores.shape, dimension=1
         )
-        mask = pos < length
+        # absolute query position of each row: rows are laid out as
+        # rep blocks of block_q query positions
+        qpos = group_start + qi * block_q + (
+            jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) % block_q
+        )
+        mask = jnp.where(causal, pos <= qpos, pos < length)
         scores = jnp.where(mask, scores, NEG_INF)
         m_prev = m_scr[:, 0]
         m_blk = jnp.max(scores, axis=-1)
@@ -96,11 +112,12 @@ def _flash_kernel(
             jnp.maximum(m, -1e29) + jnp.log(jnp.maximum(s, 1e-30)),
             NEG_INF,
         )
-        lse_ref[0] = lse
+        lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "interpret", "causal"),
 )
 def flash_past_attention(
     q: Array,  # (Hq, G, D)
@@ -112,7 +129,12 @@ def flash_past_attention(
     block_q: int = 256,
     block_k: int = 512,
     interpret: bool = False,
+    causal: bool = False,
 ) -> PartialAttn:
+    """Pure-past mode (causal=False): attends cache slots [0, length).
+    Unified mode (causal=True): the buffer holds [past | appended group];
+    query row i (a group position) attends slots [0, length + i] — one kernel
+    replaces the two-partial merge of the XLA path."""
     hq, g, d = q.shape
     hkv, cap, _ = k_past.shape
     rep = hq // hkv
@@ -155,7 +177,7 @@ def flash_past_attention(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, rbq), lambda h, qi, ki, *_: (h, qi),
+                (1, rbq, 128), lambda h, qi, ki, *_: (h, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -173,14 +195,20 @@ def flash_past_attention(
         .reshape(hkv, nq * rbq, d)
     )
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+        functools.partial(
+            _flash_kernel, block_q=block_q, block_k=block_k, scale=scale
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((hkv, nq * rbq, d), jnp.float32),
-            jax.ShapeDtypeStruct((hkv, nq * rbq), jnp.float32),
+            jax.ShapeDtypeStruct((hkv, nq * rbq, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(length.reshape(1), qblocks, k_past, v_past)
+    )(
+        jnp.stack([length.astype(jnp.int32),
+                   (length.astype(jnp.int32) if causal else jnp.int32(-1))]),
+        qblocks, k_past, v_past,
+    )
     # unfold back to (Hq, G, D)
     out = (
         out.reshape(hkv, nq, rep, block_q, d)
@@ -188,7 +216,8 @@ def flash_past_attention(
         .reshape(hq, gq, d)[:, :g]
     )
     lse = (
-        lse.reshape(hkv, nq, rep, block_q)
+        lse[..., 0]
+        .reshape(hkv, nq, rep, block_q)
         .transpose(0, 2, 1, 3)
         .reshape(hq, gq)[:, :g]
     )

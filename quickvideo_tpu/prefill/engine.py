@@ -71,6 +71,33 @@ class GenerationResult:
     timings: dict = field(default_factory=dict)
     cache_length: int = 0
     prefill_tokens: int = 0
+    kv_cache_bytes: int = 0  # actual retained KV bytes (max over layers)
+    kv_unpruned_bytes: int = 0  # what an unpruned cache would hold
+    
+    @property
+    def kv_memory_fraction(self) -> float:
+        """retained / unpruned KV memory (reference headline: 0.5 at
+        rho=0.5, README.md:44)."""
+        return self.kv_cache_bytes / max(self.kv_unpruned_bytes, 1)
+
+
+def enable_compilation_cache():
+    """Persistent XLA compilation cache — first-run compiles over the remote
+    TPU compile service take minutes; cached reruns take seconds. Opt-out via
+    QV_NO_COMPILE_CACHE; directory via QV_COMPILE_CACHE."""
+    import os
+
+    if os.environ.get("QV_NO_COMPILE_CACHE"):
+        return
+    cache_dir = os.environ.get(
+        "QV_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "quickvideo_tpu_xla"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without these flags
 
 
 class LVUEngine:
@@ -83,6 +110,7 @@ class LVUEngine:
         lvu_cfg: LVUConfig,
         dtype=jnp.bfloat16,
     ):
+        enable_compilation_cache()
         self.params = params
         self.cfg = model_cfg
         self.lvu = lvu_cfg
@@ -101,6 +129,7 @@ class LVUEngine:
         self._vision_jit = jax.jit(
             qmodel.encode_video_group, static_argnames=("cfg", "grid_thw")
         )
+        self._layout_arrays_cache = {}
         self._embed_scatter_jit = jax.jit(self._embed_scatter)
         self._rng = jax.random.key(lvu_cfg.seed)
 
@@ -116,6 +145,15 @@ class LVUEngine:
 
     def _decode_body(self, params, cache, token_id, cos, sin, spec):
         return decode_step(params, cache, token_id, cos, sin, spec)
+
+    def _layout_arrays(self, grid):
+        if grid not in self._layout_arrays_cache:
+            from quickvideo_tpu.models.qwen25_vl.vision import layout_arrays_for
+
+            self._layout_arrays_cache[grid] = layout_arrays_for(
+                qmodel.layout_for(self.cfg, grid)
+            )
+        return self._layout_arrays_cache[grid]
 
     # -- planning --------------------------------------------------------
 
@@ -159,6 +197,9 @@ class LVUEngine:
                 for li in range(n)
             ]
             total += max(keeps)
+        # unified-kernel slack: during group i the buffer transiently holds
+        # the RAW group at [length, length+G) before the compact overwrites it
+        total += max(group_token_counts, default=0)
         return int(total)
 
     # -- main entry points ----------------------------------------------
@@ -235,6 +276,7 @@ class LVUEngine:
                 vis = self._vision_jit(
                     self.params, cfg,
                     jnp.asarray(pixels, self.dtype), grid,
+                    self._layout_arrays(grid),
                 )
             with timer.span("embed"):
                 g_ids = jax.lax.dynamic_slice(ids_j, (past_len,), (in_len,))
@@ -309,11 +351,19 @@ class LVUEngine:
                 cache, state, max_new_tokens, eos_token_ids, greedy,
                 temperature, timer,
             )
+        t = self.cfg.text
+        per_tok = (
+            t.num_hidden_layers * t.num_key_value_heads * t.head_dim * 2
+            * jnp.dtype(self.dtype).itemsize
+        )
+        cache_len = int(jnp.max(cache.length))
         return GenerationResult(
             tokens=tokens,
             timings=timer.totals(),
-            cache_length=int(jnp.max(cache.length)),
+            cache_length=cache_len,
             prefill_tokens=state["L"],
+            kv_cache_bytes=cache_len * per_tok,
+            kv_unpruned_bytes=(state["L"] + len(tokens)) * per_tok,
         )
 
     def _generate_from_cache(

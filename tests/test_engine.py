@@ -185,3 +185,34 @@ class TestGenerateVsTorch:
             max_new_tokens=6,
         )
         np.testing.assert_array_equal(res.tokens, out_t)
+
+
+class TestFinalPromptPruning:
+    def test_do_top_k_for_query(self, params):
+        """Pruning toggled during generate (reference qwen25_vl.py:537-540):
+        the suffix prompt's KV is pruned when do_top_k_for_query is set and
+        top_k < suffix length."""
+        ids, pixels, pixel_groups, group_grids = build_request(
+            groups_t=(2, 2), n_post=9
+        )
+        eng = make_engine(
+            params, top_k=4, do_top_k_for_query=True, max_decode_tokens=8
+        )
+        res = eng.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=2,
+        )
+        # groups keep 4 each; suffix (vision_end + 9 text = 10 tokens) is
+        # pruned to 4 as well; +2 decoded
+        assert res.cache_length == 4 + 4 + 4 + 2
+
+    def test_no_query_prune_by_default(self, params):
+        ids, pixels, pixel_groups, group_grids = build_request(
+            groups_t=(2, 2), n_post=9
+        )
+        eng = make_engine(params, top_k=4, max_decode_tokens=8)
+        res = eng.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=2,
+        )
+        assert res.cache_length == 4 + 4 + 10 + 2

@@ -1,0 +1,72 @@
+"""Multi-chip sharding on the 8-virtual-CPU-device mesh: sharded prefill
+matches unsharded numerics, and the full dp/tp/sp dryrun executes."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from quickvideo_tpu.config import MeshConfig
+from quickvideo_tpu.models.qwen25_vl import get_config
+from quickvideo_tpu.models.qwen25_vl import model as qmodel
+from quickvideo_tpu.models.qwen25_vl.language import StepSpec, prefill_step
+from quickvideo_tpu.ops import kv_cache as kvc
+from quickvideo_tpu.parallel import make_mesh, shard_cache, shard_params
+
+CFG = get_config("tiny")
+T = CFG.text
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def run_prefill(params, cache, x, cos, sin, spec):
+    f = jax.jit(prefill_step, static_argnames=("spec",))
+    return f(params["language"], cache, x, cos, sin, jax.random.key(0), spec)
+
+
+def test_tp_sharded_matches_unsharded():
+    mesh = make_mesh(MeshConfig(dp=1, tp=2, sp=1), jax.devices()[:2])
+    params = qmodel.init_params(CFG, seed=0, dtype=jnp.float32)
+    g, keep, cap = 64, 16, 256
+    x = jax.random.normal(jax.random.key(1), (g, T.hidden_size), jnp.float32)
+    cos = jnp.ones((g, T.head_dim), jnp.float32)
+    sin = jnp.zeros((g, T.head_dim), jnp.float32)
+    spec = StepSpec(cfg=T, q_len=g, keep_k=keep)
+
+    def mk_cache():
+        return kvc.init_cache(
+            T.num_hidden_layers, T.num_key_value_heads, cap, T.head_dim,
+            dtype=jnp.float32,
+        )
+
+    cache_ref, h_ref = run_prefill(params, mk_cache(), x, cos, sin, spec)
+
+    sp_params = shard_params(params, mesh)
+    sp_cache = shard_cache(mk_cache(), mesh)
+    cache_s, h_s = run_prefill(sp_params, sp_cache, x, cos, sin, spec)
+
+    np.testing.assert_allclose(
+        np.asarray(h_s), np.asarray(h_ref), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_s.k), np.asarray(cache_ref.k), rtol=2e-4, atol=2e-4
+    )
+    assert int(cache_s.length[0]) == keep
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    lowered = jax.jit(fn).lower(*args)
+    compiled = lowered.compile()
+    assert compiled is not None
