@@ -37,6 +37,10 @@ def make_source_video(path: str, frames: int) -> str:
     return path
 
 
+def log(msg):
+    print(f"[bench {time.time() % 10000:.1f}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     import jax
     import numpy as np
@@ -44,11 +48,13 @@ def main():
     from quickvideo_tpu.api import LVU
     from quickvideo_tpu.config import LVUConfig
 
+    log(f"devices: {jax.devices()}")
     t_v0 = time.time()
     video = make_source_video(
         os.path.join(tempfile.gettempdir(), f"bench_{N_FRAMES}f.mp4"), N_FRAMES
     )
     video_gen_s = time.time() - t_v0
+    log(f"source video ready in {video_gen_s:.1f}s")
 
     cfg = LVUConfig(
         model_name_or_path=MODEL,
@@ -61,17 +67,22 @@ def main():
         decode_threads=int(os.environ.get("QUICKCODEC_CORES", "16")),
         dtype="bfloat16",
     )
+    t0 = time.time()
     lvu = LVU(cfg)
+    log(f"LVU init (params+engine) {time.time()-t0:.1f}s")
 
     # warmup: compile all group shapes on a short prefix run
     warm_cfg = cfg.replace(num_frames=2 * GROUP_SIZE)
     lvu_warm_config = lvu.config
     lvu.config = warm_cfg
     lvu.engine.lvu = warm_cfg
+    t0 = time.time()
     lvu.generate("warmup", video, max_new_tokens=2)
+    log(f"warmup generate {time.time()-t0:.1f}s")
     lvu.config = lvu_warm_config
     lvu.engine.lvu = lvu_warm_config
 
+    log("main run starting")
     out = lvu.generate("Describe this video.", video, max_new_tokens=1)
     res = lvu.last_result
     e2e = res.timings["e2e"] - res.timings.get("decode", 0.0)

@@ -85,7 +85,12 @@ def _flash_kernel(
         qpos = group_start + qi * block_q + (
             jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) % block_q
         )
-        mask = jnp.where(causal, pos <= qpos, pos < length)
+        # unified bound, arithmetic instead of an i1-vector select (Mosaic
+        # cannot legalize arith.select on vector<i1>): causal rows attend up
+        # to their own position, pure-past rows up to length-1
+        c = causal.astype(jnp.int32)
+        bound = c * qpos + (1 - c) * (length - 1)
+        mask = pos <= bound
         scores = jnp.where(mask, scores, NEG_INF)
         m_prev = m_scr[:, 0]
         m_blk = jnp.max(scores, axis=-1)

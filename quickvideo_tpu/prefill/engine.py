@@ -135,8 +135,10 @@ class LVUEngine:
 
     # -- jit bodies ------------------------------------------------------
 
-    def _embed_scatter(self, ids: Array, vis: Optional[Array]):
-        x = embed_tokens(self.params["language"], ids)
+    def _embed_scatter(self, embed: Array, ids: Array, vis: Optional[Array]):
+        # embed passed as an ARGUMENT — a closure capture would bake the
+        # multi-GB embedding table into the HLO as a constant
+        x = jnp.take(embed, ids, axis=0)
         if vis is not None:
             x = qmodel.merge_vision_embeddings(
                 x, vis, ids, self.cfg.video_token_id
@@ -298,7 +300,9 @@ class LVUEngine:
                     g_sin = jax.lax.dynamic_slice(
                         sin, (past_len, 0), (in_len + prompt_len, sin.shape[1])
                     )
-                x = self._embed_scatter_jit(g_ids, vis)
+                x = self._embed_scatter_jit(
+                    self.params["language"]["embed"], g_ids, vis
+                )
             q_len = in_len + prompt_len
             base = StepSpec(
                 cfg=cfg.text,
@@ -395,7 +399,10 @@ class LVUEngine:
             attn_impl=lvu.attention_impl,
         )
         with timer.span("final_prefill"):
-            x = self._embed_scatter_jit(jnp.asarray(ids[ss:], jnp.int32), None)
+            x = self._embed_scatter_jit(
+                self.params["language"]["embed"],
+                jnp.asarray(ids[ss:], jnp.int32), None,
+            )
             self._rng, rng = jax.random.split(self._rng)
             cache, hidden = self._prefill_jit(
                 self.params["language"], cache, x, cos[ss:L], sin[ss:L], rng,
