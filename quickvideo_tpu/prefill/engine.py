@@ -131,7 +131,20 @@ class LVUEngine:
         )
         self._layout_arrays_cache = {}
         self._embed_scatter_jit = jax.jit(self._embed_scatter)
+        self._group_jit = jax.jit(
+            self._group_body, static_argnames=("spec",),
+            donate_argnames=("cache",),
+        )
+        self._group_unrolled_jit = jax.jit(
+            self._group_unrolled_body, static_argnames=("specs",),
+            donate_argnames=("cache",),
+        )
+        self._decode_chunk_jit = jax.jit(
+            self._decode_chunk_body, static_argnames=("spec",),
+            donate_argnames=("cache",),
+        )
         self._rng = jax.random.key(lvu_cfg.seed)
+        self._base_rng = jax.random.key(lvu_cfg.seed + 1)
 
     # -- jit bodies ------------------------------------------------------
 
@@ -147,6 +160,80 @@ class LVUEngine:
 
     def _decode_body(self, params, cache, token_id, cos, sin, spec):
         return decode_step(params, cache, token_id, cos, sin, spec)
+
+    def _group_body(
+        self, params_lang, cache, ids_full, cos_full, sin_full, offset,
+        vis, prompt_ids, group_idx, spec,
+    ):
+        """Whole-group step in ONE compiled program: slice ids/positions at
+        `offset`, embed + vision scatter, run the decoder stack with
+        prune-and-append. Returns the updated cache."""
+        in_len = spec.q_len - spec.prompt_len
+        g_ids = jax.lax.dynamic_slice(ids_full, (offset,), (in_len,))
+        if prompt_ids is not None:
+            g_ids = jnp.concatenate([g_ids, prompt_ids])
+        # reference slices positions CONTIGUOUSLY past the group
+        # (qwen25_vl.py:492) — in query-based mode prompt tokens get the
+        # positions of the tokens that follow the group (documented quirk)
+        g_cos = jax.lax.dynamic_slice(
+            cos_full, (offset, 0), (spec.q_len, cos_full.shape[1])
+        )
+        g_sin = jax.lax.dynamic_slice(
+            sin_full, (offset, 0), (spec.q_len, sin_full.shape[1])
+        )
+        x = jnp.take(params_lang["embed"], g_ids, axis=0)
+        if vis is not None:
+            x = qmodel.merge_vision_embeddings(
+                x, vis, g_ids, self.cfg.video_token_id
+            )
+        rng = jax.random.fold_in(self._base_rng, group_idx)
+        cache, _ = prefill_step(params_lang, cache, x, g_cos, g_sin, rng, spec)
+        return cache
+
+    def _group_unrolled_body(
+        self, params_lang, cache, ids_full, cos_full, sin_full, offset,
+        vis, prompt_ids, group_idx, specs,
+    ):
+        spec = specs[0]
+        in_len = spec.q_len - spec.prompt_len
+        g_ids = jax.lax.dynamic_slice(ids_full, (offset,), (in_len,))
+        if prompt_ids is not None:
+            g_ids = jnp.concatenate([g_ids, prompt_ids])
+        g_cos = jax.lax.dynamic_slice(
+            cos_full, (offset, 0), (spec.q_len, cos_full.shape[1])
+        )
+        g_sin = jax.lax.dynamic_slice(
+            sin_full, (offset, 0), (spec.q_len, sin_full.shape[1])
+        )
+        x = jnp.take(params_lang["embed"], g_ids, axis=0)
+        if vis is not None:
+            x = qmodel.merge_vision_embeddings(
+                x, vis, g_ids, self.cfg.video_token_id
+            )
+        rng = jax.random.fold_in(self._base_rng, group_idx)
+        cache, _ = prefill_step_unrolled(
+            params_lang, cache, x, g_cos, g_sin, rng, specs
+        )
+        return cache
+
+    def _decode_chunk_body(self, params_lang, cache, tok0, cos_chunk,
+                           sin_chunk, spec):
+        """Greedy decode of a whole chunk device-side — one dispatch instead
+        of one RTT per token (the transport RTT dominates per-token decode)."""
+
+        def body(carry, xs):
+            cache, tok = carry
+            cos_r, sin_r = xs
+            cache, logits = decode_step(
+                params_lang, cache, tok, cos_r[None], sin_r[None], spec
+            )
+            nxt = jnp.argmax(logits).astype(jnp.int32)
+            return (cache, nxt), nxt
+
+        (cache, _), toks = jax.lax.scan(
+            body, (cache, tok0), (cos_chunk, sin_chunk)
+        )
+        return cache, toks
 
     def _layout_arrays(self, grid):
         if grid not in self._layout_arrays_cache:
@@ -271,6 +358,9 @@ class LVUEngine:
         ids_j = jnp.asarray(ids, jnp.int32)
         prompt_cos = cos[suffix_start:L]
         prompt_sin = sin[suffix_start:L]
+        prompt_ids_j = (
+            jnp.asarray(prompt_ids, jnp.int32) if prompt_len else None
+        )
         for gi, pixels in enumerate(inputs.pixel_groups):
             grid = tuple(int(x) for x in inputs.group_grids[gi])
             in_len = group_input_lens[gi]
@@ -279,29 +369,6 @@ class LVUEngine:
                     self.params, cfg,
                     jnp.asarray(pixels, self.dtype), grid,
                     self._layout_arrays(grid),
-                )
-            with timer.span("embed"):
-                g_ids = jax.lax.dynamic_slice(ids_j, (past_len,), (in_len,))
-                g_cos = jax.lax.dynamic_slice(
-                    cos, (past_len, 0), (in_len, cos.shape[1])
-                )
-                g_sin = jax.lax.dynamic_slice(
-                    sin, (past_len, 0), (in_len, sin.shape[1])
-                )
-                if lvu.query_based:
-                    g_ids = jnp.concatenate([g_ids, jnp.asarray(prompt_ids, jnp.int32)])
-                    # reference slices positions CONTIGUOUSLY past the group
-                    # (qwen25_vl.py:492) — prompt tokens get the positions of
-                    # the tokens that follow the group, a documented quirk we
-                    # replicate for parity.
-                    g_cos = jax.lax.dynamic_slice(
-                        cos, (past_len, 0), (in_len + prompt_len, cos.shape[1])
-                    )
-                    g_sin = jax.lax.dynamic_slice(
-                        sin, (past_len, 0), (in_len + prompt_len, sin.shape[1])
-                    )
-                x = self._embed_scatter_jit(
-                    self.params["language"]["embed"], g_ids, vis
                 )
             q_len = in_len + prompt_len
             base = StepSpec(
@@ -313,17 +380,20 @@ class LVUEngine:
                 prompt_len=prompt_len,
                 attn_impl=lvu.attention_impl,
             )
-            self._rng, rng = jax.random.split(self._rng)
+            # one dispatch per group: slice + embed + scatter + full stack
+            # (per-op dispatch over the device transport costs 100s of ms)
             with timer.span("prefill"):
                 if self._uniform():
-                    cache, _ = self._prefill_jit(
-                        self.params["language"], cache, x, g_cos, g_sin, rng,
-                        spec=base,
+                    cache = self._group_jit(
+                        self.params["language"], cache, ids_j, cos, sin,
+                        jnp.int32(past_len), vis, prompt_ids_j,
+                        jnp.int32(gi), spec=base,
                     )
                 else:
-                    cache, _ = self._prefill_unrolled_jit(
-                        self.params["language"], cache, x, g_cos, g_sin, rng,
-                        specs=self._layer_specs(base),
+                    cache = self._group_unrolled_jit(
+                        self.params["language"], cache, ids_j, cos, sin,
+                        jnp.int32(past_len), vis, prompt_ids_j,
+                        jnp.int32(gi), specs=self._layer_specs(base),
                     )
             past_len += in_len
         assert past_len == suffix_start, (past_len, suffix_start)
@@ -415,23 +485,43 @@ class LVUEngine:
         out_tokens: List[int] = []
         dspec = StepSpec(cfg=cfg.text, q_len=1, keep_k=0)
         with timer.span("decode"):
-            for step in range(max_new):
-                if greedy:
-                    nxt = int(jnp.argmax(logits))
-                else:
+            if greedy:
+                # device-side chunked greedy decode: one dispatch per chunk
+                # (per-token host sync costs a transport RTT each)
+                nxt = int(jnp.argmax(logits))
+                out_tokens.append(nxt)
+                chunk_size = 32
+                while len(out_tokens) < max_new and (
+                    out_tokens[-1] not in eos_token_ids
+                ):
+                    i0 = len(out_tokens) - 1
+                    n = min(chunk_size, max_new - len(out_tokens))
+                    cache, toks = self._decode_chunk_jit(
+                        self.params["language"], cache,
+                        jnp.int32(out_tokens[-1]),
+                        cos[L + i0 : L + i0 + n],
+                        sin[L + i0 : L + i0 + n],
+                        spec=dspec,
+                    )
+                    for t in np.asarray(toks).tolist():
+                        out_tokens.append(int(t))
+                        if t in eos_token_ids:
+                            break
+            else:
+                for step in range(max_new):
                     self._rng, rng = jax.random.split(self._rng)
                     nxt = int(
                         jax.random.categorical(rng, logits / temperature)
                     )
-                out_tokens.append(nxt)
-                if nxt in eos_token_ids:
-                    break
-                pos_idx = L + step  # decode tables start at row L
-                cache, logits = self._decode_jit(
-                    self.params["language"], cache,
-                    jnp.int32(nxt),
-                    cos[pos_idx : pos_idx + 1],
-                    sin[pos_idx : pos_idx + 1],
-                    spec=dspec,
-                )
+                    out_tokens.append(nxt)
+                    if nxt in eos_token_ids:
+                        break
+                    pos_idx = L + step  # decode tables start at row L
+                    cache, logits = self._decode_jit(
+                        self.params["language"], cache,
+                        jnp.int32(nxt),
+                        cos[pos_idx : pos_idx + 1],
+                        sin[pos_idx : pos_idx + 1],
+                        spec=dspec,
+                    )
         return np.asarray(out_tokens, np.int64), cache

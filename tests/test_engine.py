@@ -81,7 +81,8 @@ class TestGroupedEqualsFull:
         first_greedy = int(full_logits[-1].argmax())
         assert res.tokens[0] == first_greedy
         assert len(res.tokens) == 5
-        assert res.cache_length == len(ids) + 5  # all tokens + 5 decoded KVs
+        assert res.cache_length == len(ids) + 4  # all tokens + KV of 4 fed-back tokens
+        # (the final generated token's KV is never appended — nothing attends it)
 
     def test_single_vs_multi_group_same_tokens(self, params):
         ids, pixels, pixel_groups, group_grids = build_request(groups_t=(2, 2))
@@ -109,7 +110,7 @@ class TestPrunedPrefill:
         keep0 = int(g0_in * 0.5)
         keep1 = int(128 * 0.5)
         suffix = 6  # vision_end + 5 post tokens
-        expected = keep0 + keep1 + suffix + 4
+        expected = keep0 + keep1 + suffix + 3
         assert res.cache_length == expected
         assert len(res.tokens) == 4
 
@@ -120,7 +121,7 @@ class TestPrunedPrefill:
             PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
             max_new_tokens=3,
         )
-        assert res.cache_length == 32 + 32 + 6 + 3
+        assert res.cache_length == 32 + 32 + 6 + 2
 
     def test_decay_linear_unrolled_path(self, params):
         ids, pixels, pixel_groups, group_grids = build_request(groups_t=(2, 2))
@@ -133,7 +134,7 @@ class TestPrunedPrefill:
             max_new_tokens=2,
         )
         # layer 0 keeps 32; deeper layers keep fewer; max over layers = 32
-        assert res.cache_length == 32 + 32 + 6 + 2
+        assert res.cache_length == 32 + 32 + 6 + 1
         assert len(res.tokens) == 2
 
     def test_query_based_runs(self, params):
@@ -149,7 +150,7 @@ class TestPrunedPrefill:
             PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
             max_new_tokens=2,
         )
-        assert res.cache_length == 16 + 16 + 6 + 2
+        assert res.cache_length == 16 + 16 + 6 + 1
 
 
 class TestGenerateVsTorch:
@@ -204,7 +205,7 @@ class TestFinalPromptPruning:
         )
         # groups keep 4 each; suffix (vision_end + 9 text = 10 tokens) is
         # pruned to 4 as well; +2 decoded
-        assert res.cache_length == 4 + 4 + 4 + 2
+        assert res.cache_length == 4 + 4 + 4 + 1
 
     def test_no_query_prune_by_default(self, params):
         ids, pixels, pixel_groups, group_grids = build_request(
@@ -215,4 +216,4 @@ class TestFinalPromptPruning:
             PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
             max_new_tokens=2,
         )
-        assert res.cache_length == 4 + 4 + 10 + 2
+        assert res.cache_length == 4 + 4 + 10 + 1
