@@ -150,6 +150,8 @@ def _generate(lvu, inputs, timer, generation_kwargs) -> List[str]:
         eos_token_ids=eos,
         greedy=not generation_kwargs.get("do_sample", False),
         temperature=generation_kwargs.get("temperature", 1.0),
+        top_p=generation_kwargs.get("top_p"),
+        top_k=generation_kwargs.get("top_k"),
     )
     for k, v in timer.totals().items():
         res.timings[k] = res.timings.get(k, 0.0) + v

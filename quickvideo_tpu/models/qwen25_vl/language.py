@@ -302,6 +302,8 @@ def prefill_step(
     sin: Array,
     rng: Array,
     spec: StepSpec,
+    advance=None,  # traced int32 overriding append_n (padded-bucket steps:
+                   # only the first `advance` appended rows are real)
 ) -> Tuple[kv.KVCache, Array]:
     """Process one group through all layers; returns (cache', hidden_out).
 
@@ -325,7 +327,8 @@ def prefill_step(
         (params["layers"], cache.k, cache.v, cache.length),
     )
     cache = cache.replace(
-        k=new_k, v=new_v, length=cache.length + spec.append_n
+        k=new_k, v=new_v,
+        length=cache.length + (spec.append_n if advance is None else advance),
     )
     return cache, x_out
 

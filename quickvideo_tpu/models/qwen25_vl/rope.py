@@ -19,6 +19,7 @@ section 3.4; reference rope_deltas semantics).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -136,18 +137,53 @@ def precompute_mrope_cos_sin(
     inv_freq = 1.0 / (
         rope_theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
     )  # (half,)
-    # freqs per axis: (3, L, half)
-    freqs = positions[:, :, None].astype(np.float64) * inv_freq[None, None, :]
-    # merged half-table: section s (size m_s) of the half dim comes from axis s
-    sect_axis = np.concatenate(
-        [np.full(m, i % 3) for i, m in enumerate(mrope_section)]
-    )  # (half,)
+    # merged half-table built section-by-section (3 slices), not by a giant
+    # advanced-index gather — this runs per request on the host and was the
+    # dominant host cost at 100k-token scale
     L = positions.shape[1]
-    merged_half = freqs[sect_axis, np.arange(L)[:, None], np.arange(half)[None, :]]
+    merged_half = np.empty((L, half), np.float64)
+    off = 0
+    for i, m in enumerate(mrope_section):
+        axis = i % 3
+        merged_half[:, off : off + m] = (
+            positions[axis, :, None].astype(np.float64)
+            * inv_freq[None, off : off + m]
+        )
+        off += m
     # emb = cat(freqs, freqs) then per-section pick with doubled sections —
     # equivalent to repeating the merged half table twice.
     emb = np.concatenate([merged_half, merged_half], axis=-1)  # (L, head_dim)
     return np.cos(emb).astype(np.float32), np.sin(emb).astype(np.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("head_dim", "mrope_section", "rope_theta")
+)
+def precompute_mrope_cos_sin_device(
+    positions: Array,  # (3, L) int32/int64
+    head_dim: int,
+    mrope_section,
+    rope_theta: float,
+):
+    """Device-side version of precompute_mrope_cos_sin: the host here is a
+    single throttled core (~5M cos/s), and computing on device also avoids
+    shipping the (L, head_dim) f32 tables over the transport (only the
+    (3, L) positions go up)."""
+    half = head_dim // 2
+    inv_freq = 1.0 / (
+        rope_theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    parts = []
+    off = 0
+    for i, m in enumerate(mrope_section):
+        parts.append(
+            positions[i % 3, :, None].astype(jnp.float32)
+            * inv_freq[None, off : off + m]
+        )
+        off += m
+    merged = jnp.concatenate(parts, axis=-1)  # (L, half)
+    emb = jnp.concatenate([merged, merged], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
 
 
 def text_positions(start: int, length: int) -> np.ndarray:

@@ -315,11 +315,44 @@ def vision_forward(
     (eager/test use)."""
     if layout_arrays is None:
         layout_arrays = layout_arrays_for(layout)
+    pdtype = params["patch_embed"].dtype
+    if pixels.ndim == 4:
+        # raw decoded frames (T, C, H, W): patchify ON DEVICE (the HF
+        # merged-unit interleave is a pure reshape/transpose — free for XLA,
+        # and it takes the host entirely out of the per-pixel pipeline)
+        t_frames, c, fh, fw = pixels.shape
+        tps = cfg.temporal_patch_size
+        ps = cfg.patch_size
+        ms = cfg.spatial_merge_size
+        if t_frames % tps != 0:
+            pad = tps - t_frames % tps
+            pixels = jnp.concatenate(
+                [pixels, jnp.repeat(pixels[-1:], pad, axis=0)], axis=0
+            )
+            t_frames = pixels.shape[0]
+        gt, gh, gw = t_frames // tps, fh // ps, fw // ps
+        pixels = pixels.reshape(
+            gt, tps, c, gh // ms, ms, ps, gw // ms, ms, ps
+        ).transpose(0, 3, 6, 4, 7, 2, 1, 5, 8).reshape(
+            gt * gh * gw, c * tps * ps * ps
+        )
+    if pixels.dtype == jnp.uint8:
+        # raw uint8 patches: rescale + CLIP normalize on device (tiny
+        # per-channel affine; host stays out of the float pipeline)
+        from quickvideo_tpu.video.preprocess import patch_norm_scale_bias
+
+        scale, bias = patch_norm_scale_bias(
+            cfg.patch_size, cfg.temporal_patch_size, cfg.in_channels
+        )
+        pixels = (
+            pixels.astype(jnp.float32) * jnp.asarray(scale)
+            + jnp.asarray(bias)
+        ).astype(pdtype)
     x = jnp.dot(
-        pixels.astype(params["patch_embed"].dtype),
+        pixels.astype(pdtype),
         params["patch_embed"],
         preferred_element_type=jnp.float32,
-    ).astype(params["patch_embed"].dtype)
+    ).astype(pdtype)
     x = x[layout_arrays["perm"]]
     t = layout.grid_thw[0]
     nw, mw = layout.win_gather.shape

@@ -143,6 +143,10 @@ class LVUEngine:
             self._decode_chunk_body, static_argnames=("spec",),
             donate_argnames=("cache",),
         )
+        self._final_prefill_jit = jax.jit(
+            self._final_prefill_body, static_argnames=("spec",),
+            donate_argnames=("cache",),
+        )
         self._rng = jax.random.key(lvu_cfg.seed)
         self._base_rng = jax.random.key(lvu_cfg.seed + 1)
 
@@ -215,6 +219,27 @@ class LVUEngine:
             params_lang, cache, x, g_cos, g_sin, rng, specs
         )
         return cache
+
+    def _final_prefill_body(
+        self, params_lang, cache, ids_pad, cos_full, sin_full, offset,
+        valid, spec,
+    ):
+        """Padded-bucket suffix prefill + logits of the last VALID row, in
+        one program (exact suffix shapes would recompile per question)."""
+        x = jnp.take(params_lang["embed"], ids_pad, axis=0)
+        g_cos = jax.lax.dynamic_slice(
+            cos_full, (offset, 0), (spec.q_len, cos_full.shape[1])
+        )
+        g_sin = jax.lax.dynamic_slice(
+            sin_full, (offset, 0), (spec.q_len, sin_full.shape[1])
+        )
+        rng = jax.random.fold_in(self._base_rng, 2**31 - 1)
+        cache, hidden = prefill_step(
+            params_lang, cache, x, g_cos, g_sin, rng, spec, advance=valid
+        )
+        last = jax.lax.dynamic_index_in_dim(hidden, valid - 1, 0, keepdims=False)
+        logits = compute_logits(params_lang, last, self.cfg.text)
+        return cache, logits
 
     def _decode_chunk_body(self, params_lang, cache, tok0, cos_chunk,
                            sin_chunk, spec):
@@ -318,9 +343,18 @@ class LVUEngine:
 
             dec_pos = text_positions(L + delta, lvu.max_decode_tokens)
             all_pos = np.concatenate([positions, dec_pos], axis=1)
-            cos_np, sin_np = qmodel.mrope_tables(cfg, all_pos)
-            cos = jnp.asarray(cos_np)
-            sin = jnp.asarray(sin_np)
+            # tables are built ON DEVICE: the host core is slow and the
+            # (L, head_dim) tables would otherwise ship over the transport
+            from quickvideo_tpu.models.qwen25_vl.rope import (
+                precompute_mrope_cos_sin_device,
+            )
+
+            cos, sin = precompute_mrope_cos_sin_device(
+                jnp.asarray(all_pos, jnp.int32),
+                cfg.text.head_dim,
+                cfg.text.mrope_section,
+                cfg.text.rope_theta,
+            )
 
         # --- token geometry (reference qwen25_vl.py:464-474) ---
         vid_idx = np.nonzero(ids == cfg.video_token_id)[0]
@@ -340,6 +374,15 @@ class LVUEngine:
         group_input_lens[0] += first_vid
 
         capacity = self.plan_capacity(group_input_lens, 0, L - suffix_start)
+        if lvu.kv_cache_capacity:
+            # fixed capacity pins cache shapes across requests (one compiled
+            # program set regardless of video length, bounded by this cap)
+            if capacity > lvu.kv_cache_capacity:
+                raise ValueError(
+                    f"request needs {capacity} KV slots > configured "
+                    f"kv_cache_capacity={lvu.kv_cache_capacity}"
+                )
+            capacity = lvu.kv_cache_capacity
         with timer.span("cache_alloc"):
             cache = kvc.init_cache(
                 cfg.text.num_hidden_layers,
@@ -365,10 +408,12 @@ class LVUEngine:
             grid = tuple(int(x) for x in inputs.group_grids[gi])
             in_len = group_input_lens[gi]
             with timer.span("vision"):
+                pix = jnp.asarray(pixels)  # uint8 stays uint8 (device-side
+                # normalize); float test inputs pass through in compute dtype
+                if pix.dtype != jnp.uint8:
+                    pix = pix.astype(self.dtype)
                 vis = self._vision_jit(
-                    self.params, cfg,
-                    jnp.asarray(pixels, self.dtype), grid,
-                    self._layout_arrays(grid),
+                    self.params, cfg, pix, grid, self._layout_arrays(grid),
                 )
             q_len = in_len + prompt_len
             base = StepSpec(
@@ -416,6 +461,8 @@ class LVUEngine:
         eos_token_ids: Sequence[int] = (),
         greedy: bool = True,
         temperature: float = 1.0,
+        top_p: Optional[float] = None,
+        top_k: Optional[int] = None,
     ) -> GenerationResult:
         """Full request: grouped prefill + final prompt + decode."""
         timer = SpanTimer()
@@ -423,7 +470,7 @@ class LVUEngine:
             cache, state = self.prefill(inputs, timer)
             tokens, cache = self._generate_from_cache(
                 cache, state, max_new_tokens, eos_token_ids, greedy,
-                temperature, timer,
+                temperature, timer, top_p=top_p, top_k=top_k,
             )
         t = self.cfg.text
         per_tok = (
@@ -440,9 +487,27 @@ class LVUEngine:
             kv_unpruned_bytes=(state["L"] + len(tokens)) * per_tok,
         )
 
+    @staticmethod
+    def _filter_logits(logits, top_p=None, top_k=None):
+        """Standard nucleus / top-k sampling filters (HF generate parity —
+        the reference passes generation kwargs straight through to HF
+        generate, lvu/lvu.py:45-51)."""
+        if top_k is not None and top_k > 0:
+            kth = jnp.sort(logits)[-top_k]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+        if top_p is not None and 0 < top_p < 1:
+            sorted_logits = jnp.sort(logits)[::-1]
+            probs = jax.nn.softmax(sorted_logits)
+            csum = jnp.cumsum(probs)
+            # keep the smallest prefix with cumulative prob >= top_p
+            cutoff_idx = jnp.argmax(csum >= top_p)
+            cutoff = sorted_logits[cutoff_idx]
+            logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+        return logits
+
     def _generate_from_cache(
         self, cache, state, max_new_tokens, eos_token_ids, greedy,
-        temperature, timer,
+        temperature, timer, top_p=None, top_k=None,
     ):
         cfg = self.cfg
         lvu = self.lvu
@@ -460,27 +525,46 @@ class LVUEngine:
         keep_k = 0
         if lvu.do_top_k_for_query:
             keep_k = resolve_effective_top_k(lvu, 0, n_layers, suffix_len)
-        spec = StepSpec(
-            cfg=cfg.text,
-            q_len=suffix_len,
-            keep_k=keep_k,
-            predict_type=lvu.top_k_predict_type,
-            needs_probs=lvu.needs_attn_stats and keep_k > 0,
-            attn_impl=lvu.attention_impl,
-        )
         with timer.span("final_prefill"):
-            x = self._embed_scatter_jit(
-                self.params["language"]["embed"],
-                jnp.asarray(ids[ss:], jnp.int32), None,
-            )
-            self._rng, rng = jax.random.split(self._rng)
-            cache, hidden = self._prefill_jit(
-                self.params["language"], cache, x, cos[ss:L], sin[ss:L], rng,
-                spec=spec,
-            )
-            logits = compute_logits(
-                self.params["language"], hidden[-1], cfg.text
-            )
+            if keep_k > 0:
+                # exact shape when the suffix itself is pruned (rare path)
+                spec = StepSpec(
+                    cfg=cfg.text, q_len=suffix_len, keep_k=keep_k,
+                    predict_type=lvu.top_k_predict_type,
+                    needs_probs=lvu.needs_attn_stats,
+                    attn_impl=lvu.attention_impl,
+                )
+                x = self._embed_scatter_jit(
+                    self.params["language"]["embed"],
+                    jnp.asarray(ids[ss:], jnp.int32), None,
+                )
+                self._rng, rng = jax.random.split(self._rng)
+                cache, hidden = self._prefill_jit(
+                    self.params["language"], cache, x, cos[ss:L], sin[ss:L],
+                    rng, spec=spec,
+                )
+                logits = compute_logits(
+                    self.params["language"], hidden[-1], cfg.text
+                )
+            else:
+                # BUCKETED: pad the suffix to a multiple of 32 so every
+                # question length reuses one compiled program; only the first
+                # `valid` appended rows advance the cache (padded rows are
+                # garbage beyond the valid length and get overwritten/masked)
+                bucket = max(32, -(-suffix_len // 32) * 32)
+                pad = bucket - suffix_len
+                ids_pad = np.zeros(bucket, np.int64)
+                ids_pad[:suffix_len] = ids[ss:]
+                spec = StepSpec(
+                    cfg=cfg.text, q_len=bucket, keep_k=0,
+                    attn_impl=lvu.attention_impl,
+                )
+                cache, logits = self._final_prefill_jit(
+                    self.params["language"], cache,
+                    jnp.asarray(ids_pad, jnp.int32),
+                    cos, sin, jnp.int32(ss), jnp.int32(suffix_len),
+                    spec=spec,
+                )
 
         out_tokens: List[int] = []
         dspec = StepSpec(cfg=cfg.text, q_len=1, keep_k=0)
@@ -510,8 +594,9 @@ class LVUEngine:
             else:
                 for step in range(max_new):
                     self._rng, rng = jax.random.split(self._rng)
+                    flt = self._filter_logits(logits, top_p, top_k)
                     nxt = int(
-                        jax.random.categorical(rng, logits / temperature)
+                        jax.random.categorical(rng, flt / temperature)
                     )
                     out_tokens.append(nxt)
                     if nxt in eos_token_ids:

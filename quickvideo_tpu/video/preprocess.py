@@ -195,6 +195,57 @@ def patchify_frames(
     return np.ascontiguousarray(flat), (grid_t, grid_h, grid_w)
 
 
+def patchify_frames_uint8(
+    frames: np.ndarray,  # uint8 (T, C, H, W)
+    patch_size: int = 14,
+    temporal_patch_size: int = 2,
+    merge_size: int = 2,
+) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """uint8 patchify WITHOUT normalization — rescale/normalize run on the
+    TPU instead (see patch_norm_scale_bias / vision_forward). 4x less host
+    work and 4x less host->device traffic than the float path; the numbers
+    are identical because normalize is a per-channel affine op."""
+    f = np.asarray(frames)
+    if f.dtype != np.uint8:
+        raise ValueError(f"expected uint8 frames, got {f.dtype}")
+    t, c, h, w = f.shape
+    if t % temporal_patch_size != 0:
+        pad = temporal_patch_size - t % temporal_patch_size
+        f = np.concatenate([f, np.repeat(f[-1:], pad, axis=0)], axis=0)
+        t = f.shape[0]
+    grid_t = t // temporal_patch_size
+    grid_h, grid_w = h // patch_size, w // patch_size
+    p = f.reshape(
+        grid_t, temporal_patch_size, c,
+        grid_h // merge_size, merge_size, patch_size,
+        grid_w // merge_size, merge_size, patch_size,
+    ).transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    flat = p.reshape(
+        grid_t * grid_h * grid_w, c * temporal_patch_size * patch_size ** 2
+    )
+    return np.ascontiguousarray(flat), (grid_t, grid_h, grid_w)
+
+
+def patch_norm_scale_bias(
+    patch_size: int = 14, temporal_patch_size: int = 2, in_channels: int = 3
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(patch_input_dim,) f32 scale/bias implementing rescale(1/255) +
+    CLIP-mean/std normalize for uint8 patches: x_norm = u8 * scale + bias.
+    Within each flattened patch the layout is (C, tps, ps, ps), so channel c
+    spans a contiguous tps*ps*ps block."""
+    block = temporal_patch_size * patch_size ** 2
+    scale = np.empty(in_channels * block, np.float32)
+    bias = np.empty(in_channels * block, np.float32)
+    for ch in range(in_channels):
+        scale[ch * block : (ch + 1) * block] = 1.0 / (
+            255.0 * OPENAI_CLIP_STD[ch]
+        )
+        bias[ch * block : (ch + 1) * block] = (
+            -OPENAI_CLIP_MEAN[ch] / OPENAI_CLIP_STD[ch]
+        )
+    return scale, bias
+
+
 def resize_frames_bicubic(frames: np.ndarray, height: int, width: int) -> np.ndarray:
     """Fallback resize when the native decoder didn't resize in-loop
     (reference fallback uses torchvision BICUBIC,

@@ -108,12 +108,12 @@ def build_prefill_inputs_from_frames(
     """Patchify per group -> PrefillInputs (sync list form)."""
     from quickvideo_tpu.prefill.engine import PrefillInputs
 
+    # raw uint8 frame blocks; patchify+normalize run on-device in the vision
+    # program (host stays out of the per-pixel pipeline)
     groups = []
     off = 0
     for cnt in plan.group_frame_counts:
-        g = pp.normalize_frames(frames[off : off + cnt])
-        patches, grid = pp.patchify_frames(g)
-        groups.append(patches)
+        groups.append(np.ascontiguousarray(frames[off : off + cnt]))
         off += cnt
     return PrefillInputs(
         input_ids=input_ids,

@@ -72,10 +72,10 @@ class AsyncPixelGroups:
                     raise IOError(
                         f"group {gi}: expected {cnt} frames, got {block.shape[0]}"
                     )
-                frames = pp.normalize_frames(block)
-                patches, _ = pp.patchify_frames(frames)
+                # raw uint8 frames go straight to the device; patchify +
+                # normalize happen inside the vision program
                 self.timer.add("processing", time.perf_counter() - t0)
-                self._q.put(patches)
+                self._q.put(block)
             self._q.put(_SENTINEL)
         except BaseException as e:  # noqa: BLE001 — re-raised on consumer side
             self._exc = e

@@ -217,3 +217,54 @@ class TestFinalPromptPruning:
             max_new_tokens=2,
         )
         assert res.cache_length == 4 + 4 + 10 + 1
+
+
+class TestSampling:
+    def test_sampling_filters_shapes(self, params):
+        import jax.numpy as jnp
+        from quickvideo_tpu.prefill.engine import LVUEngine
+
+        logits = jnp.asarray(
+            np.log(np.array([0.5, 0.25, 0.15, 0.06, 0.04], np.float32))
+        )
+        # top_k=2 keeps exactly the top 2
+        f = LVUEngine._filter_logits(logits, top_k=2)
+        kept = np.isfinite(np.asarray(f))
+        assert kept.tolist() == [True, True, False, False, False]
+        # top_p=0.7 keeps the smallest prefix with cum prob >= 0.7 -> {0, 1}
+        f = LVUEngine._filter_logits(logits, top_p=0.7)
+        kept = np.isfinite(np.asarray(f))
+        assert kept.tolist() == [True, True, False, False, False]
+        # top_p=0.95 keeps four
+        f = LVUEngine._filter_logits(logits, top_p=0.95)
+        assert np.isfinite(np.asarray(f)).sum() == 4
+
+    def test_do_sample_runs(self, params):
+        ids, pixels, pixel_groups, group_grids = build_request(groups_t=(2, 2))
+        eng = make_engine(params, top_k=16, max_decode_tokens=8)
+        res = eng.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=4, greedy=False, temperature=0.8, top_p=0.9,
+        )
+        assert len(res.tokens) == 4
+
+
+class TestDecodeChunkEos:
+    def test_eos_mid_chunk_stops(self, params):
+        """EOS appearing inside a decoded chunk truncates the output."""
+        ids, pixels, pixel_groups, group_grids = build_request(groups_t=(2, 2))
+        eng = make_engine(params, top_k=None, max_decode_tokens=16)
+        # first run to learn which tokens come out greedily
+        probe = eng.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=6,
+        )
+        if len(probe.tokens) < 3:
+            pytest.skip("degenerate greedy sequence")
+        eos = int(probe.tokens[2])
+        eng2 = make_engine(params, top_k=None, max_decode_tokens=16)
+        res = eng2.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=6, eos_token_ids=[eos],
+        )
+        assert list(res.tokens) == list(probe.tokens[:3])

@@ -96,3 +96,21 @@ class TestPlan:
         )
         assert plan.group_frame_counts == [10]
         assert plan.second_per_grid_ts == pytest.approx(2 / plan.sample_fps)
+
+
+class TestUint8Path:
+    def test_uint8_patchify_plus_device_norm_matches_float_path(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        frames = rng.integers(0, 256, (4, 3, 56, 56), dtype=np.uint8)
+        # float path (HF-parity reference)
+        ref, grid_f = pp.patchify_frames(pp.normalize_frames(frames))
+        # uint8 path + device affine
+        u8, grid_u = pp.patchify_frames_uint8(frames)
+        assert grid_f == grid_u
+        scale, bias = pp.patch_norm_scale_bias()
+        got = np.asarray(
+            jnp.asarray(u8, jnp.float32) * scale + bias
+        )
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
