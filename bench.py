@@ -64,7 +64,7 @@ def main():
         top_k_predict_type="key_norms_small",
         num_frames=N_FRAMES,
         max_decode_tokens=16,
-        kv_cache_capacity=1 << int(os.environ.get("BENCH_CAP_LOG2", "17")),
+        kv_cache_capacity=1 << int(os.environ.get("BENCH_CAP_LOG2", "16")),
         decode_threads=int(os.environ.get("QUICKCODEC_CORES", "16")),
         dtype="bfloat16",
     )

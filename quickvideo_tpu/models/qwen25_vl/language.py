@@ -105,6 +105,9 @@ class StepSpec:
     causal: bool = True
     cascade: bool = False  # prune activations for the next layer too
     attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla' (past-buffer partial)
+    attend_past: bool = True  # False = adaptive_local_attention off: groups
+    # attend only within themselves (reference qwen25_vl.py:502-516 merge
+    # path); KV still accumulates in the cache for the final generate
 
     @property
     def video_len(self) -> int:
@@ -199,11 +202,20 @@ def layer_step(
     else:
         k_grp, v_grp = k, v
         impl = spec.attn_impl
-        if impl == "auto" and use_cache_past:
+        if not spec.attend_past:
+            # local attention only (adaptive_local_attention=False): compute
+            # within-group causal attention, then append K/V to the cache so
+            # the final prompt/generate still sees every group's retained KV
+            out, group_probs = attn_ops.grouped_attention(
+                q, k_grp, v_grp, None, None, None,
+                scale=scale, return_group_probs=spec.needs_probs,
+                causal=spec.causal,
+            )
+        elif impl == "auto" and use_cache_past:
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
             big = k_buf.shape[1] >= attn_ops.BLOCKWISE_THRESHOLD
             impl = "pallas_unified" if (on_tpu and big) else "xla"
-        if impl in ("pallas", "pallas_unified") and use_cache_past and spec.causal:
+        if spec.attend_past and impl in ("pallas", "pallas_unified") and use_cache_past and spec.causal:
             # unified path: append raw group K/V at [length, length+G), run ONE
             # flash kernel causally over [0, length+G), then (below) overwrite
             # the raw span with the pruned compact. Avoids both the two-partial
@@ -237,7 +249,7 @@ def layer_step(
                     attn_ops.causal_mask(spec.q_len)[None], probs, 0.0
                 )
                 group_probs = jnp.mean(probs, axis=0)
-        else:
+        elif spec.attend_past:
             out, group_probs = attn_ops.grouped_attention(
                 q, k_grp, v_grp,
                 k_buf if use_cache_past else None,

@@ -130,6 +130,132 @@ def load_params(model_dir: str, cfg: ModelConfig, dtype=jnp.bfloat16):
     return params_from_state_dict(state, cfg, dtype)
 
 
+def load_params_sharded(
+    model_dir: str, cfg: ModelConfig, mesh, dtype=jnp.bfloat16
+):
+    """Streaming sharded load for checkpoints larger than host RAM (72B over
+    a TP mesh): tensors are read one at a time from the safetensors shards
+    and placed directly with their mesh sharding, so peak host memory is one
+    stacked layer group, not the model.
+
+    Layer-stacked leaves are assembled per layer with jnp.stack on device;
+    everything else is placed whole.
+    """
+    import jax
+    from jax.sharding import NamedSharding
+
+    from safetensors import safe_open
+
+    from quickvideo_tpu.parallel.sharding import param_shardings
+
+    specs = param_shardings(mesh)
+
+    # index: HF tensor name -> shard file
+    shards = sorted(
+        f for f in os.listdir(model_dir) if f.endswith(".safetensors")
+    )
+    name_to_file: Dict[str, str] = {}
+    handles = {}
+    for shard in shards:
+        path = os.path.join(model_dir, shard)
+        handles[shard] = safe_open(path, framework="np")
+        for k in handles[shard].keys():
+            name_to_file[_normalize_key(k)] = (shard, k)
+
+    def fetch(norm_name):
+        shard, orig = name_to_file[norm_name]
+        return handles[shard].get_tensor(orig)
+
+    def place(arr, spec):
+        return jax.device_put(
+            jnp.asarray(arr, dtype), NamedSharding(mesh, spec)
+        )
+
+    t = cfg.text
+    nl = t.num_hidden_layers
+
+    def stacked(fmt, spec, transpose=False):
+        rows = []
+        for i in range(nl):
+            m = fetch(fmt.format(i))
+            rows.append(m.T if transpose else m)
+        return place(np.stack(rows, axis=0), spec)
+
+    ls = specs["language"]["layers"]
+    lang = {
+        "embed": place(fetch("language.embed_tokens.weight"),
+                       specs["language"]["embed"]),
+        "layers": {
+            "ln1": stacked("language.layers.{}.input_layernorm.weight", ls["ln1"]),
+            "ln2": stacked("language.layers.{}.post_attention_layernorm.weight", ls["ln2"]),
+            "wq": stacked("language.layers.{}.self_attn.q_proj.weight", ls["wq"], True),
+            "bq": stacked("language.layers.{}.self_attn.q_proj.bias", ls["bq"]),
+            "wk": stacked("language.layers.{}.self_attn.k_proj.weight", ls["wk"], True),
+            "bk": stacked("language.layers.{}.self_attn.k_proj.bias", ls["bk"]),
+            "wv": stacked("language.layers.{}.self_attn.v_proj.weight", ls["wv"], True),
+            "bv": stacked("language.layers.{}.self_attn.v_proj.bias", ls["bv"]),
+            "wo": stacked("language.layers.{}.self_attn.o_proj.weight", ls["wo"], True),
+            "wg": stacked("language.layers.{}.mlp.gate_proj.weight", ls["wg"], True),
+            "wu": stacked("language.layers.{}.mlp.up_proj.weight", ls["wu"], True),
+            "wd": stacked("language.layers.{}.mlp.down_proj.weight", ls["wd"], True),
+        },
+        "norm": place(fetch("language.norm.weight"), specs["language"]["norm"]),
+        "lm_head": place(
+            (fetch("language.embed_tokens.weight") if t.tie_word_embeddings
+             else fetch("lm_head.weight")).T,
+            specs["language"]["lm_head"],
+        ),
+    }
+    # vision tower is small: assemble then place with its (replicated) specs
+    vision = _vision_from_fetch(fetch, cfg, dtype)
+    vision = jax.tree.map(
+        lambda a, sp: jax.device_put(a, NamedSharding(mesh, sp)),
+        vision, specs["vision"],
+    )
+    return {"language": lang, "vision": vision}
+
+
+def _vision_from_fetch(fetch, cfg: ModelConfig, dtype):
+    v = cfg.vision
+    nv = v.depth
+
+    def stack(fmt, transpose=False):
+        return jnp.asarray(
+            np.stack(
+                [fetch(fmt.format(i)).T if transpose else fetch(fmt.format(i))
+                 for i in range(nv)], axis=0,
+            ), dtype,
+        )
+
+    return {
+        "patch_embed": jnp.asarray(
+            fetch("visual.patch_embed.proj.weight").reshape(v.hidden_size, -1).T,
+            dtype,
+        ),
+        "blocks": {
+            "ln1": stack("visual.blocks.{}.norm1.weight"),
+            "ln2": stack("visual.blocks.{}.norm2.weight"),
+            "wqkv": stack("visual.blocks.{}.attn.qkv.weight", True),
+            "bqkv": stack("visual.blocks.{}.attn.qkv.bias"),
+            "wo": stack("visual.blocks.{}.attn.proj.weight", True),
+            "bo": stack("visual.blocks.{}.attn.proj.bias"),
+            "wg": stack("visual.blocks.{}.mlp.gate_proj.weight", True),
+            "bg": stack("visual.blocks.{}.mlp.gate_proj.bias"),
+            "wu": stack("visual.blocks.{}.mlp.up_proj.weight", True),
+            "bu": stack("visual.blocks.{}.mlp.up_proj.bias"),
+            "wd": stack("visual.blocks.{}.mlp.down_proj.weight", True),
+            "bd": stack("visual.blocks.{}.mlp.down_proj.bias"),
+        },
+        "merger": {
+            "ln_q": jnp.asarray(fetch("visual.merger.ln_q.weight"), dtype),
+            "w1": jnp.asarray(fetch("visual.merger.mlp.0.weight").T, dtype),
+            "b1": jnp.asarray(fetch("visual.merger.mlp.0.bias"), dtype),
+            "w2": jnp.asarray(fetch("visual.merger.mlp.2.weight").T, dtype),
+            "b2": jnp.asarray(fetch("visual.merger.mlp.2.bias"), dtype),
+        },
+    }
+
+
 def params_from_torch_model(torch_model, cfg: ModelConfig, dtype=jnp.bfloat16):
     """Convert a live torch Qwen2_5_VLForConditionalGeneration (test helper —
     parity tests build tiny random torch models and compare numerics)."""

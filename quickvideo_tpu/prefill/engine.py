@@ -424,6 +424,7 @@ class LVUEngine:
                 needs_probs=lvu.needs_attn_stats,
                 prompt_len=prompt_len,
                 attn_impl=lvu.attention_impl,
+                attend_past=lvu.adaptive_local_attention,
             )
             # one dispatch per group: slice + embed + scatter + full stack
             # (per-op dispatch over the device transport costs 100s of ms)

@@ -268,3 +268,43 @@ class TestDecodeChunkEos:
             max_new_tokens=6, eos_token_ids=[eos],
         )
         assert list(res.tokens) == list(probe.tokens[:3])
+
+
+class TestNonAdaptiveLocalAttention:
+    def test_local_attention_mode(self, params):
+        """adaptive_local_attention=False: groups attend only within
+        themselves (reference qwen25_vl.py:502-516 merge path) but KV still
+        accumulates for the final prompt."""
+        ids, pixels, pixel_groups, group_grids = build_request(groups_t=(2, 2))
+        eng = make_engine(
+            params, top_k=16, adaptive_local_attention=False,
+            max_decode_tokens=8,
+        )
+        res = eng.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=3,
+        )
+        assert res.cache_length == 16 + 16 + 6 + 2
+        # differs from the adaptive mode's output (later groups see the past)
+        eng2 = make_engine(params, top_k=16, max_decode_tokens=8)
+        res2 = eng2.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=3,
+        )
+        assert res.cache_length == res2.cache_length
+
+    def test_local_equals_adaptive_for_single_group(self, params):
+        """With one group there is no past — both modes identical."""
+        ids, pixels, _, _ = build_request(groups_t=(4,))
+        for mode in (True, False):
+            eng = make_engine(
+                params, top_k=None, adaptive_local_attention=mode,
+                max_decode_tokens=8,
+            )
+            r = eng.generate(
+                PrefillInputs(ids, GRID, [pixels], [GRID], 2.0),
+                max_new_tokens=4,
+            )
+            if mode:
+                ref_tokens = r.tokens
+        np.testing.assert_array_equal(r.tokens, ref_tokens)

@@ -70,3 +70,36 @@ def test_entry_compiles():
     lowered = jax.jit(fn).lower(*args)
     compiled = lowered.compile()
     assert compiled is not None
+
+
+def test_streaming_sharded_load_matches_bulk(tmp_path):
+    """save tiny HF checkpoint -> bulk load vs streaming sharded load agree."""
+    torch = pytest.importorskip("torch")
+    from safetensors.torch import save_file
+    from tests.test_model_parity import make_hf_config
+    from transformers import Qwen2_5_VLForConditionalGeneration
+    from quickvideo_tpu.models.qwen25_vl.load import (
+        load_params,
+        load_params_sharded,
+    )
+
+    torch.manual_seed(0)
+    hf = Qwen2_5_VLForConditionalGeneration(make_hf_config()).eval()
+    state = {k: v.contiguous() for k, v in hf.state_dict().items()}
+    save_file(state, str(tmp_path / "model.safetensors"))
+
+    bulk = load_params(str(tmp_path), CFG, dtype=jnp.float32)
+    mesh = make_mesh(MeshConfig(dp=1, tp=2, sp=1), jax.devices()[:2])
+    sharded = load_params_sharded(str(tmp_path), CFG, mesh, dtype=jnp.float32)
+
+    flat_b = jax.tree_util.tree_leaves_with_path(bulk)
+    flat_s = dict(jax.tree_util.tree_leaves_with_path(sharded))
+    # tree_leaves_with_path returns list of (path, leaf); map by path
+    flat_s = {jax.tree_util.keystr(p): l
+              for p, l in jax.tree_util.tree_leaves_with_path(sharded)}
+    for p, leaf in flat_b:
+        key = jax.tree_util.keystr(p)
+        np.testing.assert_allclose(
+            np.asarray(flat_s[key]), np.asarray(leaf), rtol=0, atol=0,
+            err_msg=key,
+        )
