@@ -111,6 +111,7 @@ class LVUConfig:
     dtype: str = "bfloat16"  # compute/cache dtype
     param_dtype: str = "bfloat16"
     kv_cache_capacity: Optional[int] = None  # tokens; None = auto from input
+    kv_cache_dtype: str = "bfloat16"  # "bfloat16" | "int8" (quantized cache)
     attention_impl: str = "auto"  # "auto" | "pallas" | "xla"
     prune_impl: str = "auto"  # "auto" | "pallas" | "xla"
     max_decode_tokens: int = 512

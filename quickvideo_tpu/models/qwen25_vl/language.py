@@ -105,6 +105,7 @@ class StepSpec:
     causal: bool = True
     cascade: bool = False  # prune activations for the next layer too
     attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla' (past-buffer partial)
+    kv_quant: bool = False  # int8 KV cache (past stored quantized)
     attend_past: bool = True  # False = adaptive_local_attention off: groups
     # attend only within themselves (reference qwen25_vl.py:502-516 merge
     # path); KV still accumulates in the cache for the final generate
@@ -166,6 +167,8 @@ def layer_step(
     rng: Optional[Array],
     spec: StepSpec,
     use_cache_past: bool = True,
+    k_scale_buf: Optional[Array] = None,  # (Hkv, capacity) int8 mode
+    v_scale_buf: Optional[Array] = None,
 ):
     """One decoder layer over the current group. Returns
     (x_out, k_buf', v_buf', indices|None). Cache append happens inside; the
@@ -194,6 +197,7 @@ def layer_step(
             pp = attn_ops.past_partial_attention(
                 q, k_buf, v_buf, length, spec.q_len, scale,
                 impl=spec.attn_impl,
+                k_scale=k_scale_buf, v_scale=v_scale_buf,
             )
             out, _ = attn_ops.merge_partials(pp, pg)
         else:
@@ -215,7 +219,9 @@ def layer_step(
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
             big = k_buf.shape[1] >= attn_ops.BLOCKWISE_THRESHOLD
             impl = "pallas_unified" if (on_tpu and big) else "xla"
-        if spec.attend_past and impl in ("pallas", "pallas_unified") and use_cache_past and spec.causal:
+        if (spec.attend_past and not spec.kv_quant
+                and impl in ("pallas", "pallas_unified")
+                and use_cache_past and spec.causal):
             # unified path: append raw group K/V at [length, length+G), run ONE
             # flash kernel causally over [0, length+G), then (below) overwrite
             # the raw span with the pruned compact. Avoids both the two-partial
@@ -259,6 +265,7 @@ def layer_step(
                 return_group_probs=spec.needs_probs,
                 causal=spec.causal,
                 impl="xla" if impl in ("auto", "pallas_unified") else impl,
+                k_scale=k_scale_buf, v_scale=v_scale_buf,
             )
 
     hq = cfg.num_attention_heads
@@ -288,17 +295,33 @@ def layer_step(
         # unified-kernel path already wrote the raw group at [length, ...);
         # the compact overwrite below replaces its first keep_k slots (the
         # leftover raw tail stays beyond the valid length, masked off)
-        k_buf, v_buf, _ = prune_ops.prune_append_layer(
-            k_buf, v_buf, length, res
-        )
+        if spec.kv_quant:
+            k_buf, v_buf, k_scale_buf, v_scale_buf = kv.layer_append_quantized(
+                k_buf, v_buf, k_scale_buf, v_scale_buf, length,
+                res.k_keep, res.v_keep,
+            )
+        else:
+            k_buf, v_buf, _ = prune_ops.prune_append_layer(
+                k_buf, v_buf, length, res
+            )
         indices = res.indices
     else:
         if not already_appended:
-            k_buf, v_buf = kv.layer_append(k_buf, v_buf, length, k_grp, v_grp)
+            if spec.kv_quant:
+                k_buf, v_buf, k_scale_buf, v_scale_buf = (
+                    kv.layer_append_quantized(
+                        k_buf, v_buf, k_scale_buf, v_scale_buf, length,
+                        k_grp, v_grp,
+                    )
+                )
+            else:
+                k_buf, v_buf = kv.layer_append(
+                    k_buf, v_buf, length, k_grp, v_grp
+                )
 
     h2 = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
     x = x + swiglu_mlp(h2, lp)
-    return x, k_buf, v_buf, indices
+    return x, k_buf, v_buf, k_scale_buf, v_scale_buf, indices
 
 
 # ---------------------------------------------------------------------------
@@ -324,20 +347,34 @@ def prefill_step(
     """
     cfg = spec.cfg
 
+    quant = spec.kv_quant
+
     def body(carry, xs):
         xh, layer_i = carry
-        lp, k_buf, v_buf, length = xs
+        if quant:
+            lp, k_buf, v_buf, length, ks_buf, vs_buf = xs
+        else:
+            lp, k_buf, v_buf, length = xs
+            ks_buf = vs_buf = None
         lrng = jax.random.fold_in(rng, layer_i)
-        xh, k_buf, v_buf, _ = layer_step(
-            lp, xh, cos, sin, k_buf, v_buf, length, lrng, spec
+        xh, k_buf, v_buf, ks_buf, vs_buf, _ = layer_step(
+            lp, xh, cos, sin, k_buf, v_buf, length, lrng, spec,
+            k_scale_buf=ks_buf, v_scale_buf=vs_buf,
         )
-        return (xh, layer_i + 1), (k_buf, v_buf)
+        ys = (k_buf, v_buf, ks_buf, vs_buf) if quant else (k_buf, v_buf)
+        return (xh, layer_i + 1), ys
 
-    (x_out, _), (new_k, new_v) = jax.lax.scan(
-        body,
-        (x, jnp.int32(0)),
-        (params["layers"], cache.k, cache.v, cache.length),
+    xs = (
+        (params["layers"], cache.k, cache.v, cache.length,
+         cache.k_scale, cache.v_scale)
+        if quant else (params["layers"], cache.k, cache.v, cache.length)
     )
+    (x_out, _), ys = jax.lax.scan(body, (x, jnp.int32(0)), xs)
+    if quant:
+        new_k, new_v, new_ks, new_vs = ys
+        cache = cache.replace(k_scale=new_ks, v_scale=new_vs)
+    else:
+        new_k, new_v = ys
     cache = cache.replace(
         k=new_k, v=new_v,
         length=cache.length + (spec.append_n if advance is None else advance),
@@ -365,16 +402,22 @@ def prefill_step_unrolled(
     cfg = specs[0].cfg
     n = cfg.num_hidden_layers
     new_k, new_v, new_len = [], [], []
+    new_ks, new_vs = [], []
     for li in range(n):
         lp = jax.tree.map(lambda a: a[li], params["layers"])
         spec = specs[li]
         lrng = jax.random.fold_in(rng, li)
-        x, k_buf, v_buf, indices = layer_step(
+        x, k_buf, v_buf, ks_buf, vs_buf, indices = layer_step(
             lp, x, cos, sin, cache.k[li], cache.v[li], cache.length[li],
             lrng, spec,
+            k_scale_buf=None if cache.k_scale is None else cache.k_scale[li],
+            v_scale_buf=None if cache.v_scale is None else cache.v_scale[li],
         )
         new_k.append(k_buf)
         new_v.append(v_buf)
+        if ks_buf is not None:
+            new_ks.append(ks_buf)
+            new_vs.append(vs_buf)
         new_len.append(cache.length[li] + spec.append_n)
         if spec.keep_k > 0 and spec.cascade and li < n - 1 and indices is not None:
             x = x[indices]
@@ -383,6 +426,10 @@ def prefill_step_unrolled(
     cache = cache.replace(
         k=jnp.stack(new_k), v=jnp.stack(new_v), length=jnp.stack(new_len)
     )
+    if new_ks:
+        cache = cache.replace(
+            k_scale=jnp.stack(new_ks), v_scale=jnp.stack(new_vs)
+        )
     return cache, x
 
 
@@ -408,19 +455,36 @@ def decode_step(
     cfg = spec.cfg
     x = embed_tokens(params, token_id[None])  # (1, C)
 
+    quant = spec.kv_quant
+    dspec = dataclasses.replace(
+        spec, q_len=1, keep_k=0, needs_probs=False, prompt_len=0
+    )
+
     def body(carry, xs):
         xh = carry
-        lp, k_buf, v_buf, length = xs
-        xh, k_buf, v_buf, _ = layer_step(
-            lp, xh, cos, sin, k_buf, v_buf, length, None,
-            dataclasses.replace(spec, q_len=1, keep_k=0, needs_probs=False,
-                                prompt_len=0),
+        if quant:
+            lp, k_buf, v_buf, length, ks_buf, vs_buf = xs
+        else:
+            lp, k_buf, v_buf, length = xs
+            ks_buf = vs_buf = None
+        xh, k_buf, v_buf, ks_buf, vs_buf, _ = layer_step(
+            lp, xh, cos, sin, k_buf, v_buf, length, None, dspec,
+            k_scale_buf=ks_buf, v_scale_buf=vs_buf,
         )
-        return xh, (k_buf, v_buf)
+        ys = (k_buf, v_buf, ks_buf, vs_buf) if quant else (k_buf, v_buf)
+        return xh, ys
 
-    x_out, (new_k, new_v) = jax.lax.scan(
-        body, x, (params["layers"], cache.k, cache.v, cache.length)
+    xs = (
+        (params["layers"], cache.k, cache.v, cache.length,
+         cache.k_scale, cache.v_scale)
+        if quant else (params["layers"], cache.k, cache.v, cache.length)
     )
+    x_out, ys = jax.lax.scan(body, x, xs)
+    if quant:
+        new_k, new_v, new_ks, new_vs = ys
+        cache = cache.replace(k_scale=new_ks, v_scale=new_vs)
+    else:
+        new_k, new_v = ys
     cache = cache.replace(k=new_k, v=new_v, length=cache.length + 1)
     logits = compute_logits(params, x_out[0], cfg)
     return cache, logits
@@ -438,7 +502,7 @@ def full_forward_logits(
     spec = StepSpec(cfg=cfg, q_len=x.shape[0], keep_k=0)
 
     def body(xh, lp):
-        xh, _, _, _ = layer_step(
+        xh, _, _, _, _, _ = layer_step(
             lp, xh, cos, sin,
             jnp.zeros((cfg.num_key_value_heads, 1, cfg.head_dim), x.dtype),
             jnp.zeros((cfg.num_key_value_heads, 1, cfg.head_dim), x.dtype),

@@ -89,11 +89,13 @@ def merge_partials(a: PartialAttn, b: PartialAttn) -> Tuple[Array, Array]:
 
 def _blockwise_partial_attention(
     q: Array,  # (Hq, Q, D)
-    k: Array,  # (Hkv, L, D) fixed-capacity buffer
+    k: Array,  # (Hkv, L, D) fixed-capacity buffer (bf16/f32 or int8)
     v: Array,
     length: Array,  # () int32 valid prefix
     scale: float,
     block: int = 1024,
+    k_scale: Optional[Array] = None,  # (Hkv, L) f32 when k is int8
+    v_scale: Optional[Array] = None,
 ) -> PartialAttn:
     """Online-softmax partial attention over a length-masked buffer,
     lax.scan over KV blocks — flash-attention structure in pure XLA. Peak
@@ -110,11 +112,25 @@ def _blockwise_partial_attention(
         v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
     kb = k.reshape(hkv, nblocks, block, d).transpose(1, 0, 2, 3)
     vb = v.reshape(hkv, nblocks, block, d).transpose(1, 0, 2, 3)
+    quant = k_scale is not None
+    if quant:
+        if pad:
+            k_scale = jnp.pad(k_scale, ((0, 0), (0, pad)))
+            v_scale = jnp.pad(v_scale, ((0, 0), (0, pad)))
+        ksb = k_scale.reshape(hkv, nblocks, block).transpose(1, 0, 2)
+        vsb = v_scale.reshape(hkv, nblocks, block).transpose(1, 0, 2)
+    else:
+        ksb = vsb = jnp.zeros((nblocks, 1, 1), jnp.float32)
     qf = _fold_gqa(q, hkv).astype(jnp.float32)
 
     def body(carry, xs):
         m_prev, s_prev, o_prev, bi = carry
-        kblk, vblk = xs
+        kblk, vblk, ksblk, vsblk = xs
+        if quant:
+            # int8 rows dequantized per block in VMEM — HBM still only
+            # reads int8 (the bandwidth win)
+            kblk = kblk.astype(jnp.float32) * ksblk[..., None]
+            vblk = vblk.astype(jnp.float32) * vsblk[..., None]
         scores = jnp.einsum(
             "hrqd,hld->hrql", qf, kblk.astype(jnp.float32)
         ) * scale
@@ -136,7 +152,9 @@ def _blockwise_partial_attention(
     m0 = jnp.full((hkv, rep, qlen), NEG_INF, jnp.float32)
     s0 = jnp.zeros((hkv, rep, qlen), jnp.float32)
     o0 = jnp.zeros((hkv, rep, qlen, d), jnp.float32)
-    (m, s, o, _), _ = jax.lax.scan(body, (m0, s0, o0, jnp.int32(0)), (kb, vb))
+    (m, s, o, _), _ = jax.lax.scan(
+        body, (m0, s0, o0, jnp.int32(0)), (kb, vb, ksb, vsb)
+    )
     out = o / jnp.maximum(s[..., None], 1e-30)
     lse = jnp.where(
         s > 0, jnp.maximum(m, -1e29) + jnp.log(jnp.maximum(s, 1e-30)), NEG_INF
@@ -152,21 +170,28 @@ BLOCKWISE_THRESHOLD = 4096
 def past_partial_attention(
     q: Array, k_past: Array, v_past: Array, past_length: Array,
     g: int, scale: float, impl: str = "auto",
+    k_scale: Optional[Array] = None, v_scale: Optional[Array] = None,
 ) -> PartialAttn:
     """Dispatch the past-buffer partial: 'pallas' -> flash kernel,
     'xla' -> single-shot or blockwise by capacity, 'auto' -> pallas on TPU
     backends for big buffers, xla otherwise."""
     capacity = k_past.shape[1]
+    quant = k_scale is not None
     if impl == "auto":
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        impl = "pallas" if (on_tpu and capacity >= BLOCKWISE_THRESHOLD) else "xla"
-    if impl == "pallas":
+        impl = (
+            "pallas"
+            if (on_tpu and capacity >= BLOCKWISE_THRESHOLD and not quant)
+            else "xla"
+        )
+    if impl == "pallas" and not quant:
         from quickvideo_tpu.ops.flash_attention import flash_past_attention
 
         return flash_past_attention(q, k_past, v_past, past_length, scale=scale)
-    if capacity >= BLOCKWISE_THRESHOLD:
+    if capacity >= BLOCKWISE_THRESHOLD or quant:
         return _blockwise_partial_attention(
-            q, k_past, v_past, past_length, scale
+            q, k_past, v_past, past_length, scale,
+            k_scale=k_scale, v_scale=v_scale,
         )
     pmask = jnp.broadcast_to(
         jnp.arange(capacity, dtype=jnp.int32)[None, :] < past_length,
@@ -187,6 +212,8 @@ def grouped_attention(
     return_group_probs: bool = False,
     causal: bool = True,
     impl: str = "auto",
+    k_scale: Optional[Array] = None,
+    v_scale: Optional[Array] = None,
 ):
     """Attention of group queries over [past cache (masked), group (causal)].
 
@@ -210,7 +237,8 @@ def grouped_attention(
         out, lse_tot = pg.out, pg.lse
     else:
         pp = past_partial_attention(
-            q, k_past, v_past, past_length, g, scale, impl=impl
+            q, k_past, v_past, past_length, g, scale, impl=impl,
+            k_scale=k_scale, v_scale=v_scale,
         )
         out, lse_tot = merge_partials(pp, pg)
     if not return_group_probs:

@@ -28,6 +28,24 @@ from flax import struct
 Array = jax.Array
 
 
+def quantize_kv(x: Array):
+    """Per-(head, token) symmetric int8 quantization of K or V rows.
+
+    x: (num_kv_heads, n, head_dim) -> (int8 values, f32 scales (H, n)).
+    Row-wise absmax scaling keeps RoPE'd key geometry well-conditioned
+    (head_dim-long rows have similar magnitudes)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q: Array, scale: Array, dtype=jnp.float32) -> Array:
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
 @struct.dataclass
 class KVCache:
     """Stacked-by-layer KV cache.
@@ -46,6 +64,13 @@ class KVCache:
     v: Array
     length: Array
     accum_attn: Optional[Array] = None
+    # int8 mode (quantized=True at init): per-(layer, head, token) f32 scales
+    k_scale: Optional[Array] = None
+    v_scale: Optional[Array] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @property
     def capacity(self) -> int:
@@ -63,16 +88,29 @@ def init_cache(
     head_dim: int,
     dtype=jnp.bfloat16,
     with_accum_attn: bool = False,
+    quantized: bool = False,
 ) -> KVCache:
+    """quantized=True stores K/V as int8 + per-(head, token) f32 scales:
+    ~47% of the bf16 cache's HBM (int8 values + 4B/128-row scale), letting
+    hour-long rho=0.5 caches coexist with weights on one chip."""
     shape = (num_layers, num_kv_heads, capacity, head_dim)
+    store_dtype = jnp.int8 if quantized else dtype
     return KVCache(
-        k=jnp.zeros(shape, dtype),
-        v=jnp.zeros(shape, dtype),
+        k=jnp.zeros(shape, store_dtype),
+        v=jnp.zeros(shape, store_dtype),
         length=jnp.zeros((num_layers,), jnp.int32),
         accum_attn=(
             jnp.zeros((num_layers, capacity), jnp.float32)
             if with_accum_attn
             else None
+        ),
+        k_scale=(
+            jnp.zeros((num_layers, num_kv_heads, capacity), jnp.float32)
+            if quantized else None
+        ),
+        v_scale=(
+            jnp.zeros((num_layers, num_kv_heads, capacity), jnp.float32)
+            if quantized else None
         ),
     )
 
@@ -91,6 +129,20 @@ def layer_append(
         v_buf, v_new.astype(v_buf.dtype), (0, length, 0)
     )
     return k_buf, v_buf
+
+
+def layer_append_quantized(
+    k_buf: Array, v_buf: Array, k_scale_buf: Array, v_scale_buf: Array,
+    length: Array, k_new: Array, v_new: Array,
+):
+    """int8 variant: quantize the appended rows and store values + scales."""
+    kq, ks = quantize_kv(k_new)
+    vq, vs = quantize_kv(v_new)
+    k_buf = jax.lax.dynamic_update_slice(k_buf, kq, (0, length, 0))
+    v_buf = jax.lax.dynamic_update_slice(v_buf, vq, (0, length, 0))
+    k_scale_buf = jax.lax.dynamic_update_slice(k_scale_buf, ks, (0, length))
+    v_scale_buf = jax.lax.dynamic_update_slice(v_scale_buf, vs, (0, length))
+    return k_buf, v_buf, k_scale_buf, v_scale_buf
 
 
 def layer_append_accum(accum_buf: Array, length: Array, scores_new: Array):

@@ -390,6 +390,7 @@ class LVUEngine:
                 capacity,
                 cfg.text.head_dim,
                 dtype=self.dtype,
+                quantized=(lvu.kv_cache_dtype == "int8"),
             )
 
         prompt_ids = ids[suffix_start:]
@@ -425,6 +426,7 @@ class LVUEngine:
                 prompt_len=prompt_len,
                 attn_impl=lvu.attention_impl,
                 attend_past=lvu.adaptive_local_attention,
+                kv_quant=(lvu.kv_cache_dtype == "int8"),
             )
             # one dispatch per group: slice + embed + scatter + full stack
             # (per-op dispatch over the device transport costs 100s of ms)
@@ -474,10 +476,16 @@ class LVUEngine:
                 temperature, timer, top_p=top_p, top_k=top_k,
             )
         t = self.cfg.text
-        per_tok = (
-            t.num_hidden_layers * t.num_key_value_heads * t.head_dim * 2
-            * jnp.dtype(self.dtype).itemsize
-        )
+        if self.lvu.kv_cache_dtype == "int8":
+            # int8 values + one f32 scale per 128-dim row, per K and V
+            per_tok = t.num_hidden_layers * t.num_key_value_heads * 2 * (
+                t.head_dim + 4
+            )
+        else:
+            per_tok = (
+                t.num_hidden_layers * t.num_key_value_heads * t.head_dim * 2
+                * jnp.dtype(self.dtype).itemsize
+            )
         cache_len = int(jnp.max(cache.length))
         return GenerationResult(
             tokens=tokens,
@@ -534,6 +542,7 @@ class LVUEngine:
                     predict_type=lvu.top_k_predict_type,
                     needs_probs=lvu.needs_attn_stats,
                     attn_impl=lvu.attention_impl,
+                    kv_quant=(lvu.kv_cache_dtype == "int8"),
                 )
                 x = self._embed_scatter_jit(
                     self.params["language"]["embed"],
@@ -559,6 +568,7 @@ class LVUEngine:
                 spec = StepSpec(
                     cfg=cfg.text, q_len=bucket, keep_k=0,
                     attn_impl=lvu.attention_impl,
+                    kv_quant=(lvu.kv_cache_dtype == "int8"),
                 )
                 cache, logits = self._final_prefill_jit(
                     self.params["language"], cache,
@@ -568,7 +578,10 @@ class LVUEngine:
                 )
 
         out_tokens: List[int] = []
-        dspec = StepSpec(cfg=cfg.text, q_len=1, keep_k=0)
+        dspec = StepSpec(
+            cfg=cfg.text, q_len=1, keep_k=0,
+            kv_quant=(lvu.kv_cache_dtype == "int8"),
+        )
         with timer.span("decode"):
             if greedy:
                 # device-side chunked greedy decode: one dispatch per chunk

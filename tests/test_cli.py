@@ -1,0 +1,41 @@
+"""CLI argument surface (reference lvu/lvu.py:59-119 flag parity)."""
+
+from quickvideo_tpu.lvu_cli import build_parser
+
+
+def test_defaults_match_reference():
+    a = build_parser().parse_args([])
+    assert a.model_type == "qwen25_lvu_interleaved"
+    assert a.top_k_predict_type == "key_norms_small"
+    assert a.top_p == 0.2
+    assert a.video_group_size == 16
+    assert a.num_frames == 32
+    assert a.adaptive_local_attention
+
+
+def test_all_reference_flags_accepted():
+    a = build_parser().parse_args([
+        "--model_name_or_path", "qwen25-vl-3b",
+        "--model_type", "qwen25_lvu",
+        "--video_path", "v.mp4",
+        "--question", "q1", "--question", "q2",
+        "--top_k", "64",
+        "--top_p", "0.5",
+        "--top_k_starting_layer", "2",
+        "--video_group_size", "32",
+        "--prefill_prune_starting_layer", "1",
+        "--fps", "1.0",
+        "--do_top_k_for_query",
+        "--top_k_decay_type", "linear",
+        "--top_k_decay_factor", "0.5",
+        "--max_new_tokens", "64",
+        "--json",
+    ])
+    assert a.question == ["q1", "q2"]
+    assert a.top_k == 64 and a.fps == 1.0
+
+
+def test_missing_video_without_demo():
+    from quickvideo_tpu.lvu_cli import main
+
+    assert main([]) == 2
