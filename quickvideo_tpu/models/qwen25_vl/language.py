@@ -219,7 +219,7 @@ def layer_step(
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
             big = k_buf.shape[1] >= attn_ops.BLOCKWISE_THRESHOLD
             impl = "pallas_unified" if (on_tpu and big) else "xla"
-        if (spec.attend_past and not spec.kv_quant
+        if (spec.attend_past
                 and impl in ("pallas", "pallas_unified")
                 and use_cache_past and spec.causal):
             # unified path: append raw group K/V at [length, length+G), run ONE
@@ -230,11 +230,26 @@ def layer_step(
 
             import os as _os
 
-            k_buf, v_buf = kv.layer_append(k_buf, v_buf, length, k_grp, v_grp)
+            if spec.kv_quant:
+                # group K/V appended quantized; the kernel dequantizes per
+                # block (the current group sees ~1/127 rounding on itself,
+                # standard KV-quant behavior)
+                k_buf, v_buf, k_scale_buf, v_scale_buf = (
+                    kv.layer_append_quantized(
+                        k_buf, v_buf, k_scale_buf, v_scale_buf, length,
+                        k_grp, v_grp,
+                    )
+                )
+            else:
+                k_buf, v_buf = kv.layer_append(
+                    k_buf, v_buf, length, k_grp, v_grp
+                )
             already_appended = True
             pa = flash_past_attention(
                 q, k_buf, v_buf, length, scale=scale, causal=True,
                 interpret=bool(_os.environ.get("QV_PALLAS_INTERPRET")),
+                k_scale=k_scale_buf if spec.kv_quant else None,
+                v_scale=v_scale_buf if spec.kv_quant else None,
             )
             out = pa.out
             group_probs = None

@@ -47,6 +47,8 @@ def _flash_kernel(
     block_q: int,
     block_k: int,
     scale: float,
+    ks_ref=None,  # int8 mode: (1, cap//128, 128) f32 full scale plane / head
+    vs_ref=None,
 ):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -72,6 +74,12 @@ def _flash_kernel(
     def _compute():
         q = q_ref[0]  # (rep*BQ, D)
         k = k_ref[0]  # (BK, D)
+        if ks_ref is not None:
+            # int8 cache: dequantize this block's rows in VMEM (HBM traffic
+            # stays int8). Scale plane layout (cap//128, 128) row-major.
+            srows = block_k // 128
+            kscale = ks_ref[0, pl.ds(ki * srows, srows), :].reshape(block_k)
+            k = (k.astype(jnp.float32) * kscale[:, None]).astype(q.dtype)
         scores = jax.lax.dot_general(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -100,8 +108,15 @@ def _flash_kernel(
         p = jnp.where(mask, p, 0.0)
         alpha = jnp.exp(jnp.maximum(m_prev, -1e29) - m_safe)
         s_scr[:, 0] = s_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
+        v_blk = v_ref[0]
+        if vs_ref is not None:
+            srows = block_k // 128
+            vscale = vs_ref[0, pl.ds(ki * srows, srows), :].reshape(block_k)
+            v_blk = (v_blk.astype(jnp.float32) * vscale[:, None]).astype(
+                q_ref.dtype
+            )
         acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0],
+            p.astype(v_blk.dtype), v_blk,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -135,6 +150,8 @@ def flash_past_attention(
     block_k: int = 512,
     interpret: bool = False,
     causal: bool = False,
+    k_scale: Array = None,  # (Hkv, capacity) f32 when k_past is int8
+    v_scale: Array = None,
 ) -> PartialAttn:
     """Pure-past mode (causal=False): attends cache slots [0, length).
     Unified mode (causal=True): the buffer holds [past | appended group];
@@ -154,28 +171,47 @@ def flash_past_attention(
     if pad_k:
         k_past = jnp.pad(k_past, ((0, 0), (0, pad_k), (0, 0)))
         v_past = jnp.pad(v_past, ((0, 0), (0, pad_k), (0, 0)))
+        if k_scale is not None:
+            k_scale = jnp.pad(k_scale, ((0, 0), (0, pad_k)))
+            v_scale = jnp.pad(v_scale, ((0, 0), (0, pad_k)))
     gq = g + pad_q  # padded G
     rbq = rep * block_q
     # fold GQA (query head h serves kv head h // rep): (Hkv, rep, Gp, D)
     qf = q.reshape(hkv, rep, gq, d)
 
+    quant = k_scale is not None
+    capp = cap + pad_k  # padded capacity
+    in_specs = [
+        pl.BlockSpec(
+            (1, rbq, d), lambda h, qi, ki, *_: (h, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, block_k, d), lambda h, qi, ki, *_: (h, ki, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, block_k, d), lambda h, qi, ki, *_: (h, ki, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if quant:
+        assert block_k % 128 == 0 and capp % 128 == 0, (block_k, capp)
+        # full per-head scale plane resident in VMEM (cap/128 x 128 f32)
+        in_specs += [
+            pl.BlockSpec(
+                (1, capp // 128, 128), lambda h, qi, ki, *_: (h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, capp // 128, 128), lambda h, qi, ki, *_: (h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(hkv, nq, nk),
-        in_specs=[
-            pl.BlockSpec(
-                (1, rbq, d), lambda h, qi, ki, *_: (h, qi, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, block_k, d), lambda h, qi, ki, *_: (h, ki, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, block_k, d), lambda h, qi, ki, *_: (h, ki, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, rbq, d), lambda h, qi, ki, *_: (h, qi, 0),
@@ -199,10 +235,26 @@ def flash_past_attention(
         .transpose(0, 2, 1, 3, 4)
         .reshape(hkv, nq * rbq, d)
     )
+    kernel = functools.partial(
+        _flash_kernel, block_q=block_q, block_k=block_k, scale=scale
+    )
+    if quant:
+        def kernel(length_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                   o_ref, lse_ref, m_scr, s_scr, acc_scr):
+            return _flash_kernel(
+                length_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scr, s_scr, acc_scr,
+                block_q=block_q, block_k=block_k, scale=scale,
+                ks_ref=ks_ref, vs_ref=vs_ref,
+            )
+    operands = [qblocks, k_past, v_past]
+    if quant:
+        operands += [
+            k_scale.reshape(hkv, capp // 128, 128),
+            v_scale.reshape(hkv, capp // 128, 128),
+        ]
     out, lse = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, block_q=block_q, block_k=block_k, scale=scale
-        ),
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((hkv, nq * rbq, d), jnp.float32),
@@ -212,7 +264,7 @@ def flash_past_attention(
     )(
         jnp.stack([length.astype(jnp.int32),
                    (length.astype(jnp.int32) if causal else jnp.int32(-1))]),
-        qblocks, k_past, v_past,
+        *operands,
     )
     # unfold back to (Hq, G, D)
     out = (

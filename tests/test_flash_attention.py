@@ -60,3 +60,23 @@ def test_flash_then_merge_equals_concat(rng_np):
         q, kg, vg, kbuf, vbuf, jnp.int32(length), scale=SCALE
     )
     np.testing.assert_allclose(out, ref_out, rtol=3e-5, atol=3e-5)
+
+
+def test_flash_int8_matches_dequant_oracle(rng_np):
+    """int8-cache kernel vs oracle over explicitly dequantized buffers."""
+    from quickvideo_tpu.ops.kv_cache import dequantize_kv, quantize_kv
+
+    g, cap, length = 128, 1024, 700
+    q = jnp.asarray(rng_np.standard_normal((HQ, g, D)).astype(np.float32))
+    k = jnp.asarray(rng_np.standard_normal((HKV, cap, D)).astype(np.float32))
+    v = jnp.asarray(rng_np.standard_normal((HKV, cap, D)).astype(np.float32))
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    got = flash_past_attention(
+        q, kq, vq, jnp.int32(length), scale=SCALE, block_q=128, block_k=256,
+        interpret=True, k_scale=ks, v_scale=vs,
+    )
+    kd = dequantize_kv(kq, ks)
+    vd = dequantize_kv(vq, vs)
+    ref = oracle(q, kd, vd, jnp.int32(length))
+    np.testing.assert_allclose(got.out, ref.out, rtol=2e-4, atol=2e-4)
