@@ -341,7 +341,10 @@ class LVUEngine:
             # max_pos+1 == L + delta (reference rope_deltas semantics)
             from quickvideo_tpu.models.qwen25_vl.rope import text_positions
 
-            dec_pos = text_positions(L + delta, lvu.max_decode_tokens)
+            # +32 slack rows: decode runs in FIXED 32-token chunks (may
+            # overshoot max_new and trim) so one compiled chunk serves every
+            # request length
+            dec_pos = text_positions(L + delta, lvu.max_decode_tokens + 32)
             all_pos = np.concatenate([positions, dec_pos], axis=1)
             # tables are built ON DEVICE: the host core is slow and the
             # (L, head_dim) tables would otherwise ship over the transport
@@ -398,6 +401,7 @@ class LVUEngine:
 
         # --- group loop ---
         past_len = 0
+        logical_len = 0
         n_layers = cfg.text.num_hidden_layers
         ids_j = jnp.asarray(ids, jnp.int32)
         prompt_cos = cos[suffix_start:L]
@@ -444,6 +448,7 @@ class LVUEngine:
                         jnp.int32(gi), specs=self._layer_specs(base),
                     )
             past_len += in_len
+            logical_len += base.append_n
         assert past_len == suffix_start, (past_len, suffix_start)
 
         state = {
@@ -454,6 +459,10 @@ class LVUEngine:
             "delta": delta,
             "ids": ids,
             "timer": timer,
+            # logical cache occupancy tracked host-side: the decode chunks
+            # overshoot (fixed 32-size) and the device counter includes the
+            # never-attended tail
+            "cache_len": logical_len,
         }
         return cache, state
 
@@ -471,7 +480,7 @@ class LVUEngine:
         timer = SpanTimer()
         with timer.span("e2e"):
             cache, state = self.prefill(inputs, timer)
-            tokens, cache = self._generate_from_cache(
+            tokens, cache, cache_len = self._generate_from_cache(
                 cache, state, max_new_tokens, eos_token_ids, greedy,
                 temperature, timer, top_p=top_p, top_k=top_k,
             )
@@ -486,7 +495,6 @@ class LVUEngine:
                 t.num_hidden_layers * t.num_key_value_heads * t.head_dim * 2
                 * jnp.dtype(self.dtype).itemsize
             )
-        cache_len = int(jnp.max(cache.length))
         return GenerationResult(
             tokens=tokens,
             timings=timer.totals(),
@@ -588,20 +596,21 @@ class LVUEngine:
                 # (per-token host sync costs a transport RTT each)
                 nxt = int(jnp.argmax(logits))
                 out_tokens.append(nxt)
-                chunk_size = 32
+                chunk_size = 32  # FIXED: one compiled chunk for any max_new
                 while len(out_tokens) < max_new and (
                     out_tokens[-1] not in eos_token_ids
                 ):
                     i0 = len(out_tokens) - 1
-                    n = min(chunk_size, max_new - len(out_tokens))
                     cache, toks = self._decode_chunk_jit(
                         self.params["language"], cache,
                         jnp.int32(out_tokens[-1]),
-                        cos[L + i0 : L + i0 + n],
-                        sin[L + i0 : L + i0 + n],
+                        cos[L + i0 : L + i0 + chunk_size],
+                        sin[L + i0 : L + i0 + chunk_size],
                         spec=dspec,
                     )
                     for t in np.asarray(toks).tolist():
+                        if len(out_tokens) >= max_new:
+                            break
                         out_tokens.append(int(t))
                         if t in eos_token_ids:
                             break
@@ -623,4 +632,8 @@ class LVUEngine:
                         sin[pos_idx : pos_idx + 1],
                         spec=dspec,
                     )
-        return np.asarray(out_tokens, np.int64), cache
+        suffix_advance = keep_k if keep_k > 0 else suffix_len
+        logical = state["cache_len"] + suffix_advance + max(
+            0, len(out_tokens) - 1
+        )
+        return np.asarray(out_tokens, np.int64), cache, logical
