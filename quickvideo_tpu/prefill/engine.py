@@ -100,6 +100,20 @@ def enable_compilation_cache():
         pass  # older jax without these flags
 
 
+def _maybe_sync(x):
+    """QV_SYNC_SPANS=1: force device sync inside each timing span so spans
+    reflect true device time (diagnostics only — kills pipelining)."""
+    import os
+
+    if os.environ.get("QV_SYNC_SPANS"):
+        jax.block_until_ready(x)
+        # axon block_until_ready can be a no-op; force a tiny D2H
+        leaf = jax.tree.leaves(x)
+        if leaf:
+            np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+    return x
+
+
 class LVUEngine:
     """One model + one LVUConfig; reusable across requests."""
 
@@ -409,7 +423,16 @@ class LVUEngine:
         prompt_ids_j = (
             jnp.asarray(prompt_ids, jnp.int32) if prompt_len else None
         )
-        for gi, pixels in enumerate(inputs.pixel_groups):
+        pixel_iter = inputs.pixel_groups
+        if lvu.use_tqdm:
+            # reference progress-bar contract (qwen25_vl.py:477-478)
+            from tqdm import tqdm
+
+            pixel_iter = tqdm(
+                pixel_iter, desc="Processing video groups",
+                total=len(inputs.group_grids),
+            )
+        for gi, pixels in enumerate(pixel_iter):
             grid = tuple(int(x) for x in inputs.group_grids[gi])
             in_len = group_input_lens[gi]
             with timer.span("vision"):
@@ -417,9 +440,9 @@ class LVUEngine:
                 # normalize); float test inputs pass through in compute dtype
                 if pix.dtype != jnp.uint8:
                     pix = pix.astype(self.dtype)
-                vis = self._vision_jit(
+                vis = _maybe_sync(self._vision_jit(
                     self.params, cfg, pix, grid, self._layout_arrays(grid),
-                )
+                ))
             q_len = in_len + prompt_len
             base = StepSpec(
                 cfg=cfg.text,
@@ -436,16 +459,16 @@ class LVUEngine:
             # (per-op dispatch over the device transport costs 100s of ms)
             with timer.span("prefill"):
                 if self._uniform():
-                    cache = self._group_jit(
+                    cache = _maybe_sync(self._group_jit(
                         self.params["language"], cache, ids_j, cos, sin,
-                        jnp.int32(past_len), vis, prompt_ids_j,
-                        jnp.int32(gi), spec=base,
-                    )
+                        np.int32(past_len), vis, prompt_ids_j,
+                        np.int32(gi), spec=base,
+                    ))
                 else:
                     cache = self._group_unrolled_jit(
                         self.params["language"], cache, ids_j, cos, sin,
-                        jnp.int32(past_len), vis, prompt_ids_j,
-                        jnp.int32(gi), specs=self._layer_specs(base),
+                        np.int32(past_len), vis, prompt_ids_j,
+                        np.int32(gi), specs=self._layer_specs(base),
                     )
             past_len += in_len
             logical_len += base.append_n
@@ -581,7 +604,7 @@ class LVUEngine:
                 cache, logits = self._final_prefill_jit(
                     self.params["language"], cache,
                     jnp.asarray(ids_pad, jnp.int32),
-                    cos, sin, jnp.int32(ss), jnp.int32(suffix_len),
+                    cos, sin, np.int32(ss), np.int32(suffix_len),
                     spec=spec,
                 )
 
@@ -603,7 +626,7 @@ class LVUEngine:
                     i0 = len(out_tokens) - 1
                     cache, toks = self._decode_chunk_jit(
                         self.params["language"], cache,
-                        jnp.int32(out_tokens[-1]),
+                        np.int32(out_tokens[-1]),
                         cos[L + i0 : L + i0 + chunk_size],
                         sin[L + i0 : L + i0 + chunk_size],
                         spec=dspec,
@@ -627,7 +650,7 @@ class LVUEngine:
                     pos_idx = L + step  # decode tables start at row L
                     cache, logits = self._decode_jit(
                         self.params["language"], cache,
-                        jnp.int32(nxt),
+                        np.int32(nxt),
                         cos[pos_idx : pos_idx + 1],
                         sin[pos_idx : pos_idx + 1],
                         spec=dspec,
