@@ -113,18 +113,39 @@ struct DecodeCtx {
     if (fmt) { avformat_close_input(&fmt); }
   }
 
-  // Resize+convert a decoded frame to planar RGB CHW into dst (3*out_h*out_w).
+  int out_fmt = 0;
+
+  // frame bytes for the configured output format
+  static size_t frame_bytes_for(int fmt, int w, int h) {
+    return fmt == 1 ? (size_t)w * h * 3 / 2 : (size_t)3 * w * h;
+  }
+
+  // Resize+convert a decoded frame into dst.
+  // fmt 0: planar RGB CHW (3*H*W) via GBRP plane remap.
+  // fmt 1: packed YUV420p [Y (H*W) | U (H/2*W/2) | V (H/2*W/2)] — half the
+  //        bytes of RGB; the device does chroma upsample + BT.601 matrix.
   bool to_rgb_chw(AVFrame* frame, uint8_t* dst) {
+    AVPixelFormat want = out_fmt == 1 ? AV_PIX_FMT_YUV420P : AV_PIX_FMT_GBRP;
     if (!sws || sws_src_w != frame->width || sws_src_h != frame->height ||
         sws_src_fmt != (AVPixelFormat)frame->format) {
       if (sws) sws_freeContext(sws);
       sws = sws_getContext(frame->width, frame->height,
                            (AVPixelFormat)frame->format, out_w, out_h,
-                           AV_PIX_FMT_GBRP, interp, nullptr, nullptr, nullptr);
+                           want, interp, nullptr, nullptr, nullptr);
       sws_src_w = frame->width;
       sws_src_h = frame->height;
       sws_src_fmt = (AVPixelFormat)frame->format;
       if (!sws) return false;
+    }
+    if (out_fmt == 1) {
+      const int y_plane = out_w * out_h;
+      const int c_plane = (out_w / 2) * (out_h / 2);
+      uint8_t* dst_data[4] = {dst, dst + y_plane, dst + y_plane + c_plane,
+                              nullptr};
+      int dst_linesize[4] = {out_w, out_w / 2, out_w / 2, 0};
+      sws_scale(sws, frame->data, frame->linesize, 0, frame->height, dst_data,
+                dst_linesize);
+      return true;
     }
     const int plane = out_w * out_h;
     // GBRP plane order is G,B,R; point them into the CHW RGB buffer.
@@ -305,6 +326,7 @@ struct Reader {
   int num_intervals = 64;
   int out_w = 0, out_h = 0;
   int interp = SWS_LANCZOS;
+  int out_fmt = 0;  // 0 = planar RGB CHW; 1 = packed YUV420p (1.5 B/px)
   std::string error;
 
   // interleaved state
@@ -341,7 +363,7 @@ struct Reader {
   // ---- batch mode ----
   bool get_batch(const int64_t* indices, int64_t n, uint8_t* out) {
     const int W = effective_w(), H = effective_h();
-    const size_t frame_bytes = (size_t)3 * W * H;
+    const size_t frame_bytes = DecodeCtx::frame_bytes_for(out_fmt, W, H);
     // partition into contiguous chunks, one per thread
     int nthreads = std::max(1, std::min<int>(num_threads, (int)n));
     std::vector<std::vector<int64_t>> chunks(nthreads);
@@ -363,6 +385,7 @@ struct Reader {
         ctx.out_w = W;
         ctx.out_h = H;
         ctx.interp = interp;
+        ctx.out_fmt = out_fmt;
         std::string err;
         if (!ctx.open(si.path, si.video_stream, &err)) {
           errs[c] = err;
@@ -465,11 +488,12 @@ struct Reader {
 
   void worker_loop() {
     const int W = effective_w(), H = effective_h();
-    const size_t frame_bytes = (size_t)3 * W * H;
+    const size_t frame_bytes = DecodeCtx::frame_bytes_for(out_fmt, W, H);
     DecodeCtx ctx;
     ctx.out_w = W;
     ctx.out_h = H;
     ctx.interp = interp;
+    ctx.out_fmt = out_fmt;
     std::string err;
     if (!ctx.open(si.path, si.video_stream, &err)) {
       std::lock_guard<std::mutex> lk(mu);
@@ -519,7 +543,7 @@ struct Reader {
   // number of frames delivered (0 = end, -1 = error).
   int64_t next_block(uint8_t* out) {
     const int W = effective_w(), H = effective_h();
-    const size_t frame_bytes = (size_t)3 * W * H;
+    const size_t frame_bytes = DecodeCtx::frame_bytes_for(out_fmt, W, H);
     if (consume_ptr >= total_wanted) return 0;
     size_t want = std::min<size_t>(frames_per_block,
                                    total_wanted - consume_ptr);
@@ -594,6 +618,10 @@ void qd_set_output_size(void* h, int width, int height, int interp_code) {
   r->out_w = width;
   r->out_h = height;
   r->interp = interp_from_code(interp_code);
+}
+
+void qd_set_output_format(void* h, int fmt) {
+  ((Reader*)h)->out_fmt = fmt;  // 0 = RGB CHW, 1 = packed YUV420p
 }
 
 int qd_get_batch(void* h, const int64_t* indices, int64_t n, uint8_t* out) {

@@ -112,6 +112,8 @@ class LVUConfig:
     param_dtype: str = "bfloat16"
     kv_cache_capacity: Optional[int] = None  # tokens; None = auto from input
     kv_cache_dtype: str = "bfloat16"  # "bfloat16" | "int8" (quantized cache)
+    decode_output: str = "rgb"  # "rgb" | "yuv420" (half the host->device
+    # bytes; chroma upsample + BT.601 run on device)
     attention_impl: str = "auto"  # "auto" | "pallas" | "xla"
     prune_impl: str = "auto"  # "auto" | "pallas" | "xla"
     max_decode_tokens: int = 512

@@ -88,16 +88,11 @@ def _fetch_frames(lvu, video_path, timer):
         return vreader.decode_video_batch(video_path, cfg)
     name, reader = open_reader(video_path, cfg.decode_threads)
     plan = plan_from_reader(reader, cfg)
+    reader.close()
     cached = frame_cache.load(video_path, plan, cfg.cache_dir)
     if cached is not None:
-        reader.close()
         return np.asarray(cached), plan
-    reader.height = plan.resized_height
-    reader.width = plan.resized_width
-    if hasattr(reader, "interpolation"):
-        reader.interpolation = "LANCZOS"
-    frames = reader.get_batch(plan.indices.tolist())
-    reader.close()
+    frames, plan = vreader.decode_video_batch(video_path, cfg)
     frame_cache.save(video_path, plan, frames, cfg.cache_dir)
     return frames, plan
 

@@ -316,6 +316,45 @@ def vision_forward(
     if layout_arrays is None:
         layout_arrays = layout_arrays_for(layout)
     pdtype = params["patch_embed"].dtype
+    if pixels.ndim == 2 and pixels.dtype == jnp.uint8 and (
+        pixels.shape[1]
+        == layout.grid_thw[1] * cfg.patch_size
+        * layout.grid_thw[2] * cfg.patch_size * 3 // 2
+    ):
+        # packed YUV420p frames (T, H*W*3/2): half the host->device bytes of
+        # RGB. Chroma nearest-upsample + limited-range BT.601 matrix on
+        # device (matches swscale's yuv420p->rgb within +-2 levels).
+        fh = layout.grid_thw[1] * cfg.patch_size
+        fw = layout.grid_thw[2] * cfg.patch_size
+        t_frames = pixels.shape[0]
+        hw = fh * fw
+        y = pixels[:, :hw].reshape(t_frames, fh, fw).astype(jnp.float32)
+        u = pixels[:, hw : hw + hw // 4].reshape(
+            t_frames, fh // 2, fw // 2
+        ).astype(jnp.float32)
+        v = pixels[:, hw + hw // 4 :].reshape(
+            t_frames, fh // 2, fw // 2
+        ).astype(jnp.float32)
+        u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2) - 128.0
+        v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2) - 128.0
+        c = (y - 16.0) * 1.1643835
+        r = c + 1.5960268 * v
+        g = c - 0.3917623 * u - 0.8129676 * v
+        b = c + 2.0172321 * u
+        pixels = jnp.clip(
+            jnp.stack([r, g, b], axis=1), 0.0, 255.0
+        )
+        # feed the uint8-affine normalize path in float form: emulate the
+        # same scale/bias (values still in 0..255 domain)
+        from quickvideo_tpu.video.preprocess import patch_norm_scale_bias
+
+        # reuse the raw-frames patchify below by keeping (T, C, H, W)
+        pixels = pixels.astype(jnp.float32)
+        # mark for the uint8 normalize branch by NOT casting further; the
+        # 4-D branch below patchifies, then the affine runs on float values
+        _yuv_float = True
+    else:
+        _yuv_float = False
     if pixels.ndim == 4:
         # raw decoded frames (T, C, H, W): patchify ON DEVICE (the HF
         # merged-unit interleave is a pure reshape/transpose — free for XLA,
@@ -336,8 +375,8 @@ def vision_forward(
         ).transpose(0, 3, 6, 4, 7, 2, 1, 5, 8).reshape(
             gt * gh * gw, c * tps * ps * ps
         )
-    if pixels.dtype == jnp.uint8:
-        # raw uint8 patches: rescale + CLIP normalize on device (tiny
+    if pixels.dtype == jnp.uint8 or _yuv_float:
+        # raw 0..255 patches: rescale + CLIP normalize on device (tiny
         # per-channel affine; host stays out of the float pipeline)
         from quickvideo_tpu.video.preprocess import patch_norm_scale_bias
 

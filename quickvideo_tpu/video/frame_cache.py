@@ -79,8 +79,10 @@ def load(video_path: str, plan: VideoPlan,
     if not f.exists():
         return None
     frames = np.load(f, mmap_mode="r")
-    if frames.shape != (
-        plan.nframes, 3, plan.resized_height, plan.resized_width
-    ):
+    rgb_shape = (plan.nframes, 3, plan.resized_height, plan.resized_width)
+    yuv_shape = (
+        plan.nframes, plan.resized_height * plan.resized_width * 3 // 2
+    )
+    if frames.shape not in (rgb_shape, yuv_shape):
         return None  # stale entry
     return frames

@@ -246,6 +246,10 @@ def patch_norm_scale_bias(
     return scale, bias
 
 
+def yuv420_frame_bytes(height: int, width: int) -> int:
+    return height * width * 3 // 2
+
+
 def resize_frames_bicubic(frames: np.ndarray, height: int, width: int) -> np.ndarray:
     """Fallback resize when the native decoder didn't resize in-loop
     (reference fallback uses torchvision BICUBIC,

@@ -67,6 +67,7 @@ def _lib() -> ctypes.CDLL:
     lib.qd_set_output_size.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
+    lib.qd_set_output_format.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.qd_get_batch.restype = ctypes.c_int
     lib.qd_get_batch.argtypes = [
         ctypes.c_void_p,
@@ -125,6 +126,7 @@ class VideoReader:
         self._height = height
         self._width = width
         self._interp = "LANCZOS"
+        self._out_fmt = "RGB"
         self.path = path
 
     def __len__(self):
@@ -175,16 +177,36 @@ class VideoReader:
             raise ValueError(f"unknown interpolation {v!r}")
         self._interp = v.upper()
 
+    @property
+    def output_format(self):
+        return self._out_fmt
+
+    @output_format.setter
+    def output_format(self, v: str):
+        v = v.upper()
+        if v not in ("RGB", "YUV420"):
+            raise ValueError(f"unknown output format {v!r}")
+        self._out_fmt = v
+
+    def _frame_shape(self):
+        if self._out_fmt == "YUV420":
+            return (self.height * self.width * 3 // 2,)
+        return (3, self.height, self.width)
+
     def _apply_output(self):
         self._lib.qd_set_output_size(
             self._h, self.width, self.height, _INTERP[self._interp]
         )
+        self._lib.qd_set_output_format(
+            self._h, 1 if self._out_fmt == "YUV420" else 0
+        )
 
     def get_batch(self, indices: Sequence[int]) -> np.ndarray:
-        """-> (T, C, H, W) uint8, resized in-decoder."""
+        """-> (T, C, H, W) uint8 (RGB) or (T, H*W*3/2) (YUV420), resized
+        in-decoder."""
         self._apply_output()
         idx = np.asarray(sorted(int(i) for i in indices), np.int64)
-        out = np.empty((len(idx), 3, self.height, self.width), np.uint8)
+        out = np.empty((len(idx), *self._frame_shape()), np.uint8)
         r = self._lib.qd_get_batch(
             self._h,
             idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -231,6 +253,7 @@ class InterleavedVideoReader(VideoReader):
         self._height = 0
         self._width = 0
         self._interp = "LANCZOS"
+        self._out_fmt = "RGB"
         self.path = path
         self._n_requested = 0
         self.frame_iter = 1
@@ -259,7 +282,7 @@ class InterleavedVideoReader(VideoReader):
         """Blocking: next block of `frame_iter` frames, (n, C, H, W) uint8."""
         self._lib.qd_set_frames_per_block(self._h, int(self.frame_iter))
         out = np.empty(
-            (int(self.frame_iter), 3, self.height, self.width), np.uint8
+            (int(self.frame_iter), *self._frame_shape()), np.uint8
         )
         n = self._lib.qd_next_block(
             self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))

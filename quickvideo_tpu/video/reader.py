@@ -95,6 +95,8 @@ def decode_video_batch(
     reader.width = plan.resized_width
     if hasattr(reader, "interpolation"):
         reader.interpolation = "LANCZOS"
+    if lvu.decode_output.lower() == "yuv420" and hasattr(reader, "output_format"):
+        reader.output_format = "YUV420"
     frames = reader.get_batch(plan.indices.tolist())
     reader.close()
     return frames, plan

@@ -51,6 +51,8 @@ class AsyncPixelGroups:
         self.reader.height = self.plan.resized_height
         self.reader.width = self.plan.resized_width
         self.reader.interpolation = "LANCZOS"
+        if lvu.decode_output.lower() == "yuv420":
+            self.reader.output_format = "YUV420"
         # kick off async native decode of the sampled frames NOW — decode of
         # group i+1 overlaps prefill of group i (reference :442)
         self.reader.process(self.plan.indices.tolist())

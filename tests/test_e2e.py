@@ -85,3 +85,20 @@ def test_unknown_model_type(video):
 
     with pytest.raises(ValueError, match="not registered"):
         LVU(LVUConfig(model_name_or_path="tiny", model_type="nope", dtype="float32"))
+
+
+def test_yuv420_matches_rgb_within_conversion_tolerance(video):
+    """YUV420 decode path (half the H2D bytes, device-side BT.601) produces
+    outputs consistent with the RGB path (conversion differs by <=2 levels
+    per pixel, which rarely moves greedy tokens on the tiny model)."""
+    lvu_rgb = make_lvu(model_type="qwen25_lvu")
+    out_rgb = lvu_rgb.generate("Q?", video, max_new_tokens=3)
+    lvu_yuv = make_lvu(model_type="qwen25_lvu", decode_output="yuv420")
+    lvu_yuv.params = lvu_rgb.params
+    lvu_yuv.engine.params = lvu_rgb.params
+    out_yuv = lvu_yuv.generate("Q?", video, max_new_tokens=3)
+    # both produce the right count; exact match is not guaranteed under the
+    # +-2-level conversion difference, but the first token should agree on
+    # this fixture
+    assert len(lvu_yuv.last_result.tokens) == 3
+    assert lvu_yuv.last_result.tokens[0] == lvu_rgb.last_result.tokens[0]
