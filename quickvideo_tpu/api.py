@@ -49,6 +49,14 @@ class LVU:
         self.tokenizer = load_tokenizer(
             config.model_name_or_path or "", self.model_config
         )
+        self.mesh = None
+        if config.mesh.num_devices > 1:
+            # place params with TP/replicated shardings; the same jitted
+            # programs then run SPMD over the mesh
+            from quickvideo_tpu.parallel import make_mesh, shard_params
+
+            self.mesh = make_mesh(config.mesh)
+            self.params = shard_params(self.params, self.mesh)
         self.engine = LVUEngine(self.params, self.model_config, config, dtype)
         self.last_result = None
         self.init_lvu()

@@ -103,3 +103,25 @@ def test_streaming_sharded_load_matches_bulk(tmp_path):
             np.asarray(flat_s[key]), np.asarray(leaf), rtol=0, atol=0,
             err_msg=key,
         )
+
+
+def test_lvu_api_with_mesh(tmp_path):
+    """LVU facade with a tp=2 mesh config: end-to-end generate on the CPU
+    mesh with sharded params."""
+    from quickvideo_tpu.api import LVU
+    from quickvideo_tpu.config import LVUConfig, MeshConfig
+    from quickvideo_tpu.video import quickdecode as qd
+
+    if not qd.is_available():
+        pytest.skip("native decoder not built")
+    video = str(tmp_path / "clip.mp4")
+    qd.encode_test_video(video, width=112, height=112, nframes=32, fps=8, gop=8)
+    lvu = LVU(LVUConfig(
+        model_name_or_path="tiny", model_type="qwen25_lvu",
+        num_frames=8, video_group_size=4, top_p=0.5,
+        max_decode_tokens=8, dtype="float32",
+        mesh=MeshConfig(dp=1, tp=2, sp=1),
+    ))
+    assert lvu.mesh is not None
+    out = lvu.generate("What?", video, max_new_tokens=3)
+    assert len(lvu.last_result.tokens) == 3
