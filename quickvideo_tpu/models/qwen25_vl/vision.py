@@ -200,15 +200,18 @@ def _apply_vision_rotary(x, cos, sin):
 
 def _block_attention(q, k, v, valid, scale):
     """Batched block attention. q/k/v: (B, L, H, D); valid: (B, L) bool or
-    None. Returns (B, L, H, D)."""
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    scores = jnp.einsum("blhd,bmhd->bhlm", qf, kf) * scale
+    None. Returns (B, L, H, D) in f32. Matmuls run at the input dtype
+    (bf16 on TPU -> full MXU rate) with f32 accumulation; softmax in f32."""
+    scores = jnp.einsum(
+        "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
+    ) * scale
     if valid is not None:
         scores = jnp.where(valid[:, None, None, :], scores, -1e30)
     p = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhlm,bmhd->blhd", p, vf)
+    out = jnp.einsum(
+        "bhlm,bmhd->blhd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
     return out
 
 
