@@ -7,4 +7,5 @@ from quickvideo_tpu.evaluation.qa import (
     extract_choice,
     format_mc_question,
     run_qa_eval,
+    shard_samples,
 )

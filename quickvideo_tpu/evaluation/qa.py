@@ -90,6 +90,23 @@ def load_jsonl(path: str) -> List[QASample]:
     return out
 
 
+def shard_samples(samples, rank: Optional[int] = None,
+                  world: Optional[int] = None):
+    """Communication-free eval data parallelism: each process takes every
+    world-th sample (the reference achieves the same with `accelerate launch
+    --num_processes 8`, README.md:405). Rank/world default from env
+    (QV_RANK/QV_WORLD or accelerate's RANK/WORLD_SIZE)."""
+    import os
+
+    rank = rank if rank is not None else int(
+        os.environ.get("QV_RANK", os.environ.get("RANK", "0"))
+    )
+    world = world if world is not None else int(
+        os.environ.get("QV_WORLD", os.environ.get("WORLD_SIZE", "1"))
+    )
+    return [s for i, s in enumerate(samples) if i % world == rank]
+
+
 def run_qa_eval(
     lvu,
     samples: Iterable[QASample],

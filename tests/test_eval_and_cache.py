@@ -94,3 +94,14 @@ class TestFrameCache:
         frame_cache.save("v.mp4", plan(56), frames, str(tmp_path))
         # different resize -> different key -> miss
         assert frame_cache.load("v.mp4", plan(84), str(tmp_path)) is None
+
+
+def test_shard_samples():
+    from quickvideo_tpu.evaluation import shard_samples
+
+    xs = list(range(10))
+    a = shard_samples(xs, rank=0, world=3)
+    b = shard_samples(xs, rank=1, world=3)
+    c = shard_samples(xs, rank=2, world=3)
+    assert sorted(a + b + c) == xs
+    assert shard_samples(xs, rank=0, world=1) == xs
