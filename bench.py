@@ -66,6 +66,7 @@ def main():
         max_decode_tokens=16,
         kv_cache_capacity=1 << int(os.environ.get("BENCH_CAP_LOG2", "16")),
         decode_output=os.environ.get("BENCH_DECODE_OUTPUT", "yuv420"),
+        kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "bfloat16"),
         decode_threads=int(os.environ.get("QUICKCODEC_CORES", "16")),
         dtype="bfloat16",
     )
