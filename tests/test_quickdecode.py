@@ -135,3 +135,35 @@ def test_long_fixture_many_intervals(tmp_path):
         if min(abs(g - want % 200), 200 - abs(g - want % 200)) > 2
     )
     assert bad == 0, f"{bad} misdecoded frames"
+
+
+def test_yuv420_device_conversion_matches_sws_rgb(fixture_video):
+    """Decode the same frames as RGB (swscale converts) and as YUV420
+    (our device BT.601 converts); outputs must agree within rounding."""
+    import jax.numpy as jnp
+
+    idx = [0, 11, 37]
+    vr = qd.VideoReader(fixture_video, num_threads=1)
+    vr.height = 64
+    vr.width = 64
+    rgb = vr.get_batch(idx)  # (3, 3, 64, 64)
+    vr.output_format = "YUV420"
+    yuv = vr.get_batch(idx)  # (3, 6144)
+    assert yuv.shape == (3, 64 * 64 * 3 // 2)
+
+    hw = 64 * 64
+    y = yuv[:, :hw].reshape(-1, 64, 64).astype(np.float32)
+    u = yuv[:, hw : hw + hw // 4].reshape(-1, 32, 32).astype(np.float32)
+    v = yuv[:, hw + hw // 4 :].reshape(-1, 32, 32).astype(np.float32)
+    u = np.repeat(np.repeat(u, 2, 1), 2, 2) - 128.0
+    v = np.repeat(np.repeat(v, 2, 1), 2, 2) - 128.0
+    c = (y - 16.0) * 1.1643835
+    r = c + 1.5960268 * v
+    g = c - 0.3917623 * u - 0.8129676 * v
+    b = c + 2.0172321 * u
+    ours = np.clip(np.stack([r, g, b], 1), 0, 255)
+    diff = np.abs(ours - rgb.astype(np.float32))
+    # chroma upsampling differs (sws interpolates, we use nearest): compare
+    # the bulk; allow a small tail of edge pixels to deviate more
+    assert np.percentile(diff, 90) <= 4.0, np.percentile(diff, 90)
+    assert diff.mean() <= 2.5, diff.mean()
