@@ -105,7 +105,7 @@ def _blockwise_partial_attention(
     hkv, cap, d = k.shape
     hq, qlen, _ = q.shape
     rep = hq // hkv
-    nblocks = pl_cdiv = -(-cap // block)
+    nblocks = -(-cap // block)
     pad = nblocks * block - cap
     if pad:
         k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))

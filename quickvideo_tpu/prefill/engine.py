@@ -378,7 +378,6 @@ class LVUEngine:
         n_vid = len(vid_idx)
         first_vid, last_vid = int(vid_idx[0]), int(vid_idx[-1])
         suffix_start = last_vid + 1
-        total_frames_t = inputs.video_grid_thw[0]
         group_tokens = []
         for t_g, h, w in inputs.group_grids:
             merged = t_g * (h // cfg.vision.spatial_merge_size) * (
@@ -418,8 +417,6 @@ class LVUEngine:
         logical_len = 0
         n_layers = cfg.text.num_hidden_layers
         ids_j = jnp.asarray(ids, jnp.int32)
-        prompt_cos = cos[suffix_start:L]
-        prompt_sin = sin[suffix_start:L]
         prompt_ids_j = (
             jnp.asarray(prompt_ids, jnp.int32) if prompt_len else None
         )
