@@ -97,11 +97,11 @@ def _blockwise_partial_attention(
     k_scale: Optional[Array] = None,  # (Hkv, L) f32 when k is int8
     v_scale: Optional[Array] = None,
 ) -> PartialAttn:
-    """Online-softmax partial attention over a length-masked buffer,
-    lax.scan over KV blocks — flash-attention structure in pure XLA. Peak
-    memory O(Q * block) instead of O(Q * capacity); blocks beyond `length`
-    still execute (static grid) but a Pallas kernel skips them
-    (quickvideo_tpu.ops.flash_attention)."""
+    """Online-softmax partial attention over a length-masked buffer with a
+    DYNAMIC trip count: a lax.fori_loop runs only ceil(length/block)
+    iterations, so empty capacity costs nothing (the fixed-grid scan version
+    paid for every block — catastrophic at 100k+ capacities). int8 buffers
+    dequantize per block in registers; HBM reads stay int8."""
     hkv, cap, d = k.shape
     hq, qlen, _ = q.shape
     rep = hq // hkv
@@ -110,31 +110,34 @@ def _blockwise_partial_attention(
     if pad:
         k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
-    kb = k.reshape(hkv, nblocks, block, d).transpose(1, 0, 2, 3)
-    vb = v.reshape(hkv, nblocks, block, d).transpose(1, 0, 2, 3)
     quant = k_scale is not None
-    if quant:
-        if pad:
-            k_scale = jnp.pad(k_scale, ((0, 0), (0, pad)))
-            v_scale = jnp.pad(v_scale, ((0, 0), (0, pad)))
-        ksb = k_scale.reshape(hkv, nblocks, block).transpose(1, 0, 2)
-        vsb = v_scale.reshape(hkv, nblocks, block).transpose(1, 0, 2)
-    else:
-        ksb = vsb = jnp.zeros((nblocks, 1, 1), jnp.float32)
+    if quant and pad:
+        k_scale = jnp.pad(k_scale, ((0, 0), (0, pad)))
+        v_scale = jnp.pad(v_scale, ((0, 0), (0, pad)))
     qf = _fold_gqa(q, hkv).astype(jnp.float32)
+    nvalid = jax.lax.div(length + block - 1, block)
 
-    def body(carry, xs):
-        m_prev, s_prev, o_prev, bi = carry
-        kblk, vblk, ksblk, vsblk = xs
+    def body(bi, carry):
+        m_prev, s_prev, o_prev = carry
+        start = bi * block
+        kblk = jax.lax.dynamic_slice(k, (0, start, 0), (hkv, block, d))
+        vblk = jax.lax.dynamic_slice(v, (0, start, 0), (hkv, block, d))
         if quant:
-            # int8 rows dequantized per block in VMEM — HBM still only
-            # reads int8 (the bandwidth win)
-            kblk = kblk.astype(jnp.float32) * ksblk[..., None]
-            vblk = vblk.astype(jnp.float32) * vsblk[..., None]
+            ks = jax.lax.dynamic_slice(k_scale, (0, start), (hkv, block))
+            vs = jax.lax.dynamic_slice(v_scale, (0, start), (hkv, block))
+            # dequant to bf16: matmuls run at full MXU rate, f32 accumulate
+            kblk = (kblk.astype(jnp.float32) * ks[..., None]).astype(
+                jnp.bfloat16
+            )
+            vblk = (vblk.astype(jnp.float32) * vs[..., None]).astype(
+                jnp.bfloat16
+            )
         scores = jnp.einsum(
-            "hrqd,hld->hrql", qf, kblk.astype(jnp.float32)
+            "hrqd,hld->hrql",
+            qf.astype(kblk.dtype), kblk,
+            preferred_element_type=jnp.float32,
         ) * scale
-        pos = bi * block + jnp.arange(block, dtype=jnp.int32)
+        pos = start + jnp.arange(block, dtype=jnp.int32)
         mask = pos[None, None, None, :] < length
         scores = jnp.where(mask, scores, NEG_INF)
         m_blk = jnp.max(scores, axis=-1)
@@ -147,14 +150,12 @@ def _blockwise_partial_attention(
         o_new = o_prev * alpha[..., None] + jnp.einsum(
             "hrql,hld->hrqd", p, vblk.astype(jnp.float32)
         )
-        return (m_new, s_new, o_new, bi + 1), None
+        return (m_new, s_new, o_new)
 
     m0 = jnp.full((hkv, rep, qlen), NEG_INF, jnp.float32)
     s0 = jnp.zeros((hkv, rep, qlen), jnp.float32)
     o0 = jnp.zeros((hkv, rep, qlen, d), jnp.float32)
-    (m, s, o, _), _ = jax.lax.scan(
-        body, (m0, s0, o0, jnp.int32(0)), (kb, vb, ksb, vsb)
-    )
+    m, s, o = jax.lax.fori_loop(0, nvalid, body, (m0, s0, o0))
     out = o / jnp.maximum(s[..., None], 1e-30)
     lse = jnp.where(
         s > 0, jnp.maximum(m, -1e29) + jnp.log(jnp.maximum(s, 1e-30)), NEG_INF
