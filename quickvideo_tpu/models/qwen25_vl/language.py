@@ -219,13 +219,9 @@ def layer_step(
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
             big = k_buf.shape[1] >= attn_ops.BLOCKWISE_THRESHOLD
             impl = "pallas_unified" if (on_tpu and big) else "xla"
-        if (spec.attend_past and not spec.kv_quant
+        if (spec.attend_past
                 and impl in ("pallas", "pallas_unified")
                 and use_cache_past and spec.causal):
-            # int8 mode routes through the XLA blockwise path below: Mosaic
-            # cannot lower the per-token scale tile relayout the int8 kernel
-            # needs ("infer-vector-layout: unsupported shape cast"); the
-            # blockwise path still reads int8 from HBM (the bandwidth win)
             # unified path: append raw group K/V at [length, length+G), run ONE
             # flash kernel causally over [0, length+G), then (below) overwrite
             # the raw span with the pruned compact. Avoids both the two-partial

@@ -47,7 +47,9 @@ def _flash_kernel(
     block_q: int,
     block_k: int,
     scale: float,
-    ks_ref=None,  # int8 mode: (1, cap//128, 128) f32 full scale plane / head
+    ks_ref=None,  # int8 mode: (1, 8, BK) lane-aligned scale tile (the scale
+                  # of kv token t sits at lane t - blk_start; 8 replicated
+                  # sublane rows satisfy Mosaic block-shape constraints)
     vs_ref=None,
 ):
     qi = pl.program_id(1)
@@ -74,17 +76,18 @@ def _flash_kernel(
     def _compute():
         q = q_ref[0]  # (rep*BQ, D)
         k = k_ref[0]  # (BK, D)
-        if ks_ref is not None:
-            # int8 cache: dequantize this block's rows in VMEM (HBM traffic
-            # stays int8). Scale plane layout (cap//128, 128) row-major.
-            srows = block_k // 128
-            kscale = ks_ref[0, pl.ds(ki * srows, srows), :].reshape(block_k)
-            k = (k.astype(jnp.float32) * kscale[:, None]).astype(q.dtype)
+        if ks_ref is not None and k.dtype == jnp.int8:
+            # int8 matmul inputs lower poorly; cast values to the q dtype and
+            # fold the per-token scale into the SCORES columns (lane-aligned,
+            # no relayout): scores[:, t] *= kscale[t]
+            k = k.astype(q.dtype)
         scores = jax.lax.dot_general(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (rep*BQ, BK)
+        if ks_ref is not None:
+            scores = scores * ks_ref[0, 0:1, :]
         pos = blk_start + jax.lax.broadcasted_iota(
             jnp.int32, scores.shape, dimension=1
         )
@@ -109,14 +112,14 @@ def _flash_kernel(
         alpha = jnp.exp(jnp.maximum(m_prev, -1e29) - m_safe)
         s_scr[:, 0] = s_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
         v_blk = v_ref[0]
+        pv = p
         if vs_ref is not None:
-            srows = block_k // 128
-            vscale = vs_ref[0, pl.ds(ki * srows, srows), :].reshape(block_k)
-            v_blk = (v_blk.astype(jnp.float32) * vscale[:, None]).astype(
-                q_ref.dtype
-            )
+            # per-token V scale folded into p's columns (= scaling V rows)
+            pv = p * vs_ref[0, 0:1, :]
+            if v_blk.dtype == jnp.int8:
+                v_blk = v_blk.astype(q_ref.dtype)
         acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
-            p.astype(v_blk.dtype), v_blk,
+            pv.astype(v_blk.dtype), v_blk,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -197,14 +200,16 @@ def flash_past_attention(
     ]
     if quant:
         assert block_k % 128 == 0 and capp % 128 == 0, (block_k, capp)
-        # full per-head scale plane resident in VMEM (cap/128 x 128 f32)
+        # lane-aligned scale tiles: (Hkv, 8, capp) with the 8 sublane rows
+        # replicated (Mosaic block shapes need sublanes % 8); the kernel
+        # reads row 0 as a (1, BK) vector aligned with score columns
         in_specs += [
             pl.BlockSpec(
-                (1, capp // 128, 128), lambda h, qi, ki, *_: (h, 0, 0),
+                (1, 8, block_k), lambda h, qi, ki, *_: (h, 0, ki),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, capp // 128, 128), lambda h, qi, ki, *_: (h, 0, 0),
+                (1, 8, block_k), lambda h, qi, ki, *_: (h, 0, ki),
                 memory_space=pltpu.VMEM,
             ),
         ]
@@ -250,8 +255,8 @@ def flash_past_attention(
     operands = [qblocks, k_past, v_past]
     if quant:
         operands += [
-            k_scale.reshape(hkv, capp // 128, 128),
-            v_scale.reshape(hkv, capp // 128, 128),
+            jnp.broadcast_to(k_scale[:, None, :], (hkv, 8, capp)),
+            jnp.broadcast_to(v_scale[:, None, :], (hkv, 8, capp)),
         ]
     out, lse = pl.pallas_call(
         kernel,
