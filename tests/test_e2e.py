@@ -102,3 +102,17 @@ def test_yuv420_matches_rgb_within_conversion_tolerance(video):
     # this fixture
     assert len(lvu_yuv.last_result.tokens) == 3
     assert lvu_yuv.last_result.tokens[0] == lvu_rgb.last_result.tokens[0]
+
+
+def test_int8_kv_e2e(video):
+    """Full LVU path with the int8 KV cache (interpret-mode kernel on CPU is
+    exercised in unit tests; here the XLA int8 path drives end-to-end)."""
+    lvu = make_lvu(model_type="qwen25_lvu", kv_cache_dtype="int8")
+    out = lvu.generate("What?", video, max_new_tokens=3)
+    res = lvu.last_result
+    assert len(res.tokens) == 3
+    assert res.kv_memory_fraction < 0.55  # pruning ratio (dtype-neutral)
+    # absolute bytes: int8 cache well under half of an equivalent bf16 one
+    lvu16 = make_lvu(model_type="qwen25_lvu")
+    lvu16.generate("What?", video, max_new_tokens=3)
+    assert res.kv_cache_bytes < lvu16.last_result.kv_cache_bytes
