@@ -114,6 +114,10 @@ class LVUConfig:
     kv_cache_dtype: str = "bfloat16"  # "bfloat16" | "int8" (quantized cache)
     decode_output: str = "rgb"  # "rgb" | "yuv420" (half the host->device
     # bytes; chroma upsample + BT.601 run on device)
+    align_resize_to_window: bool = False  # snap the resize DOWN to multiples
+    # of 112 px: vision windows become uniform (no padded gather/scatter per
+    # block) and token count drops slightly; OFF by default for strict
+    # reference-resize parity
     attention_impl: str = "auto"  # "auto" | "pallas" | "xla"
     prune_impl: str = "auto"  # "auto" | "pallas" | "xla"
     max_decode_tokens: int = 512

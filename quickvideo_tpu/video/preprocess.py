@@ -304,6 +304,7 @@ def plan_video(
     requested_max_pixels: Optional[int] = None,
     temporal_patch_size: int = 2,
     factor: int = IMAGE_FACTOR,
+    align_to: Optional[int] = None,  # snap resized dims down to multiples
 ) -> VideoPlan:
     """Build the decode/resize/grouping plan (mirrors the combined logic of
     reference fetch_video + group split, lvu/models/qwen25_lvu.py:267-325 and
@@ -318,6 +319,9 @@ def plan_video(
     rh, rw = smart_resize(
         height, width, factor=factor, min_pixels=min_px, max_pixels=max_px
     )
+    if align_to:
+        rh = max(align_to, rh - rh % align_to)
+        rw = max(align_to, rw - rw % align_to)
     idx = sample_indices(total_frames, n)
     sample_fps = n / max(total_frames, 1e-6) * video_fps
     second_per_grid_ts = temporal_patch_size / max(sample_fps, 1e-6)

@@ -81,6 +81,7 @@ def plan_from_reader(reader, lvu: LVUConfig) -> pp.VideoPlan:
         nframes=None if lvu.fps is not None else lvu.num_frames,
         fps=lvu.fps,
         requested_max_pixels=extra.get("max_pixels", 360 * 420),
+        align_to=112 if lvu.align_resize_to_window else None,
     )
 
 

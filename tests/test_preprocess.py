@@ -114,3 +114,16 @@ class TestUint8Path:
             jnp.asarray(u8, jnp.float32) * scale + bias
         )
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_window_aligned_resize():
+    plan = pp.plan_video(
+        total_frames=600, video_fps=30, height=448, width=448,
+        video_group_size=32, nframes=64, requested_max_pixels=360 * 420,
+        align_to=112,
+    )
+    assert plan.resized_height % 112 == 0 and plan.resized_width % 112 == 0
+    # uniform windows for this grid
+    from quickvideo_tpu.models.qwen25_vl.vision import build_layout
+    lo = build_layout(plan.group_grids[0], 14, 2, 112, 80)
+    assert lo.win_uniform
