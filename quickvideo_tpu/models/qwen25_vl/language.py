@@ -316,7 +316,7 @@ def layer_step(
                 res.k_keep, res.v_keep,
             )
         else:
-            k_buf, v_buf, _ = prune_ops.prune_append_layer(
+            k_buf, v_buf = prune_ops.prune_append_layer(
                 k_buf, v_buf, length, res
             )
         indices = res.indices

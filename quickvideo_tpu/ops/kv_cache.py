@@ -55,15 +55,16 @@ class KVCache:
         one value in the uniform path (same static keep-k everywhere); decay
         schedules (`top_k_decay_type`, reference lvu/utils.py:244-251) make
         them diverge, which a per-layer vector represents directly.
-    accum_attn: (num_layers, capacity) f32 or None — accumulated prompt->key
-        attention scores for query-based predictors (reference
-        lvu/lvu_cache.py:79,110-117). Aligned with cache slots.
+
+    The reference's prompt->key score accumulation (LVUCache.accum_attn,
+    lvu/lvu_cache.py:79,110-117) needs no cache-side state here: the scores
+    only ever feed the CURRENT group's pruning, so they are computed and
+    consumed inside the layer (language._prompt_accum_scores).
     """
 
     k: Array
     v: Array
     length: Array
-    accum_attn: Optional[Array] = None
     # int8 mode (quantized=True at init): per-(layer, head, token) f32 scales
     k_scale: Optional[Array] = None
     v_scale: Optional[Array] = None
@@ -87,7 +88,6 @@ def init_cache(
     capacity: int,
     head_dim: int,
     dtype=jnp.bfloat16,
-    with_accum_attn: bool = False,
     quantized: bool = False,
 ) -> KVCache:
     """quantized=True stores K/V as int8 + per-(head, token) f32 scales:
@@ -99,11 +99,6 @@ def init_cache(
         k=jnp.zeros(shape, store_dtype),
         v=jnp.zeros(shape, store_dtype),
         length=jnp.zeros((num_layers,), jnp.int32),
-        accum_attn=(
-            jnp.zeros((num_layers, capacity), jnp.float32)
-            if with_accum_attn
-            else None
-        ),
         k_scale=(
             jnp.zeros((num_layers, num_kv_heads, capacity), jnp.float32)
             if quantized else None
@@ -143,14 +138,6 @@ def layer_append_quantized(
     k_scale_buf = jax.lax.dynamic_update_slice(k_scale_buf, ks, (0, length))
     v_scale_buf = jax.lax.dynamic_update_slice(v_scale_buf, vs, (0, length))
     return k_buf, v_buf, k_scale_buf, v_scale_buf
-
-
-def layer_append_accum(accum_buf: Array, length: Array, scores_new: Array):
-    """Append per-token accumulated attention scores (n,) at slot `length` of
-    one layer's (capacity,) accumulator."""
-    return jax.lax.dynamic_update_slice(
-        accum_buf, scores_new.astype(accum_buf.dtype), (length,)
-    )
 
 
 def valid_mask(capacity: int, length: Array) -> Array:

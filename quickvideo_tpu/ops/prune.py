@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from quickvideo_tpu.ops import predictors
-from quickvideo_tpu.ops.kv_cache import layer_append, layer_append_accum
+from quickvideo_tpu.ops.kv_cache import layer_append
 
 Array = jax.Array
 
@@ -83,13 +83,9 @@ def prune_append_layer(
     v_buf: Array,
     length: Array,
     result: PruneResult,
-    accum_buf: Optional[Array] = None,
 ):
     """Append a PruneResult into one layer's cache buffers at slot `length`.
 
     Functional analogue of the reference's cache write-back
     (lvu/utils.py:333-342: `key_cache[layer] = cat([past, top_k_keys])`)."""
-    k_buf, v_buf = layer_append(k_buf, v_buf, length, result.k_keep, result.v_keep)
-    if accum_buf is not None and result.accum_keep is not None:
-        accum_buf = layer_append_accum(accum_buf, length, result.accum_keep)
-    return k_buf, v_buf, accum_buf
+    return layer_append(k_buf, v_buf, length, result.k_keep, result.v_keep)

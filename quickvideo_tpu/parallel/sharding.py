@@ -101,7 +101,6 @@ def cache_sharding(mesh: Mesh):
         k=NamedSharding(mesh, P(None, "tp", None, None)),
         v=NamedSharding(mesh, P(None, "tp", None, None)),
         length=NamedSharding(mesh, P(None)),
-        accum_attn=None,
     )
 
 
@@ -111,7 +110,6 @@ def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
         k=jax.device_put(cache.k, s.k),
         v=jax.device_put(cache.v, s.v),
         length=jax.device_put(cache.length, s.length),
-        accum_attn=cache.accum_attn,
     )
 
 

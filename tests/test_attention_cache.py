@@ -127,12 +127,12 @@ def test_prune_append_roundtrip(rng_np):
     kg = jnp.asarray(rng_np.standard_normal((HKV, G, D)), jnp.float32)
     vg = jnp.asarray(rng_np.standard_normal((HKV, G, D)), jnp.float32)
     res = prune.select_and_compact("key_norms_small", KEEP, kg, vg)
-    kb, vb, _ = prune.prune_append_layer(
+    kb, vb = prune.prune_append_layer(
         cache.k[0], cache.v[0], cache.length[0], res
     )
     np.testing.assert_allclose(np.asarray(kb[:, :KEEP]), np.asarray(res.k_keep))
     # second append lands after the first
-    kb2, vb2, _ = prune.prune_append_layer(kb, vb, jnp.int32(KEEP), res)
+    kb2, vb2 = prune.prune_append_layer(kb, vb, jnp.int32(KEEP), res)
     np.testing.assert_allclose(np.asarray(kb2[:, KEEP:2 * KEEP]), np.asarray(res.k_keep))
 
 
