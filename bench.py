@@ -67,6 +67,7 @@ def main():
         kv_cache_capacity=1 << int(os.environ.get("BENCH_CAP_LOG2", "16")),
         decode_output=os.environ.get("BENCH_DECODE_OUTPUT", "yuv420"),
         kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "bfloat16"),
+        align_resize_to_window=os.environ.get("BENCH_ALIGN", "1") == "1",
         decode_threads=int(os.environ.get("QUICKCODEC_CORES", "16")),
         dtype="bfloat16",
     )
@@ -105,9 +106,10 @@ def main():
     }
     print(json.dumps({
         "metric": (
-            f"e2e decode+prefill, {N_FRAMES}-frame video, interleaved engine, "
-            f"group {GROUP_SIZE}, key-norm rho=0.5, {MODEL} bf16 "
-            f"(reference demo protocol README.md:352-357)"
+            f"e2e decode+prefill through first token, {N_FRAMES}-frame video, "
+            f"interleaved engine, group {GROUP_SIZE}, key-norm rho=0.5, "
+            f"{MODEL} bf16, window-aligned resize "
+            f"(reference demo protocol README.md:352-357; token count in meta)"
         ),
         "value": round(e2e, 3),
         "unit": "s",
