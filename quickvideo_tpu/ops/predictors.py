@@ -215,9 +215,25 @@ def select_top_k_indices(
     if predict_type == "attention_weights":
         _, colmean, _ = attn_column_stats(attn)
         return _top_k_indices(colmean, k, largest=True)
-    if predict_type == "query_attention_weights":
-        return _top_k_indices(accum_attn.astype(jnp.float32), k, largest=True)
-    if predict_type == "query_attention_weights_by_value_norm":
+    if predict_type in (
+        "query_attention_weights", "query_attention_weights_by_value_norm"
+    ):
+        # Prompt->key accumulated scores (reference lvu/lvu_cache.py:108-116).
+        # When there are no separate prompt queries (final-prompt prefill with
+        # do_top_k_for_query: the reference resets prompt_length to 0 at
+        # qwen25_lvu.py:721 and its `attn_weights_i.dim() == 1` assert at
+        # lvu/utils.py:56-59 makes the combination unusable there), the group
+        # itself IS the query: fall back to the within-group attention column
+        # sums, which are exactly "sum over queries, mean over heads".
+        if accum_attn is None:
+            if attn is None:
+                raise ValueError(
+                    f"{predict_type} needs prompt accum scores or group "
+                    "attention probs (needs_probs)"
+                )
+            accum_attn, _, _ = attn_column_stats(attn)
+        if predict_type == "query_attention_weights":
+            return _top_k_indices(accum_attn.astype(jnp.float32), k, largest=True)
         w = accum_attn.astype(jnp.float32) * value_norms(values)
         return _top_k_indices(w, k, largest=True)
     if predict_type == "attention_weights_sum":

@@ -568,7 +568,10 @@ class LVUEngine:
                 spec = StepSpec(
                     cfg=cfg.text, q_len=suffix_len, keep_k=keep_k,
                     predict_type=lvu.top_k_predict_type,
-                    needs_probs=lvu.needs_attn_stats,
+                    # query-based predictors have no separate prompt here
+                    # (the suffix IS the query): they fall back to
+                    # within-group column sums, which requires probs
+                    needs_probs=lvu.needs_attn_stats or lvu.query_based,
                     attn_impl=lvu.attention_impl,
                     kv_quant=(lvu.kv_cache_dtype == "int8"),
                 )

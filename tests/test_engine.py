@@ -207,6 +207,24 @@ class TestFinalPromptPruning:
         # pruned to 4 as well; +2 decoded
         assert res.cache_length == 4 + 4 + 4 + 1
 
+    def test_do_top_k_for_query_query_based(self, params):
+        """Query-based predictor + do_top_k_for_query: the final prompt has
+        no separate query, so the predictor falls back to within-group
+        attention column sums (the reference's assert at lvu/utils.py:56-59
+        makes this combination unusable there; we generalize instead)."""
+        ids, pixels, pixel_groups, group_grids = build_request(
+            groups_t=(2, 2), n_post=9
+        )
+        eng = make_engine(
+            params, top_k=4, do_top_k_for_query=True, max_decode_tokens=8,
+            top_k_predict_type="query_attention_weights",
+        )
+        res = eng.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=2,
+        )
+        assert res.cache_length == 4 + 4 + 4 + 1
+
     def test_no_query_prune_by_default(self, params):
         ids, pixels, pixel_groups, group_grids = build_request(
             groups_t=(2, 2), n_post=9
