@@ -1,0 +1,116 @@
+"""Context-parallel attention: the KV cache sharded over the `sp` mesh axis.
+
+For hour-plus videos the retained KV cache (100k+ tokens) outgrows one
+chip's HBM next to the weights. The reference scales this with more GPU
+memory (BASELINE.md north-star assumes a multi-GPU/chip slice); the
+TPU-native formulation shards the cache *capacity* axis across the mesh and
+computes attention as per-shard softmax partials merged exactly with
+log-sum-exp collectives over ICI — the shard_map analogue of the
+single-chip two-partial merge in quickvideo_tpu.ops.attention.
+
+Math (per query row): each shard i computes a normalized partial
+``out_i = softmax(q·K_i)·V_i`` and ``lse_i``; the exact global result is
+
+    m    = max_i lse_i                       (pmax)
+    den  = sum_i exp(lse_i - m)              (psum)
+    out  = sum_i out_i * exp(lse_i - m) / den    (psum)
+    lse  = m + log(den)
+
+so the only cross-chip traffic is one (Hq, Q) pmax + psum and one
+(Hq, Q, D) psum riding ICI — no KV movement, no gather of the cache.
+
+Shard-local validity: shard i holds cache slots [i*C/n, (i+1)*C/n); its
+valid count is ``clip(length - i*C/n, 0, C/n)`` — shards wholly beyond the
+global valid length contribute weight exp(NEG_INF - m) = 0.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from quickvideo_tpu.ops.attention import (
+    NEG_INF,
+    PartialAttn,
+    _partial_attention,
+    causal_mask,
+    merge_partials,
+)
+
+Array = jax.Array
+
+
+def _local_past_partial(q, k_loc, v_loc, length, *, scale, axis):
+    """Per-device body: partial attention over this device's cache shard."""
+    local_cap = k_loc.shape[1]
+    start = lax.axis_index(axis) * local_cap
+    lv = jnp.clip(length - start, 0, local_cap)
+    col = lax.broadcasted_iota(jnp.int32, (q.shape[1], local_cap), 1)
+    pa = _partial_attention(q, k_loc, v_loc, col < lv, scale)
+
+    m = jnp.maximum(lax.pmax(pa.lse, axis), -1e29)
+    w = jnp.exp(pa.lse - m)
+    num = lax.psum(pa.out * w[..., None], axis)
+    den = lax.psum(w, axis)
+    out = num / jnp.maximum(den, 1e-30)[..., None]
+    lse = jnp.where(den > 0, m + jnp.log(jnp.maximum(den, 1e-30)), NEG_INF)
+    return out, lse
+
+
+def cp_past_attention(
+    q: Array,  # (Hq, Q, D) replicated
+    k_buf: Array,  # (Hkv, capacity, D) sharded over `axis` on the token dim
+    v_buf: Array,
+    length: Array,  # () int32 global valid length
+    *,
+    scale: float,
+    mesh: Mesh,
+    axis: str = "sp",
+) -> PartialAttn:
+    """Query -> sharded-cache attention; returns a replicated PartialAttn
+    mergeable with the in-group partial (same contract as
+    ops.attention.past_partial_attention)."""
+    n = mesh.shape[axis]
+    if k_buf.shape[1] % n:
+        raise ValueError(
+            f"cache capacity {k_buf.shape[1]} not divisible by mesh "
+            f"axis {axis!r}={n}"
+        )
+    body = partial(_local_past_partial, scale=scale, axis=axis)
+    out, lse = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None), P(None, axis, None), P()),
+        out_specs=(P(), P()),
+    )(q, k_buf, v_buf, length)
+    return PartialAttn(out, lse)
+
+
+def cp_grouped_attention(
+    q: Array,  # (Hq, G, D)
+    k_grp: Array,  # (Hkv, G, D) current group (replicated)
+    v_grp: Array,
+    k_buf: Array,  # (Hkv, capacity, D) sharded over `axis`
+    v_buf: Array,
+    length: Array,
+    *,
+    scale: float,
+    mesh: Mesh,
+    axis: str = "sp",
+    causal: bool = True,
+) -> Array:
+    """Full grouped-prefill attention with a context-parallel past: in-group
+    causal partial (local, replicated) merged with the sharded past partial.
+    Drop-in for ops.attention.grouped_attention when the cache is sharded."""
+    pp = cp_past_attention(
+        q, k_buf, v_buf, length, scale=scale, mesh=mesh, axis=axis
+    )
+    g = q.shape[1]
+    mask = causal_mask(g) if causal else None
+    pg = _partial_attention(q, k_grp, v_grp, mask, scale)
+    out, _ = merge_partials(pp, pg)
+    return out

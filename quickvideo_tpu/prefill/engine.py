@@ -107,10 +107,12 @@ def _maybe_sync(x):
 
     if os.environ.get("QV_SYNC_SPANS"):
         jax.block_until_ready(x)
-        # axon block_until_ready can be a no-op; force a tiny D2H
-        leaf = jax.tree.leaves(x)
-        if leaf:
-            np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+        # axon block_until_ready can be a no-op; force a tiny D2H. Slice ONE
+        # element on device first — np.asarray on a full leaf would pull the
+        # whole KV cache (GBs) across the tunnel per span.
+        leaves = jax.tree.leaves(x)
+        if leaves:
+            np.asarray(leaves[0].ravel()[:1])
     return x
 
 

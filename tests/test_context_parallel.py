@@ -1,0 +1,89 @@
+"""Context-parallel (sharded-cache) attention vs the single-device oracle.
+
+Runs on the 8-virtual-CPU-device mesh from conftest; validates that sharding
+the KV cache capacity over `sp` and merging per-shard softmax partials with
+pmax/psum collectives reproduces grouped_attention exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from quickvideo_tpu.ops import attention
+from quickvideo_tpu.parallel.context_parallel import (
+    cp_grouped_attention,
+    cp_past_attention,
+)
+
+HQ, HKV, D = 4, 2, 16
+SCALE = D ** -0.5
+
+
+def make_mesh(sp):
+    devs = np.array(jax.devices()[:sp]).reshape(sp)
+    return Mesh(devs, ("sp",))
+
+
+@pytest.mark.parametrize("sp,length", [(4, 37), (8, 0), (8, 64), (2, 5)])
+def test_cp_past_matches_single_device(rng_np, sp, length):
+    CAP, G = 64, 12
+    mesh = make_mesh(sp)
+    q = jnp.asarray(rng_np.standard_normal((HQ, G, D)), jnp.float32)
+    kbuf = rng_np.standard_normal((HKV, CAP, D)).astype(np.float32)
+    vbuf = rng_np.standard_normal((HKV, CAP, D)).astype(np.float32)
+    kbuf[:, length:] = 1e3  # garbage beyond the valid length
+    vbuf[:, length:] = -1e3
+
+    sharded = NamedSharding(mesh, P(None, "sp", None))
+    kd = jax.device_put(jnp.asarray(kbuf), sharded)
+    vd = jax.device_put(jnp.asarray(vbuf), sharded)
+
+    pa = jax.jit(
+        lambda q, k, v, l: cp_past_attention(
+            q, k, v, l, scale=SCALE, mesh=mesh
+        )
+    )(q, kd, vd, jnp.int32(length))
+
+    ref = attention.past_partial_attention(
+        q, jnp.asarray(kbuf), jnp.asarray(vbuf), jnp.int32(length), G, SCALE
+    )
+    np.testing.assert_allclose(
+        np.asarray(pa.out), np.asarray(ref.out), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(pa.lse), np.asarray(ref.lse), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_cp_grouped_matches_oracle(rng_np):
+    CAP, G, PAST, sp = 64, 8, 29, 4
+    mesh = make_mesh(sp)
+    q = jnp.asarray(rng_np.standard_normal((HQ, G, D)), jnp.float32)
+    kg = jnp.asarray(rng_np.standard_normal((HKV, G, D)), jnp.float32)
+    vg = jnp.asarray(rng_np.standard_normal((HKV, G, D)), jnp.float32)
+    kbuf = jnp.asarray(rng_np.standard_normal((HKV, CAP, D)), jnp.float32)
+    vbuf = jnp.asarray(rng_np.standard_normal((HKV, CAP, D)), jnp.float32)
+
+    sharded = NamedSharding(mesh, P(None, "sp", None))
+    out = jax.jit(
+        lambda q, kg, vg, k, v, l: cp_grouped_attention(
+            q, kg, vg, k, v, l, scale=SCALE, mesh=mesh
+        )
+    )(q, kg, vg, jax.device_put(kbuf, sharded), jax.device_put(vbuf, sharded),
+      jnp.int32(PAST))
+
+    ref, _ = attention.grouped_attention(
+        q, kg, vg, kbuf, vbuf, jnp.int32(PAST), scale=SCALE
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_cp_capacity_not_divisible():
+    mesh = make_mesh(4)
+    q = jnp.zeros((HQ, 4, D))
+    k = jnp.zeros((HKV, 30, D))
+    with pytest.raises(ValueError, match="not divisible"):
+        cp_past_attention(q, k, k, jnp.int32(0), scale=SCALE, mesh=mesh)
