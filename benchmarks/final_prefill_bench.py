@@ -73,6 +73,47 @@ def main():
     q1 = q[:, :1]
     timeit("flash q=1 (decode shape)", flash_nc, q1, kbuf, vbuf, length)
 
+    if os.environ.get("FP_FULL"):
+        full_stack()
+
+
+def full_stack():
+    """Full 36-layer prefill_step at the final-prefill bucket shape and at
+    the group shape, with real 3B params passed as args."""
+    from quickvideo_tpu.models.qwen25_vl import get_config
+    from quickvideo_tpu.models.qwen25_vl import model as qmodel
+    from quickvideo_tpu.models.qwen25_vl.language import StepSpec, prefill_step
+    from quickvideo_tpu.ops import kv_cache as kvc
+
+    cfg = get_config("qwen25-vl-3b")
+    t = cfg.text
+    params = qmodel.init_params_fast(cfg, dtype=jnp.bfloat16)["language"]
+    params = jax.device_put(params)
+    sync(params)
+    print("params uploaded")
+    cache = kvc.init_cache(
+        t.num_hidden_layers, t.num_key_value_heads, CAP, t.head_dim,
+        dtype=jnp.bfloat16,
+    )
+    cache = cache.replace(length=jnp.full_like(cache.length, VALID))
+    rng = jax.random.key(0)
+
+    def run(qlen, keep, name):
+        x = jnp.ones((qlen, t.hidden_size), jnp.bfloat16)
+        cos = jnp.ones((qlen, t.head_dim), jnp.float32)
+        sin = jnp.zeros((qlen, t.head_dim), jnp.float32)
+        spec = StepSpec(cfg=t, q_len=qlen, keep_k=keep)
+        fn = jax.jit(
+            lambda p, c, x, co, si, r: prefill_step(
+                p, c, x, co, si, r, spec=spec
+            )[1],
+            static_argnames=(),
+        )
+        timeit(name, fn, params, cache, x, cos, sin, rng)
+
+    run(64, 0, "prefill_step q=64 keep=0 (final bucket)")
+    run(2048, 1024, "prefill_step q=2048 keep=1024 (group)")
+
 
 if __name__ == "__main__":
     main()

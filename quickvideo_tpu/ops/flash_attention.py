@@ -149,8 +149,12 @@ def flash_past_attention(
     length: Array,  # () int32
     *,
     scale: float,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 128,
+    block_k: int = 1024,
+    # defaults from the v5e sweep at the 3B group shape (q=2048, 37k valid):
+    # (128,1024) 8.7ms vs (256,512) 10.9ms; larger tiles fail Mosaic VMEM
+    # limits (f32 score tile rep*bq x bk must stay <= ~4MB). See
+    # benchmarks/flash_block_sweep.py.
     interpret: bool = False,
     causal: bool = False,
     k_scale: Array = None,  # (Hkv, capacity) f32 when k_past is int8
