@@ -22,6 +22,7 @@ rebuilt for XLA:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -245,7 +246,23 @@ def vision_block(
     k = _apply_vision_rotary(k, layout_arrays["cos"], layout_arrays["sin"])
 
     s_len = x.shape[0]
-    if full_attn:
+    interp = bool(os.environ.get("QV_PALLAS_INTERPRET"))
+    use_kernel = (
+        (full_attn or uniform)
+        and (interp or jax.default_backend() not in ("cpu", "gpu"))
+        and s_len % (frame_len if full_attn else mw) == 0
+    )
+    if use_kernel:
+        # fused block-diagonal kernel: full-attn blocks are spans of
+        # frame_len, window blocks spans of mw — same op (ops/
+        # vision_attention.py; ~60x the XLA batched-tiny-matmul path)
+        from quickvideo_tpu.ops.vision_attention import block_diag_attention
+
+        out = block_diag_attention(
+            q, k, v, frame_len if full_attn else mw, scale=scale,
+            interpret=interp,
+        ).astype(jnp.float32)
+    elif full_attn:
         # block-diagonal per temporal frame; frames are contiguous in window
         # order (windows never cross temporal patches)
         qb = q.reshape(t, frame_len, nh, hd)

@@ -1,0 +1,77 @@
+"""Fused block-diagonal vision attention kernel vs the XLA batched oracle
+(interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quickvideo_tpu.models.qwen25_vl import vision as V
+from quickvideo_tpu.ops.vision_attention import block_diag_attention
+
+NH, HD = 4, 16
+SCALE = HD ** -0.5
+
+
+@pytest.mark.parametrize("span,nspan", [(8, 12), (24, 4), (96, 2)])
+def test_kernel_matches_batched_oracle(rng_np, span, nspan):
+    s = span * nspan
+    q = jnp.asarray(rng_np.standard_normal((s, NH, HD)), jnp.float32)
+    k = jnp.asarray(rng_np.standard_normal((s, NH, HD)), jnp.float32)
+    v = jnp.asarray(rng_np.standard_normal((s, NH, HD)), jnp.float32)
+
+    out = block_diag_attention(q, k, v, span, scale=SCALE, interpret=True)
+
+    qb = q.reshape(nspan, span, NH, HD)
+    kb = k.reshape(nspan, span, NH, HD)
+    vb = v.reshape(nspan, span, NH, HD)
+    ref = V._block_attention(qb, kb, vb, None, SCALE).reshape(s, NH, HD)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_kernel_single_span_no_mask(rng_np):
+    # span == tile: the mask branch compiles away (full per-frame attention)
+    s = 128
+    q = jnp.asarray(rng_np.standard_normal((s, NH, HD)), jnp.float32)
+    out = block_diag_attention(q, q, q, s, scale=SCALE, interpret=True)
+    ref = V._block_attention(
+        q[None], q[None], q[None], None, SCALE
+    ).reshape(s, NH, HD)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_kernel_rejects_ragged():
+    q = jnp.zeros((100, NH, HD))
+    with pytest.raises(ValueError, match="not a multiple"):
+        block_diag_attention(q, q, q, 64, scale=SCALE, interpret=True)
+
+
+def test_vision_tower_kernel_path_matches_xla(rng_np, monkeypatch):
+    """Whole tower with QV_PALLAS_INTERPRET (kernel path, interpret) vs the
+    default XLA path on an aligned (uniform-window) grid."""
+    from quickvideo_tpu.models.qwen25_vl import get_config
+    from quickvideo_tpu.models.qwen25_vl import model as qmodel
+
+    cfg = get_config("tiny")
+    vc = cfg.vision
+    t, h, w = 2, 8, 8  # aligned: vit window edge divides the unit grid
+    layout = V.build_layout(
+        (t, h, w), vc.patch_size, vc.spatial_merge_size, vc.window_size,
+        vc.head_dim,
+    )
+    assert layout.win_uniform
+    params = qmodel.init_params(cfg, seed=3, dtype=jnp.float32)["vision"]
+    px = jnp.asarray(
+        rng_np.standard_normal((t * h * w, vc.patch_input_dim)), jnp.float32
+    )
+
+    ref = V.vision_forward(params, px, layout, vc)
+    monkeypatch.setenv("QV_PALLAS_INTERPRET", "1")
+    out = V.vision_forward(params, px, layout, vc)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
