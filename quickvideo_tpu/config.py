@@ -124,6 +124,9 @@ class LVUConfig:
     decode_threads: int = 8  # QUICKCODEC_CORES equivalent
     decode_intervals: int = 64  # QUICKCODEC_INTERVALS equivalent
     prefetch_depth: int = 3  # bounded queue depth (ref Queue(maxsize=3))
+    prefetch_to_device: bool = True  # producer thread also does the H2D
+    # transfer, overlapping it with prefill compute (the queue then bounds
+    # device-side staging memory to prefetch_depth groups)
     seed: int = 0
 
     def __post_init__(self):

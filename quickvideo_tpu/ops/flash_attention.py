@@ -30,6 +30,9 @@ from quickvideo_tpu.ops.attention import NEG_INF, PartialAttn
 
 Array = jax.Array
 
+LN2 = 0.6931471805599453
+LOG2E = 1.4426950408889634
+
 
 def _flash_kernel(
     length_ref,  # scalar prefetch: (2,) int32 [valid cache length, group_start]
@@ -72,8 +75,44 @@ def _flash_kernel(
         causal, group_start + (qi + 1) * block_q, length
     )
 
-    @pl.when(blk_start < max_kv)
-    def _compute():
+    # the minimum attendable bound over this q block's rows: causal rows
+    # start at group_start + qi*BQ, pure-past rows all bound at length-1.
+    # Blocks wholly below it need NO mask — the iota/compare/select passes
+    # over the (rep*BQ, BK) tile are pure VPU cost and the kernel is
+    # VPU-bound (softmax passes ~2x the MXU time at the group shape), so
+    # skipping them for interior blocks (~95% at long contexts) matters.
+    ci = causal.astype(jnp.int32)
+    bound_min = ci * (group_start + qi * block_q) + (1 - ci) * (length - 1)
+    interior = blk_start + block_k - 1 <= bound_min
+
+    def _update(scores):
+        # online-softmax update in log2 space: q is pre-scaled by
+        # scale*log2(e) (wrapper), so exp2 here == exp of true scores —
+        # one fewer full-tile VPU multiply per block than scaling scores.
+        m_prev = m_scr[:, 0]
+        m_blk = jnp.max(scores, axis=-1)
+        m_new = jnp.maximum(m_prev, m_blk)
+        m_safe = jnp.maximum(m_new, -1e29)
+        # masked columns hold NEG_INF: exp2 underflows to exactly 0, so no
+        # second where(mask, p, 0) pass is needed
+        p = jnp.exp2(scores - m_safe[:, None])
+        alpha = jnp.exp2(jnp.maximum(m_prev, -1e29) - m_safe)
+        s_scr[:, 0] = s_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
+        v_blk = v_ref[0]
+        pv = p
+        if vs_ref is not None:
+            # per-token V scale folded into p's columns (= scaling V rows)
+            pv = p * vs_ref[0, 0:1, :]
+        if v_blk.dtype == jnp.int8:
+            v_blk = v_blk.astype(q_ref.dtype)
+        acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
+            pv.astype(v_blk.dtype), v_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:, 0] = m_new
+
+    def _scores():
         q = q_ref[0]  # (rep*BQ, D)
         k = k_ref[0]  # (BK, D)
         if ks_ref is not None and k.dtype == jnp.int8:
@@ -85,9 +124,18 @@ def _flash_kernel(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (rep*BQ, BK)
+        )  # (rep*BQ, BK) in log2 units (q pre-scaled)
         if ks_ref is not None:
             scores = scores * ks_ref[0, 0:1, :]
+        return scores
+
+    @pl.when(jnp.logical_and(blk_start < max_kv, interior))
+    def _compute_interior():
+        _update(_scores())
+
+    @pl.when(jnp.logical_and(blk_start < max_kv, jnp.logical_not(interior)))
+    def _compute_boundary():
+        scores = _scores()
         pos = blk_start + jax.lax.broadcasted_iota(
             jnp.int32, scores.shape, dimension=1
         )
@@ -99,40 +147,19 @@ def _flash_kernel(
         # unified bound, arithmetic instead of an i1-vector select (Mosaic
         # cannot legalize arith.select on vector<i1>): causal rows attend up
         # to their own position, pure-past rows up to length-1
-        c = causal.astype(jnp.int32)
-        bound = c * qpos + (1 - c) * (length - 1)
-        mask = pos <= bound
-        scores = jnp.where(mask, scores, NEG_INF)
-        m_prev = m_scr[:, 0]
-        m_blk = jnp.max(scores, axis=-1)
-        m_new = jnp.maximum(m_prev, m_blk)
-        m_safe = jnp.maximum(m_new, -1e29)
-        p = jnp.exp(scores - m_safe[:, None])
-        p = jnp.where(mask, p, 0.0)
-        alpha = jnp.exp(jnp.maximum(m_prev, -1e29) - m_safe)
-        s_scr[:, 0] = s_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
-        v_blk = v_ref[0]
-        pv = p
-        if vs_ref is not None:
-            # per-token V scale folded into p's columns (= scaling V rows)
-            pv = p * vs_ref[0, 0:1, :]
-            if v_blk.dtype == jnp.int8:
-                v_blk = v_blk.astype(q_ref.dtype)
-        acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
-            pv.astype(v_blk.dtype), v_blk,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_scr[:, 0] = m_new
+        bound = ci * qpos + (1 - ci) * (length - 1)
+        scores = jnp.where(pos <= bound, scores, NEG_INF)
+        _update(scores)
 
     @pl.when(ki == nk - 1)
     def _finalize():
         s = s_scr[:, 0]
         m = m_scr[:, 0]
         o_ref[0] = acc_scr[:] / jnp.maximum(s, 1e-30)[:, None]
+        # m/s live in log2 space; the PartialAttn contract is natural-log lse
         lse = jnp.where(
             s > 0,
-            jnp.maximum(m, -1e29) + jnp.log(jnp.maximum(s, 1e-30)),
+            jnp.maximum(m, -1e29) * LN2 + jnp.log(jnp.maximum(s, 1e-30)),
             NEG_INF,
         )
         lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
@@ -167,6 +194,11 @@ def flash_past_attention(
     hq, g, d = q.shape
     hkv, cap, _ = k_past.shape
     rep = hq // hkv
+    # pre-scale q by scale*log2(e): scores leave the MXU already in log2
+    # units, saving one full-tile VPU multiply per kv block in the kernel
+    # (f32 multiply, then back to the compute dtype — per-element rounding
+    # only, no systematic temperature shift)
+    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
     block_q = min(block_q, g)
     block_k = min(block_k, cap)
     nq = -(-g // block_q)

@@ -58,6 +58,7 @@ class AsyncPixelGroups:
         self.reader.process(self.plan.indices.tolist())
         self.timer.add("decode_start", time.perf_counter() - t0)
         self._q: queue.Queue = queue.Queue(maxsize=lvu.prefetch_depth)
+        self._to_device = lvu.prefetch_to_device
         self._exc: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._produce, daemon=True)
         self._thread.start()
@@ -75,7 +76,16 @@ class AsyncPixelGroups:
                         f"group {gi}: expected {cnt} frames, got {block.shape[0]}"
                     )
                 # raw uint8 frames go straight to the device; patchify +
-                # normalize happen inside the vision program
+                # normalize happen inside the vision program. The H2D
+                # transfer happens HERE, in the producer thread, so it
+                # overlaps the consumer's dispatch + device compute — over
+                # the remote transport a blocking per-group jnp.asarray in
+                # the prefill loop serializes ~170 KB/frame against compute
+                # (hour-long: 610 MB -> the whole vision span).
+                if self._to_device:
+                    import jax
+
+                    block = jax.device_put(block)
                 self.timer.add("processing", time.perf_counter() - t0)
                 self._q.put(block)
             self._q.put(_SENTINEL)
