@@ -69,6 +69,7 @@ def main():
         kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "bfloat16"),
         align_resize_to_window=os.environ.get("BENCH_ALIGN", "1") == "1",
         decode_threads=int(os.environ.get("QUICKCODEC_CORES", "16")),
+        prefetch_to_device=os.environ.get("BENCH_PREFETCH_DEV", "1") == "1",
         dtype="bfloat16",
     )
     t0 = time.time()

@@ -121,6 +121,9 @@ class LVUConfig:
     attention_impl: str = "auto"  # "auto" | "pallas" | "xla"
     prune_impl: str = "auto"  # "auto" | "pallas" | "xla"
     max_decode_tokens: int = 512
+    sample_on_device: bool = True  # non-greedy decode samples whole 32-token
+    # chunks in-graph (filters + categorical on device, one dispatch per
+    # chunk); False = per-token host sampling (one RTT each)
     decode_threads: int = 8  # QUICKCODEC_CORES equivalent
     decode_intervals: int = 64  # QUICKCODEC_INTERVALS equivalent
     prefetch_depth: int = 3  # bounded queue depth (ref Queue(maxsize=3))

@@ -159,6 +159,11 @@ class LVUEngine:
             self._decode_chunk_body, static_argnames=("spec",),
             donate_argnames=("cache",),
         )
+        self._decode_sample_chunk_jit = jax.jit(
+            self._decode_sample_chunk_body,
+            static_argnames=("spec", "top_p", "top_k"),
+            donate_argnames=("cache",),
+        )
         self._final_prefill_jit = jax.jit(
             self._final_prefill_body, static_argnames=("spec",),
             donate_argnames=("cache",),
@@ -273,6 +278,33 @@ class LVUEngine:
 
         (cache, _), toks = jax.lax.scan(
             body, (cache, tok0), (cos_chunk, sin_chunk)
+        )
+        return cache, toks
+
+    def _decode_sample_chunk_body(
+        self, params_lang, cache, tok0, cos_chunk, sin_chunk, rng,
+        temperature, spec, top_p, top_k,
+    ):
+        """Sampled decode of a whole chunk device-side: filter + categorical
+        run in-graph, so sampling pays one transport RTT per chunk instead of
+        per token (the reference samples inside HF generate on-device too).
+        top_p/top_k are static (fixed per request); temperature is traced."""
+
+        def body(carry, xs):
+            cache, tok, rng = carry
+            cos_r, sin_r = xs
+            cache, logits = decode_step(
+                params_lang, cache, tok, cos_r[None], sin_r[None], spec
+            )
+            rng, sub = jax.random.split(rng)
+            flt = self._filter_logits(logits, top_p, top_k)
+            nxt = jax.random.categorical(sub, flt / temperature).astype(
+                jnp.int32
+            )
+            return (cache, nxt, rng), nxt
+
+        (cache, _, _), toks = jax.lax.scan(
+            body, (cache, tok0, rng), (cos_chunk, sin_chunk)
         )
         return cache, toks
 
@@ -639,7 +671,38 @@ class LVUEngine:
                         out_tokens.append(int(t))
                         if t in eos_token_ids:
                             break
+            elif lvu.sample_on_device:
+                # first token from the final-prefill logits (host), then
+                # whole chunks sampled in-graph — one RTT per chunk
+                self._rng, rng0 = jax.random.split(self._rng)
+                flt = self._filter_logits(logits, top_p, top_k)
+                nxt = int(jax.random.categorical(rng0, flt / temperature))
+                out_tokens.append(nxt)
+                chunk_size = 32
+                tp = float(top_p) if top_p is not None else None
+                tk = int(top_k) if top_k is not None else None
+                while len(out_tokens) < max_new and (
+                    out_tokens[-1] not in eos_token_ids
+                ):
+                    i0 = len(out_tokens) - 1
+                    self._rng, rng = jax.random.split(self._rng)
+                    cache, toks = self._decode_sample_chunk_jit(
+                        self.params["language"], cache,
+                        np.int32(out_tokens[-1]),
+                        cos[L + i0 : L + i0 + chunk_size],
+                        sin[L + i0 : L + i0 + chunk_size],
+                        rng, np.float32(temperature),
+                        spec=dspec, top_p=tp, top_k=tk,
+                    )
+                    for t in np.asarray(toks).tolist():
+                        if len(out_tokens) >= max_new:
+                            break
+                        out_tokens.append(int(t))
+                        if t in eos_token_ids:
+                            break
             else:
+                # legacy per-token host sampling (sample_on_device=False):
+                # one transport RTT per token; kept for debugging/repro
                 for step in range(max_new):
                     self._rng, rng = jax.random.split(self._rng)
                     flt = self._filter_logits(logits, top_p, top_k)

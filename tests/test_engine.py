@@ -266,6 +266,21 @@ class TestSampling:
         )
         assert len(res.tokens) == 4
 
+    def test_sample_on_host_legacy_path(self, params):
+        """sample_on_device=False: per-token host sampling (one dispatch per
+        token) still works and respects max_new_tokens."""
+        ids, pixels, pixel_groups, group_grids = build_request(groups_t=(2, 2))
+        eng = make_engine(
+            params, top_k=16, max_decode_tokens=8, sample_on_device=False
+        )
+        res = eng.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=4, greedy=False, temperature=0.8, top_p=0.9,
+        )
+        assert len(res.tokens) == 4
+        # token ids are in-vocab
+        assert all(0 <= t < eng.cfg.text.vocab_size for t in res.tokens)
+
 
 class TestDecodeChunkEos:
     def test_eos_mid_chunk_stops(self, params):
