@@ -37,29 +37,39 @@ LOG2E = 1.4426950408889634
 def _flash_kernel(
     length_ref,  # scalar prefetch: (2,) int32 [valid cache length, group_start]
                  # group_start < 0 => pure past mode (no causal span)
-    q_ref,  # (1, rep*BQ, D)
+    q_ref,  # (1, nq_inner*rep*BQ, D) — nq_inner q blocks per grid step
     k_ref,  # (1, BK, D)
     v_ref,  # (1, BK, D)
-    o_ref,  # (1, rep*BQ, D) f32
-    lse_ref,  # (1, rep*BQ, 128) f32 (lse broadcast over lanes; TPU block
-              # shapes need the minor dim divisible by 128)
-    m_scr,  # VMEM (rep*BQ, 1) f32
-    s_scr,  # VMEM (rep*BQ, 1) f32
-    acc_scr,  # VMEM (rep*BQ, D) f32
+    o_ref,  # (1, nq_inner*rep*BQ, D) f32
+    lse_ref,  # (1, nq_inner*rep*BQ, 128) f32 (lse broadcast over lanes; TPU
+              # block shapes need the minor dim divisible by 128)
+    m_scr,  # VMEM (nq_inner*rep*BQ, 1) f32
+    s_scr,  # VMEM (nq_inner*rep*BQ, 1) f32
+    acc_scr,  # VMEM (nq_inner*rep*BQ, D) f32
     *,
     block_q: int,
     block_k: int,
+    nq_inner: int,
     scale: float,
     ks_ref=None,  # int8 mode: (1, 8, BK) lane-aligned scale tile (the scale
                   # of kv token t sits at lane t - blk_start; 8 replicated
                   # sublane rows satisfy Mosaic block-shape constraints)
     vs_ref=None,
 ):
-    qi = pl.program_id(1)
+    """Online-softmax flash step over one KV block x `nq_inner` query blocks.
+
+    The q-block loop lives INSIDE the kernel (static Python unroll), not in
+    the grid: per-grid-step DMA issue overhead measures ~2.2 us on v5e —
+    with one q block per step that overhead alone was ~60% of kernel time
+    at the group shape (2048 steps). Folding nq_inner=4 q blocks into one
+    step cuts grid steps 4x; the k/v block is loaded once and reused for
+    all four."""
+    qh = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
     length = length_ref[0]
     group_start = length_ref[1]
+    rbq = o_ref.shape[1] // nq_inner
 
     @pl.when(ki == 0)
     def _init():
@@ -68,52 +78,11 @@ def _flash_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     blk_start = ki * block_k
-    # attendable horizon for this q block: pure-past mode attends [0, length);
-    # causal mode additionally attends the appended group up to its own row
     causal = group_start >= 0
-    max_kv = jnp.where(
-        causal, group_start + (qi + 1) * block_q, length
-    )
-
-    # the minimum attendable bound over this q block's rows: causal rows
-    # start at group_start + qi*BQ, pure-past rows all bound at length-1.
-    # Blocks wholly below it need NO mask — the iota/compare/select passes
-    # over the (rep*BQ, BK) tile are pure VPU cost and the kernel is
-    # VPU-bound (softmax passes ~2x the MXU time at the group shape), so
-    # skipping them for interior blocks (~95% at long contexts) matters.
     ci = causal.astype(jnp.int32)
-    bound_min = ci * (group_start + qi * block_q) + (1 - ci) * (length - 1)
-    interior = blk_start + block_k - 1 <= bound_min
 
-    def _update(scores):
-        # online-softmax update in log2 space: q is pre-scaled by
-        # scale*log2(e) (wrapper), so exp2 here == exp of true scores —
-        # one fewer full-tile VPU multiply per block than scaling scores.
-        m_prev = m_scr[:, 0]
-        m_blk = jnp.max(scores, axis=-1)
-        m_new = jnp.maximum(m_prev, m_blk)
-        m_safe = jnp.maximum(m_new, -1e29)
-        # masked columns hold NEG_INF: exp2 underflows to exactly 0, so no
-        # second where(mask, p, 0) pass is needed
-        p = jnp.exp2(scores - m_safe[:, None])
-        alpha = jnp.exp2(jnp.maximum(m_prev, -1e29) - m_safe)
-        s_scr[:, 0] = s_scr[:, 0] * alpha + jnp.sum(p, axis=-1)
-        v_blk = v_ref[0]
-        pv = p
-        if vs_ref is not None:
-            # per-token V scale folded into p's columns (= scaling V rows)
-            pv = p * vs_ref[0, 0:1, :]
-        if v_blk.dtype == jnp.int8:
-            v_blk = v_blk.astype(q_ref.dtype)
-        acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
-            pv.astype(v_blk.dtype), v_blk,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_scr[:, 0] = m_new
-
-    def _scores():
-        q = q_ref[0]  # (rep*BQ, D)
+    def _scores(rows):
+        q = q_ref[0, rows]  # (rep*BQ, D)
         k = k_ref[0]  # (BK, D)
         if ks_ref is not None and k.dtype == jnp.int8:
             # int8 matmul inputs lower poorly; cast values to the q dtype and
@@ -124,32 +93,78 @@ def _flash_kernel(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (rep*BQ, BK) in log2 units (q pre-scaled)
+        )  # (rep*BQ, BK) in log2 units (q pre-scaled by scale*log2e)
         if ks_ref is not None:
             scores = scores * ks_ref[0, 0:1, :]
         return scores
 
-    @pl.when(jnp.logical_and(blk_start < max_kv, interior))
-    def _compute_interior():
-        _update(_scores())
+    def _update(rows, scores):
+        # online-softmax update in log2 space (exp2 == exp of true scores).
+        # The kernel is VMEM-bandwidth-bound on passes over the (rep*BQ, BK)
+        # score tile, so every pass counts: exp2 writes p directly in the
+        # matmul dtype (fused exponent+cast, half the bytes of an f32 p) and
+        # the denominator accumulates in f32 from the bf16 p — which also
+        # makes the denominator consistent with the numerator's rounding.
+        m_prev = m_scr[rows, 0]
+        m_blk = jnp.max(scores, axis=-1)
+        m_new = jnp.maximum(m_prev, m_blk)
+        m_safe = jnp.maximum(m_new, -1e29)
+        # masked columns hold NEG_INF: exp2 underflows to exactly 0, so no
+        # second where(mask, p, 0) pass is needed
+        p = jnp.exp2(scores - m_safe[:, None])
+        alpha = jnp.exp2(jnp.maximum(m_prev, -1e29) - m_safe)
+        s_scr[rows, 0] = s_scr[rows, 0] * alpha + jnp.sum(p, axis=-1)
+        v_blk = v_ref[0]
+        pv = p
+        if vs_ref is not None:
+            # per-token V scale folded into p's columns (= scaling V rows)
+            pv = p * vs_ref[0, 0:1, :]
+        if v_blk.dtype == jnp.int8:
+            v_blk = v_blk.astype(q_ref.dtype)
+        acc_scr[rows] = acc_scr[rows] * alpha[:, None] + jax.lax.dot_general(
+            pv.astype(v_blk.dtype), v_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[rows, 0] = m_new
 
-    @pl.when(jnp.logical_and(blk_start < max_kv, jnp.logical_not(interior)))
-    def _compute_boundary():
-        scores = _scores()
-        pos = blk_start + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, dimension=1
+    for qj in range(nq_inner):
+        rows = slice(qj * rbq, (qj + 1) * rbq)
+        # global q-block index: traced (qh) + static (qj)
+        qblk = qh * nq_inner + qj
+        max_kv = jnp.where(causal, group_start + (qblk + 1) * block_q, length)
+        # rows of this q block start at bound_min; blocks wholly below it
+        # need NO mask — the iota/compare/select passes over the
+        # (rep*BQ, BK) tile are pure VPU cost, skipped for interior blocks
+        bound_min = ci * (group_start + qblk * block_q) + (1 - ci) * (
+            length - 1
         )
-        # absolute query position of each row: rows are laid out as
-        # rep blocks of block_q query positions
-        qpos = group_start + qi * block_q + (
-            jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) % block_q
+        interior = blk_start + block_k - 1 <= bound_min
+
+        @pl.when(jnp.logical_and(blk_start < max_kv, interior))
+        def _compute_interior(rows=rows):
+            _update(rows, _scores(rows))
+
+        @pl.when(
+            jnp.logical_and(blk_start < max_kv, jnp.logical_not(interior))
         )
-        # unified bound, arithmetic instead of an i1-vector select (Mosaic
-        # cannot legalize arith.select on vector<i1>): causal rows attend up
-        # to their own position, pure-past rows up to length-1
-        bound = ci * qpos + (1 - ci) * (length - 1)
-        scores = jnp.where(pos <= bound, scores, NEG_INF)
-        _update(scores)
+        def _compute_boundary(rows=rows, qblk=qblk):
+            scores = _scores(rows)
+            pos = blk_start + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, dimension=1
+            )
+            # absolute query position of each row: rows are laid out as
+            # rep blocks of block_q query positions
+            qpos = group_start + qblk * block_q + (
+                jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+                % block_q
+            )
+            # arithmetic bound instead of an i1-vector select (Mosaic cannot
+            # legalize arith.select on vector<i1>): causal rows attend up to
+            # their own position, pure-past rows up to length-1
+            bound = ci * qpos + (1 - ci) * (length - 1)
+            scores = jnp.where(pos <= bound, scores, NEG_INF)
+            _update(rows, scores)
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -218,55 +233,79 @@ def flash_past_attention(
     # fold GQA (query head h serves kv head h // rep): (Hkv, rep, Gp, D)
     qf = q.reshape(hkv, rep, gq, d)
 
+    # q blocks folded into the kernel body (static unroll): per-grid-step
+    # DMA issue overhead (~2.2us on v5e) dominated the kernel with one q
+    # block per step. VMEM budget (~16MB) allows 4 q blocks of 1024 rows.
+    nq_inner = min(4, nq)
+    while nq % nq_inner:
+        nq_inner -= 1
+    nqh = nq // nq_inner
+    qrows = nq_inner * rbq
+
     quant = k_scale is not None
     capp = cap + pad_k  # padded capacity
+
+    def kv_index(h, qh, ki, len_ref):
+        # The kernel is DMA-BOUND (measured: streaming k/v blocks alone costs
+        # ~60% of kernel time at the group shape), and Mosaic prefetches the
+        # block for EVERY grid step regardless of @pl.when — including the
+        # invalid capacity tail beyond `length`. Clamping the block index to
+        # the last attendable block makes beyond-valid steps REVISIT the
+        # same block, and revisiting elides the DMA entirely: the unused
+        # tail of the fixed-capacity buffer is never read from HBM.
+        length = len_ref[0]
+        group_start = len_ref[1]
+        # bound of the LAST q block in this step's inner unroll
+        qblk_hi = qh * nq_inner + (nq_inner - 1)
+        max_kv = jnp.where(
+            group_start >= 0, group_start + (qblk_hi + 1) * block_q, length
+        )
+        last = jnp.maximum((max_kv + block_k - 1) // block_k - 1, 0)
+        return (h, jnp.minimum(ki, last), 0)
+
     in_specs = [
         pl.BlockSpec(
-            (1, rbq, d), lambda h, qi, ki, *_: (h, qi, 0),
+            (1, qrows, d), lambda h, qh, ki, *_: (h, qh, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec(
-            (1, block_k, d), lambda h, qi, ki, *_: (h, ki, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (1, block_k, d), lambda h, qi, ki, *_: (h, ki, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        pl.BlockSpec((1, block_k, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), kv_index, memory_space=pltpu.VMEM),
     ]
     if quant:
         assert block_k % 128 == 0 and capp % 128 == 0, (block_k, capp)
         # lane-aligned scale tiles: (Hkv, 8, capp) with the 8 sublane rows
         # replicated (Mosaic block shapes need sublanes % 8); the kernel
         # reads row 0 as a (1, BK) vector aligned with score columns
+        def scale_index(h, qh, ki, len_ref):
+            _, kc, _ = kv_index(h, qh, ki, len_ref)
+            return (h, 0, kc)
+
         in_specs += [
             pl.BlockSpec(
-                (1, 8, block_k), lambda h, qi, ki, *_: (h, 0, ki),
-                memory_space=pltpu.VMEM,
+                (1, 8, block_k), scale_index, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 8, block_k), lambda h, qi, ki, *_: (h, 0, ki),
-                memory_space=pltpu.VMEM,
+                (1, 8, block_k), scale_index, memory_space=pltpu.VMEM
             ),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(hkv, nq, nk),
+        grid=(hkv, nqh, nk),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
-                (1, rbq, d), lambda h, qi, ki, *_: (h, qi, 0),
+                (1, qrows, d), lambda h, qh, ki, *_: (h, qh, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, rbq, 128), lambda h, qi, ki, *_: (h, qi, 0),
+                (1, qrows, 128), lambda h, qh, ki, *_: (h, qh, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rbq, 1), jnp.float32),
-            pltpu.VMEM((rbq, 1), jnp.float32),
-            pltpu.VMEM((rbq, d), jnp.float32),
+            pltpu.VMEM((qrows, 1), jnp.float32),
+            pltpu.VMEM((qrows, 1), jnp.float32),
+            pltpu.VMEM((qrows, d), jnp.float32),
         ],
     )
     # q-block layout: (Hkv, nq * rep*block_q, D) — each grid q-step sees the
@@ -277,7 +316,8 @@ def flash_past_attention(
         .reshape(hkv, nq * rbq, d)
     )
     kernel = functools.partial(
-        _flash_kernel, block_q=block_q, block_k=block_k, scale=scale
+        _flash_kernel, block_q=block_q, block_k=block_k,
+        nq_inner=nq_inner, scale=scale,
     )
     if quant:
         def kernel(length_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
@@ -285,8 +325,8 @@ def flash_past_attention(
             return _flash_kernel(
                 length_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, s_scr, acc_scr,
-                block_q=block_q, block_k=block_k, scale=scale,
-                ks_ref=ks_ref, vs_ref=vs_ref,
+                block_q=block_q, block_k=block_k, nq_inner=nq_inner,
+                scale=scale, ks_ref=ks_ref, vs_ref=vs_ref,
             )
     operands = [qblocks, k_past, v_past]
     if quant:
