@@ -235,8 +235,10 @@ def flash_past_attention(
 
     # q blocks folded into the kernel body (static unroll): per-grid-step
     # DMA issue overhead (~2.2us on v5e) dominated the kernel with one q
-    # block per step. VMEM budget (~16MB) allows 4 q blocks of 1024 rows.
-    nq_inner = min(4, nq)
+    # block per step. VMEM budget (~16MB scoped) allows 4 q blocks of 1024
+    # rows in bf16 mode; the int8 mode's scale tiles and cast temps push a
+    # 4x unroll 340KB over the limit at 2^17 capacity, so quant uses 2.
+    nq_inner = min(2 if k_scale is not None else 4, nq)
     while nq % nq_inner:
         nq_inner -= 1
     nqh = nq // nq_inner
