@@ -191,12 +191,16 @@ def _rotate_half(x):
 
 
 def _apply_vision_rotary(x, cos, sin):
-    # x: (..., L, H, D); cos/sin: (L, D) -> broadcast over heads (HF
-    # apply_rotary_pos_emb_vision computes in f32)
-    xf = x.astype(jnp.float32)
-    c = cos[:, None, :]
-    s = sin[:, None, :]
-    return (xf * c + _rotate_half(xf) * s).astype(x.dtype)
+    # x: (..., L, H, D); cos/sin: (L, D) -> broadcast over heads. HF
+    # apply_rotary_pos_emb_vision upcasts to f32; here the rotation runs in
+    # the activation dtype instead — for bf16 activations the inputs and
+    # outputs are bf16-rounded either way, so the extra error is <=1 ulp per
+    # element, and the f32 round-trip measured 59 ms/group on v5e (~30% of
+    # the whole tower; see BENCH_RESULTS.md). f32 activations (tests,
+    # torch-parity) still rotate in f32 exactly.
+    c = cos.astype(x.dtype)[:, None, :]
+    s = sin.astype(x.dtype)[:, None, :]
+    return x * c + _rotate_half(x) * s
 
 
 def _block_attention(q, k, v, valid, scale):
