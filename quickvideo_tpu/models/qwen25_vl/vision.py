@@ -251,10 +251,12 @@ def vision_block(
 
     s_len = x.shape[0]
     interp = bool(os.environ.get("QV_PALLAS_INTERPRET"))
+    from quickvideo_tpu.ops.vision_attention import kernel_applicable
+
     use_kernel = (
         (full_attn or uniform)
         and (interp or jax.default_backend() not in ("cpu", "gpu"))
-        and s_len % (frame_len if full_attn else mw) == 0
+        and kernel_applicable(s_len, frame_len if full_attn else mw)
     )
     if use_kernel:
         # fused block-diagonal kernel: full-attn blocks are spans of

@@ -57,6 +57,28 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, span: int, tq: int, scale: float):
     ).astype(o_ref.dtype)
 
 
+def _spans_per_tile(nspan: int, span: int) -> int:
+    """Largest spans-per-tile <= ~512 rows such that the tile divides the
+    sequence AND is sublane-aligned (tile rows % 8 == 0 — Mosaic block
+    constraint). Returns 0 when no packing satisfies both (caller falls
+    back to the XLA path): e.g. odd-span ragged grids."""
+    for spt in range(max(1, 512 // span), 0, -1):
+        if nspan % spt == 0 and (spt * span) % 8 == 0:
+            return spt
+    # spans longer than 512 rows (per-frame full attention). Cap the tile at
+    # 1536 rows: the f32 score tile (tq x tq) must fit VMEM (~16MB scoped).
+    if span % 8 == 0 and span <= 1536:
+        return 1
+    if nspan % 2 == 0 and (2 * span) % 8 == 0 and 2 * span <= 1536:
+        return 2
+    return 0
+
+
+def kernel_applicable(s_len: int, span: int) -> bool:
+    """Can block_diag_attention handle this (sequence, span)?"""
+    return s_len % span == 0 and _spans_per_tile(s_len // span, span) > 0
+
+
 def block_diag_attention(
     q: Array,  # (S, nh, hd)
     k: Array,
@@ -67,15 +89,15 @@ def block_diag_attention(
     interpret: bool = False,
 ) -> Array:
     """Block-diagonal attention over contiguous equal `span`s. Returns
-    (S, nh, hd) in q.dtype. Requires S % span == 0."""
+    (S, nh, hd) in q.dtype. Requires S % span == 0 and an 8-row-alignable
+    tiling (check with kernel_applicable)."""
     s_len, nh, hd = q.shape
     if s_len % span:
         raise ValueError(f"seq {s_len} not a multiple of span {span}")
     nspan = s_len // span
-    # pack whole spans into ~512-row tiles (sublane-friendly, VMEM-light)
-    spt = max(1, 512 // span)
-    while nspan % spt:
-        spt -= 1
+    spt = _spans_per_tile(nspan, span)
+    if spt == 0:
+        raise ValueError(f"no sublane-aligned tiling for span {span}")
     tq = spt * span
 
     qt = q.transpose(1, 0, 2)  # (nh, S, hd)
