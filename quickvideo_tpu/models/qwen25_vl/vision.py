@@ -251,20 +251,22 @@ def vision_block(
 
     s_len = x.shape[0]
     interp = bool(os.environ.get("QV_PALLAS_INTERPRET"))
-    from quickvideo_tpu.ops.vision_attention import kernel_applicable
+
+    def _va():
+        from quickvideo_tpu.ops import vision_attention
+
+        return vision_attention
 
     use_kernel = (
         (full_attn or uniform)
         and (interp or jax.default_backend() not in ("cpu", "gpu"))
-        and kernel_applicable(s_len, frame_len if full_attn else mw)
+        and _va().kernel_applicable(s_len, frame_len if full_attn else mw)
     )
     if use_kernel:
         # fused block-diagonal kernel: full-attn blocks are spans of
         # frame_len, window blocks spans of mw — same op (ops/
         # vision_attention.py; ~60x the XLA batched-tiny-matmul path)
-        from quickvideo_tpu.ops.vision_attention import block_diag_attention
-
-        out = block_diag_attention(
+        out = _va().block_diag_attention(
             q, k, v, frame_len if full_attn else mw, scale=scale,
             interpret=interp,
         ).astype(jnp.float32)
@@ -289,7 +291,22 @@ def vision_block(
         qb = q[safe]
         kb = k[safe]
         vb = v[safe]
-        ob = _block_attention(qb, kb, vb, valid, scale)
+        padded_len = int(np.prod(gidx.shape))
+        if (interp or jax.default_backend() not in ("cpu", "gpu")) and (
+            _va().kernel_applicable(padded_len, mw, masked=True)
+        ):
+            # ragged windows, padded-uniform in gather layout: the same
+            # block-diag kernel with a per-column validity penalty (pad
+            # rows produce garbage and are dropped by the scatter below)
+            ob = _va().block_diag_attention(
+                qb.reshape(padded_len, nh, hd),
+                kb.reshape(padded_len, nh, hd),
+                vb.reshape(padded_len, nh, hd),
+                mw, scale=scale, valid=valid.reshape(-1),
+                interpret=interp,
+            ).astype(jnp.float32)
+        else:
+            ob = _block_attention(qb, kb, vb, valid, scale)
         # scatter only valid lanes (pad lanes map out of range -> dropped)
         out = jnp.zeros(q.shape, jnp.float32).at[
             jnp.where(valid.reshape(-1), gidx.reshape(-1), s_len)

@@ -14,10 +14,12 @@ a 214 ms group forward). This kernel tiles several whole spans into one
 and masks cross-span scores arithmetically (Mosaic rejects vector<i1>
 selects; an additive -1e30 penalty avoids them).
 
-Only the uniform case (all spans the same length, which window-aligned
-resize guarantees and per-frame full attention always satisfies) maps to
-the kernel; ragged windows fall back to the XLA padded-gather path in
-models/qwen25_vl/vision.py.
+Uniform spans (window-aligned resize; per-frame full attention) map
+directly. Ragged windows (strict reference resize) are first padded into
+uniform spans by the existing XLA window-gather, then attended here with a
+per-column validity penalty operand (pad rows' outputs are garbage and are
+dropped by the scatter). Grids whose spans admit no 8-row-aligned tiling
+fall back to the XLA path entirely (kernel_applicable).
 """
 
 from __future__ import annotations
@@ -34,10 +36,15 @@ Array = jax.Array
 NEG = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, span: int, tq: int, scale: float):
+def _kernel(*refs, span: int, tq: int, scale: float, masked: bool):
     # blocks: (1, TQ, hd). Spans are contiguous and TQ is a multiple of the
     # span length, so keys for every query in this tile live in the SAME
     # tile -> single-shot softmax, no cross-tile reduction.
+    if masked:
+        q_ref, k_ref, v_ref, pen_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+        pen_ref = None
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -48,9 +55,15 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, span: int, tq: int, scale: float):
         row = lax.broadcasted_iota(jnp.int32, (tq, tq), 0) // span
         col = lax.broadcasted_iota(jnp.int32, (tq, tq), 1) // span
         s = s + (row != col).astype(jnp.float32) * NEG
+    if pen_ref is not None:
+        # per-column validity penalty (0 valid / NEG padded), lane-aligned
+        # with the score columns ((8, TQ) sublane-replicated tile, row 0)
+        s = s + pen_ref[0:1, :]
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    den = jnp.sum(p, axis=-1, keepdims=True)
+    # fully-masked rows (pad queries): den==0 -> emit 0, dropped by scatter
+    p = p / jnp.maximum(den, 1e-30)
     o_ref[0] = lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -74,9 +87,16 @@ def _spans_per_tile(nspan: int, span: int) -> int:
     return 0
 
 
-def kernel_applicable(s_len: int, span: int) -> bool:
-    """Can block_diag_attention handle this (sequence, span)?"""
-    return s_len % span == 0 and _spans_per_tile(s_len // span, span) > 0
+def kernel_applicable(s_len: int, span: int, masked: bool = False) -> bool:
+    """Can block_diag_attention handle this (sequence, span)? The masked
+    (padded-window) variant additionally needs 128-lane-aligned tiles for
+    the penalty operand."""
+    if s_len % span:
+        return False
+    spt = _spans_per_tile(s_len // span, span)
+    if spt == 0:
+        return False
+    return not masked or (spt * span) % 128 == 0
 
 
 def block_diag_attention(
@@ -86,6 +106,9 @@ def block_diag_attention(
     span: int,  # tokens per attention span (window or frame length)
     *,
     scale: float,
+    valid: Array | None = None,  # (S,) bool: False = padded slot (ragged
+    # windows gathered into uniform spans); both its keys and its outputs
+    # are dead — keys get a NEG column penalty, outputs are dropped upstream
     interpret: bool = False,
 ) -> Array:
     """Block-diagonal attention over contiguous equal `span`s. Returns
@@ -99,18 +122,29 @@ def block_diag_attention(
     if spt == 0:
         raise ValueError(f"no sublane-aligned tiling for span {span}")
     tq = spt * span
+    if valid is not None and tq % 128:
+        raise ValueError(f"masked variant needs 128-aligned tiles, got {tq}")
 
     qt = q.transpose(1, 0, 2)  # (nh, S, hd)
     kt = k.transpose(1, 0, 2)
     vt = v.transpose(1, 0, 2)
 
     spec = pl.BlockSpec((1, tq, hd), lambda h, i: (h, i, 0))
+    in_specs = [spec, spec, spec]
+    operands = [qt, kt, vt]
+    if valid is not None:
+        pen = jnp.where(valid, 0.0, NEG).astype(jnp.float32)
+        operands.append(jnp.broadcast_to(pen[None, :], (8, s_len)))
+        in_specs.append(pl.BlockSpec((8, tq), lambda h, i: (0, i)))
     out = pl.pallas_call(
-        functools.partial(_kernel, span=span, tq=tq, scale=scale),
+        functools.partial(
+            _kernel, span=span, tq=tq, scale=scale,
+            masked=valid is not None,
+        ),
         grid=(nh, s_len // tq),
-        in_specs=[spec, spec, spec],
+        in_specs=in_specs,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((nh, s_len, hd), q.dtype),
         interpret=interpret,
-    )(qt, kt, vt)
+    )(*operands)
     return out.transpose(1, 0, 2)

@@ -50,6 +50,59 @@ def test_kernel_rejects_ragged():
         block_diag_attention(q, q, q, 64, scale=SCALE, interpret=True)
 
 
+def test_masked_kernel_matches_padded_oracle(rng_np):
+    """Padded-window variant: per-column validity penalty == the XLA
+    batched path's mask (pad rows' outputs are dead, not compared)."""
+    nw, mw = 6, 128  # tq multiple of 128 required for the penalty operand
+    s = nw * mw
+    q = jnp.asarray(rng_np.standard_normal((s, NH, HD)), jnp.float32)
+    k = jnp.asarray(rng_np.standard_normal((s, NH, HD)), jnp.float32)
+    v = jnp.asarray(rng_np.standard_normal((s, NH, HD)), jnp.float32)
+    valid = np.ones((nw, mw), bool)
+    valid[1, 100:] = False  # ragged window
+    valid[4, 7:] = False
+
+    out = block_diag_attention(
+        q, k, v, mw, scale=SCALE, valid=jnp.asarray(valid.reshape(-1)),
+        interpret=True,
+    )
+    ref = V._block_attention(
+        q.reshape(nw, mw, NH, HD), k.reshape(nw, mw, NH, HD),
+        v.reshape(nw, mw, NH, HD), jnp.asarray(valid), SCALE,
+    ).reshape(s, NH, HD)
+    vm = valid.reshape(-1)
+    np.testing.assert_allclose(
+        np.asarray(out)[vm], np.asarray(ref)[vm], rtol=2e-5, atol=2e-5
+    )
+
+
+def test_vision_tower_ragged_kernel_matches_xla(rng_np, monkeypatch):
+    """Non-aligned grid (ragged windows): the padded-gather + masked kernel
+    path equals the pure-XLA tower."""
+    from quickvideo_tpu.models.qwen25_vl import get_config
+    from quickvideo_tpu.models.qwen25_vl import model as qmodel
+
+    cfg = get_config("tiny")
+    vc = cfg.vision
+    t, h, w = 2, 6, 10  # unit grid not divisible by the window edge
+    layout = V.build_layout(
+        (t, h, w), vc.patch_size, vc.spatial_merge_size, vc.window_size,
+        vc.head_dim,
+    )
+    if layout.win_uniform:
+        pytest.skip("grid unexpectedly uniform")
+    params = qmodel.init_params(cfg, seed=5, dtype=jnp.float32)["vision"]
+    px = jnp.asarray(
+        rng_np.standard_normal((t * h * w, vc.patch_input_dim)), jnp.float32
+    )
+    ref = V.vision_forward(params, px, layout, vc)
+    monkeypatch.setenv("QV_PALLAS_INTERPRET", "1")
+    out = V.vision_forward(params, px, layout, vc)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_bf16_rotary_close_to_f32(rng_np):
     """Vision rotary computes in the activation dtype for bf16 (perf: the
     f32 round-trip was ~30% of the tower on v5e); error vs the f32 path
