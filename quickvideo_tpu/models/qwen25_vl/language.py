@@ -78,9 +78,12 @@ def rms_norm(x: Array, w: Array, eps: float) -> Array:
 
 
 def swiglu_mlp(x: Array, lp: dict) -> Array:
-    g = jnp.dot(x, lp["wg"], preferred_element_type=jnp.float32)
-    u = jnp.dot(x, lp["wu"], preferred_element_type=jnp.float32)
-    h = (jax.nn.silu(g) * u).astype(x.dtype)
+    # matmuls accumulate in f32 (MXU), activations stay in the model dtype —
+    # exactly HF's bf16 Linear/SiLU chain, and half the HBM traffic of f32
+    # intermediates on the (L, intermediate) tensors
+    g = jnp.dot(x, lp["wg"], preferred_element_type=jnp.float32).astype(x.dtype)
+    u = jnp.dot(x, lp["wu"], preferred_element_type=jnp.float32).astype(x.dtype)
+    h = jax.nn.silu(g) * u
     return jnp.dot(h, lp["wd"], preferred_element_type=jnp.float32).astype(x.dtype)
 
 

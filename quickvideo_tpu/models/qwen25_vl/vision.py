@@ -319,9 +319,14 @@ def vision_block(
     )
     x = x + attn_out
     h2 = _rms_norm(x, bp["ln2"], cfg.rms_norm_eps)
-    g = jnp.dot(h2, bp["wg"], preferred_element_type=jnp.float32) + bp["bg"].astype(jnp.float32)
-    u = jnp.dot(h2, bp["wu"], preferred_element_type=jnp.float32) + bp["bu"].astype(jnp.float32)
-    mlp = (jax.nn.silu(g) * u).astype(x.dtype)
+    # f32 matmul accumulation, model-dtype activations (= HF bf16 Linear)
+    g = jnp.dot(
+        h2, bp["wg"], preferred_element_type=jnp.float32
+    ).astype(x.dtype) + bp["bg"]
+    u = jnp.dot(
+        h2, bp["wu"], preferred_element_type=jnp.float32
+    ).astype(x.dtype) + bp["bu"]
+    mlp = jax.nn.silu(g) * u
     mlp = (
         jnp.dot(mlp, bp["wd"], preferred_element_type=jnp.float32)
         .astype(x.dtype) + bp["bd"]
