@@ -238,7 +238,12 @@ def flash_past_attention(
     # block per step. VMEM budget (~16MB scoped) allows 4 q blocks of 1024
     # rows in bf16 mode; the int8 mode's scale tiles and cast temps push a
     # 4x unroll 340KB over the limit at 2^17 capacity, so quant uses 2.
-    nq_inner = min(2 if k_scale is not None else 4, nq)
+    import os as _os
+
+    _default_inner = 2 if k_scale is not None else 4
+    nq_inner = min(
+        int(_os.environ.get("QV_FLASH_NQ_INNER", _default_inner)), nq
+    )
     while nq % nq_inner:
         nq_inner -= 1
     nqh = nq // nq_inner
