@@ -137,6 +137,79 @@ def run_qa_eval(
     }
 
 
+def run_qa_eval_batched(
+    lvu,
+    samples: Iterable[QASample],
+    max_new_tokens: int = 16,
+    batch_size: int = 8,
+    verbose: bool = False,
+) -> Dict:
+    """Batched evaluation: questions that share a video run as ONE vmapped
+    prefill+decode on the chip (quickvideo_tpu.prefill.batch) — the
+    throughput analogue of the reference's 8-process `accelerate launch`
+    eval sharding (reference README.md:398-412), without extra hosts.
+
+    Samples are grouped by video path; each video's frames decode once and
+    its questions batch up to `batch_size` at a time."""
+    from collections import defaultdict
+
+    from quickvideo_tpu.engines.qwen25 import _fetch_frames
+    from quickvideo_tpu.prefill.batch import BatchedQAEngine
+    from quickvideo_tpu.tokenization import build_chat_ids
+    from quickvideo_tpu.utils.timing import SpanTimer
+    from quickvideo_tpu.video import reader as vreader
+
+    by_video = defaultdict(list)
+    for s in samples:
+        by_video[s.video].append(s)
+
+    beng = BatchedQAEngine(lvu.engine)
+    eos = [lvu.tokenizer.eos_token_id]
+    n = 0
+    correct = 0
+    per_sample = []
+    for video, group in by_video.items():
+        timer = SpanTimer()
+        frames, plan = _fetch_frames(lvu, video, timer)
+        n_video_tokens = sum(plan.tokens_per_group)
+        for i in range(0, len(group), batch_size):
+            chunk = group[i : i + batch_size]
+            reqs = []
+            for s in chunk:
+                ids = build_chat_ids(
+                    lvu.tokenizer, lvu.model_config,
+                    format_mc_question(s), n_video_tokens,
+                )
+                reqs.append(vreader.build_prefill_inputs_from_frames(
+                    frames, plan, ids
+                ))
+            token_lists = beng.generate_batch(
+                reqs, max_new_tokens, eos_token_ids=eos
+            )
+            for s, toks in zip(chunk, token_lists):
+                try:
+                    text = lvu.tokenizer.decode(
+                        [int(t) for t in toks], skip_special_tokens=True
+                    )
+                except TypeError:  # FallbackTokenizer has no HF kwargs
+                    text = lvu.tokenizer.decode([int(t) for t in toks])
+                pred = extract_choice(text, n_options=len(s.options))
+                ok = pred == s.answer
+                n += 1
+                correct += int(ok)
+                per_sample.append(
+                    {"id": s.id, "pred": pred, "answer": s.answer,
+                     "correct": ok, "raw": text[:200]}
+                )
+                if verbose:
+                    print(f"[{n}] pred={pred} gold={s.answer} ok={ok}")
+    return {
+        "accuracy": correct / max(n, 1),
+        "n": n,
+        "per_sample": per_sample,
+    }
+
+
 def register_lmms_model():  # pragma: no cover - optional integration
     """Register as an lmms-eval model when that package is available, so the
     reference's eval commands (README.md:398-412) work against this engine."""

@@ -1,0 +1,148 @@
+"""Batched QA engine: vmapped prefill/decode must reproduce the per-sample
+engine's greedy outputs token-for-token."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from quickvideo_tpu.config import LVUConfig
+from quickvideo_tpu.models.qwen25_vl import get_config
+from quickvideo_tpu.models.qwen25_vl import model as qmodel
+from quickvideo_tpu.prefill.batch import BatchedQAEngine
+from quickvideo_tpu.prefill.engine import LVUEngine, PrefillInputs
+
+CFG = get_config("tiny")
+T, H, W = 2, 4, 4
+GRID = (2 * T, H, W)  # two groups
+
+
+@pytest.fixture(scope="module")
+def params():
+    return qmodel.init_params(CFG, seed=0, dtype=jnp.float32)
+
+
+def build_requests(n=3, seed=7):
+    rng = np.random.default_rng(seed)
+    vid = CFG.video_token_id
+    n_units = T * (H // 2) * (W // 2)
+    prefix = [5, 6, 7]
+    reqs = []
+    pixels = [
+        rng.standard_normal(
+            (T * H * W, CFG.vision.patch_input_dim)
+        ).astype(np.float32)
+        for _ in range(2)
+    ]
+    for i in range(n):
+        suffix = list(rng.integers(10, 90, size=4 + 3 * i))
+        ids = np.array(prefix + [vid] * (2 * n_units) + suffix, np.int64)
+        reqs.append(PrefillInputs(
+            input_ids=ids,
+            video_grid_thw=GRID,
+            pixel_groups=[p.copy() for p in pixels],
+            group_grids=[(T, H, W), (T, H, W)],
+            second_per_grid_ts=2.0,
+        ))
+    return reqs
+
+
+def make_engine(params, **kw):
+    lvu = LVUConfig(
+        model_name_or_path="tiny", num_frames=8, max_decode_tokens=40, **kw
+    )
+    return LVUEngine(params, CFG, lvu, dtype=jnp.float32)
+
+
+def test_batched_matches_per_sample(params):
+    reqs = build_requests(3)
+    eng = make_engine(params, top_k=4)
+    expected = []
+    for r in reqs:
+        res = eng.generate(
+            PrefillInputs(
+                r.input_ids, r.video_grid_thw,
+                [p.copy() for p in r.pixel_groups], r.group_grids,
+                r.second_per_grid_ts,
+            ),
+            max_new_tokens=5,
+        )
+        expected.append(np.asarray(res.tokens))
+
+    beng = BatchedQAEngine(make_engine(params, top_k=4))
+    outs = beng.generate_batch(reqs, max_new_tokens=5)
+    assert len(outs) == 3
+    for got, exp in zip(outs, expected):
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_batched_no_prune(params):
+    reqs = build_requests(2, seed=11)
+    eng = make_engine(params, top_k=None)
+    expected = [
+        np.asarray(eng.generate(
+            PrefillInputs(
+                r.input_ids, r.video_grid_thw,
+                [p.copy() for p in r.pixel_groups], r.group_grids,
+                r.second_per_grid_ts,
+            ),
+            max_new_tokens=3,
+        ).tokens)
+        for r in reqs
+    ]
+    beng = BatchedQAEngine(make_engine(params, top_k=None))
+    outs = beng.generate_batch(reqs, max_new_tokens=3)
+    for got, exp in zip(outs, expected):
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_batched_rejects_mismatched_geometry(params):
+    reqs = build_requests(2)
+    bad = PrefillInputs(
+        reqs[1].input_ids[1:],  # different prefix
+        reqs[1].video_grid_thw, reqs[1].pixel_groups,
+        reqs[1].group_grids, reqs[1].second_per_grid_ts,
+    )
+    beng = BatchedQAEngine(make_engine(params, top_k=4))
+    with pytest.raises(ValueError, match="identical"):
+        beng.generate_batch([reqs[0], bad], max_new_tokens=2)
+
+
+def test_batched_rejects_query_based(params):
+    with pytest.raises(ValueError, match="query-based"):
+        BatchedQAEngine(make_engine(
+            params, top_k=4, top_k_predict_type="query_attention_weights"
+        ))
+
+
+def test_run_qa_eval_batched_end_to_end(tmp_path):
+    """Full facade path: synthetic video, two questions on one video run
+    batched; predictions equal the per-sample eval path's."""
+    from quickvideo_tpu.api import LVU
+    from quickvideo_tpu.evaluation.qa import (
+        QASample,
+        run_qa_eval,
+        run_qa_eval_batched,
+    )
+    from quickvideo_tpu.video import quickdecode as qd
+
+    if not qd.is_available():
+        pytest.skip("native decoder unavailable")
+    clip = str(tmp_path / "clip.mp4")
+    qd.encode_test_video(clip, width=64, height=64, nframes=8, fps=8)
+    lvu = LVU(LVUConfig(
+        model_name_or_path="tiny", model_type="qwen25_lvu", num_frames=8,
+        video_group_size=4, top_k=8, top_p=-1.0, max_decode_tokens=8,
+        dtype="float32",
+    ))
+    samples = [
+        QASample(clip, "What color dominates?", ["A. red", "B. blue"], "A",
+                 id="s1"),
+        QASample(clip, "Is there any motion in the clip at all?",
+                 ["A. yes", "B. no"], "B", id="s2"),
+    ]
+    ref = run_qa_eval(lvu, samples, max_new_tokens=4)
+    got = run_qa_eval_batched(lvu, samples, max_new_tokens=4, batch_size=2)
+    assert got["n"] == 2
+    assert [p["pred"] for p in got["per_sample"]] == [
+        p["pred"] for p in ref["per_sample"]
+    ]
