@@ -33,6 +33,7 @@ class LVU:
         self.config = config
         self.model_config = get_config(config.model_name_or_path or "qwen25-vl-7b")
         dtype = _DTYPES[config.dtype]
+        int8_weights = config.param_dtype == "int8"
         if params is not None:
             self.params = params
         elif os.path.isdir(config.model_name_or_path or ""):
@@ -41,6 +42,20 @@ class LVU:
             self.params = load_params(
                 config.model_name_or_path, self.model_config, dtype
             )
+            if int8_weights:
+                from quickvideo_tpu.ops.quantization import (
+                    quantize_model_params,
+                )
+
+                self.params = quantize_model_params(self.params)
+        elif int8_weights:
+            # quantized fast-init WITHOUT materializing the bf16 tree first
+            # (7B bf16 + int8 copies would exceed a 16 GB chip)
+            from quickvideo_tpu.ops.quantization import (
+                init_params_fast_quantized,
+            )
+
+            self.params = init_params_fast_quantized(self.model_config, dtype)
         else:
             # no checkpoint available (e.g. offline bench): deterministic
             # fast init at the preset's true shapes — identical

@@ -109,7 +109,9 @@ class LVUConfig:
     # --- TPU-native runtime options (new) ---
     mesh: MeshConfig = field(default_factory=MeshConfig)
     dtype: str = "bfloat16"  # compute/cache dtype
-    param_dtype: str = "bfloat16"
+    param_dtype: str = "bfloat16"  # "bfloat16" | "float32" | "int8"
+    # (int8 = weight-only per-output-channel symmetric quantization — the
+    # enabler for 7B-class models on a 16 GB chip; ops/quantization.py)
     kv_cache_capacity: Optional[int] = None  # tokens; None = auto from input
     kv_cache_dtype: str = "bfloat16"  # "bfloat16" | "int8" (quantized cache)
     decode_output: str = "rgb"  # "rgb" | "yuv420" (half the host->device

@@ -27,6 +27,7 @@ from quickvideo_tpu.ops import attention as attn_ops
 from quickvideo_tpu.ops import kv_cache as kv
 from quickvideo_tpu.ops import prune as prune_ops
 from quickvideo_tpu.ops.predictors import select_top_k_indices
+from quickvideo_tpu.ops.quantization import qdot, qtake
 
 Array = jax.Array
 
@@ -81,10 +82,10 @@ def swiglu_mlp(x: Array, lp: dict) -> Array:
     # matmuls accumulate in f32 (MXU), activations stay in the model dtype —
     # exactly HF's bf16 Linear/SiLU chain, and half the HBM traffic of f32
     # intermediates on the (L, intermediate) tensors
-    g = jnp.dot(x, lp["wg"], preferred_element_type=jnp.float32).astype(x.dtype)
-    u = jnp.dot(x, lp["wu"], preferred_element_type=jnp.float32).astype(x.dtype)
+    g = qdot(x, lp["wg"]).astype(x.dtype)
+    u = qdot(x, lp["wu"]).astype(x.dtype)
     h = jax.nn.silu(g) * u
-    return jnp.dot(h, lp["wd"], preferred_element_type=jnp.float32).astype(x.dtype)
+    return qdot(h, lp["wd"]).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -130,12 +131,9 @@ class StepSpec:
 def _project_qkv(lp: dict, h: Array, cfg: TextConfig):
     l = h.shape[0]
     hd = cfg.head_dim
-    q = (jnp.dot(h, lp["wq"], preferred_element_type=jnp.float32)
-         .astype(h.dtype) + lp["bq"])
-    k = (jnp.dot(h, lp["wk"], preferred_element_type=jnp.float32)
-         .astype(h.dtype) + lp["bk"])
-    v = (jnp.dot(h, lp["wv"], preferred_element_type=jnp.float32)
-         .astype(h.dtype) + lp["bv"])
+    q = qdot(h, lp["wq"]).astype(h.dtype) + lp["bq"]
+    k = qdot(h, lp["wk"]).astype(h.dtype) + lp["bk"]
+    v = qdot(h, lp["wv"]).astype(h.dtype) + lp["bv"]
     q = q.reshape(l, cfg.num_attention_heads, hd).transpose(1, 0, 2)
     k = k.reshape(l, cfg.num_key_value_heads, hd).transpose(1, 0, 2)
     v = v.reshape(l, cfg.num_key_value_heads, hd).transpose(1, 0, 2)
@@ -290,9 +288,7 @@ def layer_step(
     attn_out = out.astype(x.dtype).transpose(1, 0, 2).reshape(
         out.shape[1], hq * cfg.head_dim
     )
-    attn_out = jnp.dot(
-        attn_out, lp["wo"], preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    attn_out = qdot(attn_out, lp["wo"]).astype(x.dtype)
     x = x + attn_out
 
     # --- pruning hook (reference qwen25_vl.py:176-185) ---
@@ -438,9 +434,19 @@ def prefill_step_unrolled(
             new_vs.append(vs_buf)
         new_len.append(cache.length[li] + spec.append_n)
         if spec.keep_k > 0 and spec.cascade and li < n - 1 and indices is not None:
-            x = x[indices]
-            cos = cos[indices]
-            sin = sin[indices]
+            if spec.prompt_len > 0:
+                # query-based mode: the trailing prompt rows ride along with
+                # every group (reference qwen25_lvu.py:684-686) — keep them
+                # after the video rows shrink, matching the next layer's
+                # q_len = keep_k + prompt_len from _layer_specs
+                gv = spec.video_len
+                x = jnp.concatenate([x[indices], x[gv:]], axis=0)
+                cos = jnp.concatenate([cos[indices], cos[gv:]], axis=0)
+                sin = jnp.concatenate([sin[indices], sin[gv:]], axis=0)
+            else:
+                x = x[indices]
+                cos = cos[indices]
+                sin = sin[indices]
     cache = cache.replace(
         k=jnp.stack(new_k), v=jnp.stack(new_v), length=jnp.stack(new_len)
     )
@@ -454,11 +460,11 @@ def prefill_step_unrolled(
 def compute_logits(params: dict, hidden_last: Array, cfg: TextConfig) -> Array:
     """(C,) or (L, C) -> logits in f32."""
     h = rms_norm(hidden_last, params["norm"], cfg.rms_norm_eps)
-    return jnp.dot(h, params["lm_head"], preferred_element_type=jnp.float32)
+    return qdot(h, params["lm_head"])
 
 
 def embed_tokens(params: dict, token_ids: Array) -> Array:
-    return jnp.take(params["embed"], token_ids, axis=0)
+    return qtake(params["embed"], token_ids, params["norm"].dtype)
 
 
 def decode_step(

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from quickvideo_tpu.models.qwen25_vl.config import VisionConfig
+from quickvideo_tpu.ops.quantization import is_quantized, qdot
 
 Array = jax.Array
 
@@ -238,10 +239,7 @@ def vision_block(
     hd = cfg.head_dim
     scale = hd ** -0.5
     h = _rms_norm(x, bp["ln1"], cfg.rms_norm_eps)
-    qkv = (
-        jnp.dot(h, bp["wqkv"], preferred_element_type=jnp.float32)
-        .astype(x.dtype) + bp["bqkv"]
-    )
+    qkv = qdot(h, bp["wqkv"]).astype(x.dtype) + bp["bqkv"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(-1, nh, hd)
     k = k.reshape(-1, nh, hd)
@@ -313,24 +311,14 @@ def vision_block(
         ].set(ob.reshape(-1, nh, hd), mode="drop")
 
     attn_out = out.astype(x.dtype).reshape(s_len, c)
-    attn_out = (
-        jnp.dot(attn_out, bp["wo"], preferred_element_type=jnp.float32)
-        .astype(x.dtype) + bp["bo"]
-    )
+    attn_out = qdot(attn_out, bp["wo"]).astype(x.dtype) + bp["bo"]
     x = x + attn_out
     h2 = _rms_norm(x, bp["ln2"], cfg.rms_norm_eps)
     # f32 matmul accumulation, model-dtype activations (= HF bf16 Linear)
-    g = jnp.dot(
-        h2, bp["wg"], preferred_element_type=jnp.float32
-    ).astype(x.dtype) + bp["bg"]
-    u = jnp.dot(
-        h2, bp["wu"], preferred_element_type=jnp.float32
-    ).astype(x.dtype) + bp["bu"]
+    g = qdot(h2, bp["wg"]).astype(x.dtype) + bp["bg"]
+    u = qdot(h2, bp["wu"]).astype(x.dtype) + bp["bu"]
     mlp = jax.nn.silu(g) * u
-    mlp = (
-        jnp.dot(mlp, bp["wd"], preferred_element_type=jnp.float32)
-        .astype(x.dtype) + bp["bd"]
-    )
+    mlp = qdot(mlp, bp["wd"]).astype(x.dtype) + bp["bd"]
     return x + mlp
 
 
@@ -363,7 +351,7 @@ def vision_forward(
     (eager/test use)."""
     if layout_arrays is None:
         layout_arrays = layout_arrays_for(layout)
-    pdtype = params["patch_embed"].dtype
+    pdtype = params["blocks"]["ln1"].dtype
     if pixels.ndim == 2 and pixels.dtype == jnp.uint8 and (
         pixels.shape[1]
         == layout.grid_thw[1] * cfg.patch_size
@@ -435,11 +423,7 @@ def vision_forward(
             pixels.astype(jnp.float32) * jnp.asarray(scale)
             + jnp.asarray(bias)
         ).astype(pdtype)
-    x = jnp.dot(
-        pixels.astype(pdtype),
-        params["patch_embed"],
-        preferred_element_type=jnp.float32,
-    ).astype(pdtype)
+    x = qdot(pixels.astype(pdtype), params["patch_embed"]).astype(pdtype)
     x = x[layout_arrays["perm"]]
     t = layout.grid_thw[0]
     nw, mw = layout.win_gather.shape
@@ -473,10 +457,7 @@ def vision_forward(
     xm = _rms_norm(x, mp["ln_q"], cfg.rms_norm_eps)
     unit = cfg.spatial_merge_unit
     xm = xm.reshape(-1, unit * cfg.hidden_size)
-    h1 = jnp.dot(xm, mp["w1"], preferred_element_type=jnp.float32) + mp["b1"].astype(jnp.float32)
+    h1 = qdot(xm, mp["w1"]) + mp["b1"].astype(jnp.float32)
     h1 = jax.nn.gelu(h1, approximate=False).astype(x.dtype)
-    out = (
-        jnp.dot(h1, mp["w2"], preferred_element_type=jnp.float32)
-        .astype(x.dtype) + mp["b2"]
-    )
+    out = qdot(h1, mp["w2"]).astype(x.dtype) + mp["b2"]
     return out[layout_arrays["inv_perm_units"]]

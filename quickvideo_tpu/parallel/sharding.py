@@ -85,13 +85,29 @@ def _named(mesh, spec_tree, tree):
     )
 
 
+def _is_quantized_leaf(x) -> bool:
+    return isinstance(x, dict) and "q8" in x
+
+
 def shard_params(params: dict, mesh: Mesh) -> dict:
     specs = param_shardings(mesh)
+
+    def put(x, s):
+        if _is_quantized_leaf(x):
+            # q8 keeps the weight's spec; the per-out-channel scale drops the
+            # contraction axis (second-to-last entry of the spec)
+            parts = tuple(s)
+            sc_spec = P(*(parts[:-2] + parts[-1:])) if len(parts) >= 2 else s
+            return {
+                "q8": jax.device_put(x["q8"], NamedSharding(mesh, s)),
+                "sc": jax.device_put(x["sc"], NamedSharding(mesh, sc_spec)),
+            }
+        return jax.device_put(x, NamedSharding(mesh, s))
+
     # prune spec tree to the params present
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        params,
-        {k: specs[k] for k in params},
+        put, params, {k: specs[k] for k in params},
+        is_leaf=_is_quantized_leaf,
     )
 
 

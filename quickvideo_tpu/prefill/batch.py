@@ -113,6 +113,12 @@ class BatchedQAEngine:
         lvu = eng.lvu
         b = len(requests)
         assert b >= 1
+        # plan_capacity and the rope tables are sized from max_decode_tokens;
+        # a larger request would silently clamp cache appends onto the last
+        # slot — clamp here, mirroring LVUEngine.generate
+        max_new_tokens = min(
+            max_new_tokens or lvu.max_decode_tokens, lvu.max_decode_tokens
+        )
         grid0 = tuple(int(x) for x in requests[0].video_grid_thw)
         ggrids0 = [tuple(int(x) for x in g) for g in requests[0].group_grids]
         ids_list = [np.asarray(r.input_ids) for r in requests]

@@ -176,7 +176,9 @@ class LVUEngine:
     def _embed_scatter(self, embed: Array, ids: Array, vis: Optional[Array]):
         # embed passed as an ARGUMENT — a closure capture would bake the
         # multi-GB embedding table into the HLO as a constant
-        x = jnp.take(embed, ids, axis=0)
+        from quickvideo_tpu.ops.quantization import qtake
+
+        x = qtake(embed, ids, self.dtype)
         if vis is not None:
             x = qmodel.merge_vision_embeddings(
                 x, vis, ids, self.cfg.video_token_id
@@ -206,7 +208,7 @@ class LVUEngine:
         g_sin = jax.lax.dynamic_slice(
             sin_full, (offset, 0), (spec.q_len, sin_full.shape[1])
         )
-        x = jnp.take(params_lang["embed"], g_ids, axis=0)
+        x = embed_tokens(params_lang, g_ids)
         if vis is not None:
             x = qmodel.merge_vision_embeddings(
                 x, vis, g_ids, self.cfg.video_token_id
@@ -230,7 +232,7 @@ class LVUEngine:
         g_sin = jax.lax.dynamic_slice(
             sin_full, (offset, 0), (spec.q_len, sin_full.shape[1])
         )
-        x = jnp.take(params_lang["embed"], g_ids, axis=0)
+        x = embed_tokens(params_lang, g_ids)
         if vis is not None:
             x = qmodel.merge_vision_embeddings(
                 x, vis, g_ids, self.cfg.video_token_id
@@ -247,7 +249,7 @@ class LVUEngine:
     ):
         """Padded-bucket suffix prefill + logits of the last VALID row, in
         one program (exact suffix shapes would recompile per question)."""
-        x = jnp.take(params_lang["embed"], ids_pad, axis=0)
+        x = embed_tokens(params_lang, ids_pad)
         g_cos = jax.lax.dynamic_slice(
             cos_full, (offset, 0), (spec.q_len, cos_full.shape[1])
         )
@@ -352,7 +354,11 @@ class LVUEngine:
     ) -> int:
         """Worst-case (max over layers) cache capacity in tokens."""
         n = self.cfg.text.num_hidden_layers
-        total = prefix_len + suffix_len + self.lvu.max_decode_tokens
+        # decode runs in fixed 32-token chunks and may overshoot max_new by
+        # up to chunk-1 appended rows before trimming — budget the overshoot
+        # explicitly instead of relying on unrelated slack terms
+        decode_budget = -(-self.lvu.max_decode_tokens // 32) * 32
+        total = prefix_len + suffix_len + decode_budget
         for gt in group_token_counts:
             keeps = [
                 resolve_effective_top_k(self.lvu, li, n, gt) or gt

@@ -91,14 +91,23 @@ class AsyncPixelGroups:
             self._q.put(_SENTINEL)
         except BaseException as e:  # noqa: BLE001 — re-raised on consumer side
             self._exc = e
+            # best-effort fast wakeup; the consumer also polls self._exc on a
+            # timeout so a full queue here cannot turn the error into a hang
+            # (the reference's AsyncPixelIterator likewise polls its exception
+            # field each loop, qwen25_lvu_interleaved.py:289-316)
             try:
-                self._q.put(_SENTINEL, timeout=1)
+                self._q.put_nowait(_SENTINEL)
             except queue.Full:
                 pass
 
     def __iter__(self) -> Iterator[np.ndarray]:
         while True:
-            item = self._q.get()
+            try:
+                item = self._q.get(timeout=0.1)
+            except queue.Empty:
+                if self._exc is not None:
+                    raise self._exc
+                continue
             if item is _SENTINEL:
                 if self._exc is not None:
                     raise self._exc

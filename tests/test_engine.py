@@ -137,6 +137,27 @@ class TestPrunedPrefill:
         assert res.cache_length == 32 + 32 + 6 + 1
         assert len(res.tokens) == 2
 
+    def test_cascade_with_query_based_predictor(self, params):
+        """Cascade activation pruning + query-based predictor: the unrolled
+        path must carry the appended prompt rows through each layer's shrink
+        (ADVICE r1: previously crashed at trace time with a broadcast error
+        because x[indices] dropped the prompt tail)."""
+        ids, pixels, pixel_groups, group_grids = build_request(groups_t=(2, 2))
+        eng = make_engine(
+            params,
+            top_k=16,
+            top_k_predict_type="query_attention_weights",
+            prefill_prune_starting_layer=0,
+            max_decode_tokens=8,
+        )
+        assert eng.lvu.query_based and not eng._uniform()
+        res = eng.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=2,
+        )
+        assert res.cache_length == 16 + 16 + 6 + 1
+        assert len(res.tokens) == 2
+
     def test_query_based_runs(self, params):
         ids, pixels, pixel_groups, group_grids = build_request(groups_t=(2, 2))
         eng = make_engine(

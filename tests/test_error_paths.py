@@ -93,3 +93,23 @@ def test_smart_nframes_rejects_both_args():
 def test_mesh_config_validation():
     cfg = MeshConfig(dp=1, tp=2, sp=2)
     assert cfg.num_devices == 4
+
+
+def test_stream_producer_error_survives_full_queue():
+    """ADVICE r1: a producer exception with a full bounded queue must reach
+    the consumer as a raised error, not a hang — the consumer polls _exc on
+    every queue wakeup (reference AsyncPixelIterator polls its exception
+    field each loop, qwen25_lvu_interleaved.py:289-316)."""
+    import queue
+
+    from quickvideo_tpu.video.stream import AsyncPixelGroups
+
+    obj = AsyncPixelGroups.__new__(AsyncPixelGroups)  # skip reader setup
+    obj._q = queue.Queue(maxsize=1)
+    obj._q.put(np.zeros(1))  # queue full: producer's sentinel put was dropped
+    obj._exc = IOError("decode failed mid-video")
+
+    it = iter(obj)
+    assert next(it).shape == (1,)  # buffered item still delivered
+    with pytest.raises(IOError, match="decode failed"):
+        next(it)  # empty queue + pending exception -> raise, not block
