@@ -25,7 +25,14 @@ REFERENCE_E2E_S = 27.65  # reference README.md:357 (1024f, interleaved, 7B/GPU)
 
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "1024"))
 GROUP_SIZE = int(os.environ.get("BENCH_GROUP", "32"))
-MODEL = os.environ.get("BENCH_MODEL", "qwen25-vl-3b")
+# headline = the reference's own model class: Qwen2.5-VL-7B (reference
+# lvu/lvu.py:11-16). 7B bf16 (15.5 GB) does not fit a 16 GB v5e beside the
+# KV cache, so weights are int8 per-channel (weight-only, accuracy-neutral;
+# ops/quantization.py) — labeled in the metric.
+MODEL = os.environ.get("BENCH_MODEL", "qwen25-vl-7b")
+PARAM_DTYPE = os.environ.get(
+    "BENCH_PARAM_DTYPE", "int8" if "7b" in MODEL else "bfloat16"
+)
 
 
 def make_source_video(path: str, frames: int) -> str:
@@ -71,21 +78,20 @@ def main():
         decode_threads=int(os.environ.get("QUICKCODEC_CORES", "16")),
         prefetch_to_device=os.environ.get("BENCH_PREFETCH_DEV", "1") == "1",
         dtype="bfloat16",
+        param_dtype=PARAM_DTYPE,
     )
     t0 = time.time()
     lvu = LVU(cfg)
     log(f"LVU init (params+engine) {time.time()-t0:.1f}s")
 
-    # warmup: compile all group shapes on a short prefix run
-    warm_cfg = cfg.replace(num_frames=2 * GROUP_SIZE)
-    lvu_warm_config = lvu.config
-    lvu.config = warm_cfg
-    lvu.engine.lvu = warm_cfg
+    # warmup: compile all group shapes on a short prefix run (num_frames is a
+    # per-request override, threaded through the driver like the reference's
+    # per-message video kwargs)
     t0 = time.time()
-    lvu.generate("warmup", video, max_new_tokens=2)
+    lvu.generate(
+        "warmup", video, max_new_tokens=2, num_frames=2 * GROUP_SIZE
+    )
     log(f"warmup generate {time.time()-t0:.1f}s")
-    lvu.config = lvu_warm_config
-    lvu.engine.lvu = lvu_warm_config
 
     # honest wall-clock: everything from request start through the FIRST
     # generated token materializing on the host (async dispatch means
@@ -110,6 +116,7 @@ def main():
         "frames": N_FRAMES,
         "group_size": GROUP_SIZE,
         "model": MODEL,
+        "param_dtype": PARAM_DTYPE,
         "prefill_tokens": int(res.prefill_tokens),
         "kv_cache_tokens": int(res.cache_length),
         "timings": {k: round(v, 3) for k, v in res.timings.items()},
@@ -121,8 +128,10 @@ def main():
         "metric": (
             f"e2e decode+prefill through first token, {N_FRAMES}-frame video, "
             f"interleaved engine, group {GROUP_SIZE}, key-norm rho=0.5, "
-            f"{MODEL} bf16, window-aligned resize "
-            f"(reference demo protocol README.md:352-357; token count in meta)"
+            f"{MODEL} bf16-compute/{PARAM_DTYPE}-weights, "
+            f"{'window-aligned' if os.environ.get('BENCH_ALIGN', '1') == '1' else 'reference-exact'} resize "
+            f"(reference demo protocol README.md:352-357, same 7B model "
+            f"class; token count in meta)"
         ),
         "value": round(e2e, 3),
         "unit": "s",

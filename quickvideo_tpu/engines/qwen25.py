@@ -12,7 +12,7 @@ from typing import List, Optional
 import numpy as np
 
 from quickvideo_tpu.prefill.engine import PrefillInputs
-from quickvideo_tpu.tokenization import build_chat_ids
+from quickvideo_tpu.tokenization import build_chat_ids_from_messages
 from quickvideo_tpu.utils.timing import SpanTimer
 from quickvideo_tpu.video import preprocess as pp
 from quickvideo_tpu.video import reader as vreader
@@ -48,6 +48,25 @@ def _question_from_messages(messages) -> tuple:
     return video_path, question, vkw
 
 
+def _config_with_video_kwargs(lvu, vkw: dict, generation_kwargs: dict):
+    """Per-request sampling overrides, reference-style: the video item in the
+    messages may carry fps / num_frames (the reference's fetch_video reads
+    them from the message dict, lvu/models/qwen25_lvu.py:333-400); they are
+    also accepted as generation kwargs (popped, not forwarded to decode)."""
+    overrides = {}
+    for src in (vkw, generation_kwargs):
+        if "fps" in src:
+            overrides["fps"] = src["fps"]
+        if "nframes" in src:
+            overrides["num_frames"] = src["nframes"]
+        if "num_frames" in src:
+            overrides["num_frames"] = src["num_frames"]
+    generation_kwargs.pop("fps", None)
+    generation_kwargs.pop("nframes", None)
+    generation_kwargs.pop("num_frames", None)
+    return lvu.config.replace(**overrides) if overrides else lvu.config
+
+
 def run_sync(lvu, question: str, video_path: str, **generation_kwargs):
     messages = [
         {
@@ -64,26 +83,28 @@ def run_sync(lvu, question: str, video_path: str, **generation_kwargs):
 def chat_sync(lvu, messages, **generation_kwargs) -> List[str]:
     """Decode-everything-then-prefill driver (reference qwen25_lvu flow,
     SURVEY.md section 3.2)."""
-    video_path, question, _ = _question_from_messages(messages)
+    video_path, question, vkw = _question_from_messages(messages)
+    cfg = _config_with_video_kwargs(lvu, vkw, generation_kwargs)
     timer = SpanTimer()
     with timer.span("frame_fetch"):
-        frames, plan = _fetch_frames(lvu, video_path, timer)
+        frames, plan = _fetch_frames(lvu, video_path, timer, cfg)
     n_video_tokens = sum(plan.tokens_per_group)
-    ids = build_chat_ids(
-        lvu.tokenizer, lvu.model_config, question, n_video_tokens
+    ids = build_chat_ids_from_messages(
+        lvu.tokenizer, lvu.model_config, messages, n_video_tokens
     )
     with timer.span("processing"):
         inputs = vreader.build_prefill_inputs_from_frames(frames, plan, ids)
     return _generate(lvu, inputs, timer, generation_kwargs)
 
 
-def _fetch_frames(lvu, video_path, timer):
+def _fetch_frames(lvu, video_path, timer, cfg=None):
     """Decode with optional disk frame cache (reference
     lvu/models/qwen25_lvu.py:552-592; gated by save_video_cache)."""
     from quickvideo_tpu.video import frame_cache
     from quickvideo_tpu.video.reader import open_reader, plan_from_reader
 
-    cfg = lvu.config
+    if cfg is None:
+        cfg = lvu.config
     if not cfg.save_video_cache:
         return vreader.decode_video_batch(video_path, cfg)
     name, reader = open_reader(video_path, cfg.decode_threads)
@@ -116,13 +137,14 @@ def chat_interleaved(lvu, messages, **generation_kwargs) -> List[str]:
     SURVEY.md section 3.3)."""
     from quickvideo_tpu.video.stream import AsyncPixelGroups
 
-    video_path, question, _ = _question_from_messages(messages)
+    video_path, question, vkw = _question_from_messages(messages)
+    cfg = _config_with_video_kwargs(lvu, vkw, generation_kwargs)
     timer = SpanTimer()
-    stream = AsyncPixelGroups(video_path, lvu.config, timer=timer)
+    stream = AsyncPixelGroups(video_path, cfg, timer=timer)
     plan = stream.plan
     n_video_tokens = sum(plan.tokens_per_group)
-    ids = build_chat_ids(
-        lvu.tokenizer, lvu.model_config, question, n_video_tokens
+    ids = build_chat_ids_from_messages(
+        lvu.tokenizer, lvu.model_config, messages, n_video_tokens
     )
     inputs = PrefillInputs(
         input_ids=ids,

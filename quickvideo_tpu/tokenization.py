@@ -99,13 +99,63 @@ def build_chat_ids(
     appended — the template the reference's apply_chat_template produces
     (reference lvu/models/qwen25_vl.py:356-358), with `<|video_pad|>`
     pre-expanded to n_video_tokens."""
+    messages = [
+        {"role": "system", "content": system},
+        {
+            "role": "user",
+            "content": [
+                {"type": "video", "video": "<placeholder>"},
+                {"type": "text", "text": question},
+            ],
+        },
+    ]
+    return build_chat_ids_from_messages(tokenizer, cfg, messages, n_video_tokens)
+
+
+def build_chat_ids_from_messages(
+    tokenizer,
+    cfg: ModelConfig,
+    messages,
+    n_video_tokens: int,
+) -> np.ndarray:
+    """Full multi-turn chat template (reference chat_lvu_model feeds the
+    complete message list through apply_chat_template,
+    lvu/models/qwen25_lvu.py:538-548): every system/user/assistant turn is
+    rendered as `<|im_start|>role\\n...<|im_end|>\\n`, the single video item
+    expands to `<|vision_start|><|video_pad|>*N<|vision_end|>`, and the
+    generation prompt `<|im_start|>assistant\\n` is appended."""
     im_start, im_end, newline = special_ids(cfg)
     ids: List[int] = []
-    ids += [im_start] + tokenizer.encode_text("system\n" + system) + [im_end, newline]
-    ids += [im_start] + tokenizer.encode_text("user\n")
-    ids += [cfg.vision_start_token_id]
-    ids += [cfg.video_token_id] * n_video_tokens
-    ids += [cfg.vision_end_token_id]
-    ids += tokenizer.encode_text(question) + [im_end, newline]
+    n_videos = 0
+    if not messages or messages[0].get("role") != "system":
+        ids += (
+            [im_start]
+            + tokenizer.encode_text("system\n" + DEFAULT_SYSTEM)
+            + [im_end, newline]
+        )
+    for m in messages:
+        role = m.get("role", "user")
+        content = m.get("content", "")
+        ids += [im_start] + tokenizer.encode_text(role + "\n")
+        if isinstance(content, str):
+            ids += tokenizer.encode_text(content)
+        else:
+            for item in content:
+                t = item.get("type")
+                if t == "video":
+                    n_videos += 1
+                    if n_videos > 1:
+                        raise ValueError(
+                            "engines support one video per conversation "
+                            "(the reference asserts the same)"
+                        )
+                    ids += [cfg.vision_start_token_id]
+                    ids += [cfg.video_token_id] * n_video_tokens
+                    ids += [cfg.vision_end_token_id]
+                elif t == "text":
+                    ids += tokenizer.encode_text(item.get("text", ""))
+                else:
+                    raise ValueError(f"unsupported content item type {t!r}")
+        ids += [im_end, newline]
     ids += [im_start] + tokenizer.encode_text("assistant\n")
     return np.asarray(ids, np.int64)

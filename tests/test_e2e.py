@@ -116,3 +116,61 @@ def test_int8_kv_e2e(video):
     lvu16 = make_lvu(model_type="qwen25_lvu")
     lvu16.generate("What?", video, max_new_tokens=3)
     assert res.kv_cache_bytes < lvu16.last_result.kv_cache_bytes
+
+
+def test_multi_turn_chat(lvu_sync, video):
+    """2-turn conversation: the ids must condition on the full history
+    (reference chat_lvu_model feeds the complete message list through
+    apply_chat_template, qwen25_lvu.py:538-548)."""
+    from quickvideo_tpu.tokenization import build_chat_ids_from_messages
+
+    turn1 = [
+        {
+            "role": "user",
+            "content": [
+                {"type": "video", "video": video},
+                {"type": "text", "text": "What color?"},
+            ],
+        }
+    ]
+    answer1 = lvu_sync.chat(turn1, max_new_tokens=3)[0]
+    res1 = lvu_sync.last_result
+    turn2 = turn1 + [
+        {"role": "assistant", "content": answer1},
+        {"role": "user", "content": "Why?"},
+    ]
+    answer2 = lvu_sync.chat(turn2, max_new_tokens=3)
+    res2 = lvu_sync.last_result
+    assert isinstance(answer2[0], str)
+    # history-conditioned: turn-2 input strictly longer, and the turn-1
+    # token stream is a prefix of turn 2's (same video geometry)
+    assert res2.prefill_tokens > res1.prefill_tokens
+
+    ids1 = build_chat_ids_from_messages(
+        lvu_sync.tokenizer, lvu_sync.model_config, turn1, 16
+    )
+    ids2 = build_chat_ids_from_messages(
+        lvu_sync.tokenizer, lvu_sync.model_config, turn2, 16
+    )
+    # the full turn-1 conversation (minus the generation prompt) is a prefix
+    gen_prompt_len = 1 + len(lvu_sync.tokenizer.encode_text("assistant\n"))
+    np.testing.assert_array_equal(
+        ids1[: len(ids1) - gen_prompt_len],
+        ids2[: len(ids1) - gen_prompt_len],
+    )
+    assert len(ids2) > len(ids1)
+
+
+def test_two_videos_rejected(lvu_sync, video):
+    messages = [
+        {
+            "role": "user",
+            "content": [
+                {"type": "video", "video": video},
+                {"type": "video", "video": video},
+                {"type": "text", "text": "Compare."},
+            ],
+        }
+    ]
+    with pytest.raises(ValueError, match="one video"):
+        lvu_sync.chat(messages, max_new_tokens=2)
