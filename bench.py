@@ -84,13 +84,12 @@ def main():
     lvu = LVU(cfg)
     log(f"LVU init (params+engine) {time.time()-t0:.1f}s")
 
-    # warmup: compile all group shapes on a short prefix run (num_frames is a
-    # per-request override, threaded through the driver like the reference's
-    # per-message video kwargs)
+    # warmup at FULL frame count: the rope-table length L enters the group
+    # programs' shapes, so a short-prefix warmup leaves the real-length
+    # programs cold and run 1 pays the compiles (observed: 23.8 s run 1 vs
+    # 12.4 s run 2). One full-shape warmup makes every main run warm.
     t0 = time.time()
-    lvu.generate(
-        "warmup", video, max_new_tokens=2, num_frames=2 * GROUP_SIZE
-    )
+    lvu.generate("warmup", video, max_new_tokens=2)
     log(f"warmup generate {time.time()-t0:.1f}s")
 
     # honest wall-clock: everything from request start through the FIRST

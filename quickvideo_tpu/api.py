@@ -72,7 +72,9 @@ class LVU:
 
             self.mesh = make_mesh(config.mesh)
             self.params = shard_params(self.params, self.mesh)
-        self.engine = LVUEngine(self.params, self.model_config, config, dtype)
+        self.engine = LVUEngine(
+            self.params, self.model_config, config, dtype, mesh=self.mesh
+        )
         self.last_result = None
         self.init_lvu()
 

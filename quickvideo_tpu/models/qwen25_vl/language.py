@@ -113,6 +113,10 @@ class StepSpec:
     attend_past: bool = True  # False = adaptive_local_attention off: groups
     # attend only within themselves (reference qwen25_vl.py:502-516 merge
     # path); KV still accumulates in the cache for the final generate
+    cp_mesh: object = None  # jax.sharding.Mesh (hashable) when the KV cache
+    # capacity axis is sharded over the mesh's "sp" axis — attention over the
+    # past runs as per-shard partials merged with LSE collectives and appends
+    # scatter into the local shard (parallel/context_parallel.py)
 
     @property
     def video_len(self) -> int:
@@ -194,7 +198,16 @@ def layer_step(
         col = jax.lax.broadcasted_iota(jnp.int32, (spec.q_len, gv), 1)
         cmask = (col <= row) | (row >= gv)  # prompt rows see all video keys
         pg = attn_ops._partial_attention(q, k_grp, v_grp, cmask, scale)
-        if use_cache_past:
+        if use_cache_past and spec.cp_mesh is not None:
+            from quickvideo_tpu.parallel.context_parallel import (
+                cp_past_attention,
+            )
+
+            pp = cp_past_attention(
+                q, k_buf, v_buf, length, scale=scale, mesh=spec.cp_mesh
+            )
+            out, _ = attn_ops.merge_partials(pp, pg)
+        elif use_cache_past:
             pp = attn_ops.past_partial_attention(
                 q, k_buf, v_buf, length, spec.q_len, scale,
                 impl=spec.attn_impl,
@@ -220,7 +233,20 @@ def layer_step(
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
             big = k_buf.shape[1] >= attn_ops.BLOCKWISE_THRESHOLD
             impl = "pallas_unified" if (on_tpu and big) else "xla"
-        if (spec.attend_past
+        if use_cache_past and spec.cp_mesh is not None and spec.attend_past:
+            # context-parallel past: per-shard partials + LSE-merge
+            # collectives over the sp axis (needs_probs / int8 KV are
+            # rejected by the engine for this mode)
+            from quickvideo_tpu.parallel.context_parallel import (
+                cp_grouped_attention,
+            )
+
+            out = cp_grouped_attention(
+                q, k_grp, v_grp, k_buf, v_buf, length,
+                scale=scale, mesh=spec.cp_mesh, causal=spec.causal,
+            )
+            group_probs = None
+        elif (spec.attend_past
                 and impl in ("pallas", "pallas_unified")
                 and use_cache_past and spec.causal):
             # unified path: append raw group K/V at [length, length+G), run ONE
@@ -314,6 +340,15 @@ def layer_step(
                 k_buf, v_buf, k_scale_buf, v_scale_buf, length,
                 res.k_keep, res.v_keep,
             )
+        elif spec.cp_mesh is not None:
+            from quickvideo_tpu.parallel.context_parallel import (
+                cp_layer_append,
+            )
+
+            k_buf, v_buf = cp_layer_append(
+                k_buf, v_buf, length, res.k_keep, res.v_keep,
+                mesh=spec.cp_mesh,
+            )
         else:
             k_buf, v_buf = prune_ops.prune_append_layer(
                 k_buf, v_buf, length, res
@@ -327,6 +362,14 @@ def layer_step(
                         k_buf, v_buf, k_scale_buf, v_scale_buf, length,
                         k_grp, v_grp,
                     )
+                )
+            elif spec.cp_mesh is not None:
+                from quickvideo_tpu.parallel.context_parallel import (
+                    cp_layer_append,
+                )
+
+                k_buf, v_buf = cp_layer_append(
+                    k_buf, v_buf, length, k_grp, v_grp, mesh=spec.cp_mesh
                 )
             else:
                 k_buf, v_buf = kv.layer_append(

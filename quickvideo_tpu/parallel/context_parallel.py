@@ -90,6 +90,41 @@ def cp_past_attention(
     return PartialAttn(out, lse)
 
 
+def cp_layer_append(
+    k_buf: Array,  # (Hkv, capacity, D) sharded over `axis` on the token dim
+    v_buf: Array,
+    length: Array,  # () int32 global valid length (append offset)
+    k_new: Array,  # (Hkv, m, D) replicated
+    v_new: Array,
+    *,
+    mesh: Mesh,
+    axis: str = "sp",
+):
+    """Append m rows at global offset `length` into the capacity-sharded
+    buffers — each shard scatters only the sub-range of [length, length+m)
+    that lands inside its slot window, so no cache movement crosses chips
+    (the appended rows are tiny and already replicated)."""
+
+    def body(kb, vb, ln, kn, vn):
+        cap_loc = kb.shape[1]
+        start = lax.axis_index(axis) * cap_loc
+        idx = ln + jnp.arange(kn.shape[1], dtype=jnp.int32) - start
+        # out-of-window rows -> index cap_loc, dropped by mode="drop"
+        idx = jnp.where((idx >= 0) & (idx < cap_loc), idx, cap_loc)
+        kb = kb.at[:, idx, :].set(kn.astype(kb.dtype), mode="drop")
+        vb = vb.at[:, idx, :].set(vn.astype(vb.dtype), mode="drop")
+        return kb, vb
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis, None), P(None, axis, None), P(), P(), P(),
+        ),
+        out_specs=(P(None, axis, None), P(None, axis, None)),
+    )(k_buf, v_buf, length, k_new, v_new)
+
+
 def cp_grouped_attention(
     q: Array,  # (Hq, G, D)
     k_grp: Array,  # (Hkv, G, D) current group (replicated)
