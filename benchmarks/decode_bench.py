@@ -84,12 +84,19 @@ def bench(fn, runs, *args, **kw):
     }
 
 
-def make_fixture(seconds=60, fps=24, wh=(1280, 720), gop=48):
+def make_fixture(seconds=60, fps=24, wh=(1920, 1080), gop=48, textured=True):
+    """Synthetic movie, cached in /tmp. Default = textured 1080p: dense
+    residuals approximating BluRay decode load (reference protocol decodes
+    90-min 1080p movies, lvu/scripts/timing_*.sh / video_length_timings.py);
+    the flat fixture decodes ~10x too fast to stress anything."""
+    kind = "tex" if textured else "flat"
     path = os.path.join(
-        tempfile.gettempdir(), f"decbench_{seconds}s_{wh[0]}x{wh[1]}.mp4"
+        tempfile.gettempdir(),
+        f"decbench_{kind}_{seconds}s_{fps}fps_{wh[0]}x{wh[1]}.mp4",
     )
     if not os.path.exists(path):
-        qd.encode_test_video(
+        enc = qd.encode_textured_video if textured else qd.encode_test_video
+        enc(
             path, width=wh[0], height=wh[1], nframes=seconds * fps, fps=fps,
             gop=gop,
         )
@@ -133,14 +140,22 @@ def main():
                    "frames": len(idx), "threads": 16}
             row.update(bench(run_batch, args.runs, video, 16, idx))
             results.append(row)
-    else:  # duration
-        for seconds in (30, 60, 120, 300):
-            video = make_fixture(seconds)
+    else:  # duration — to the reference's 1-hour axis
+        # (video_length_timings.py:30-52); fixture fps 12 bounds the one-time
+        # 1-core encode cost, recorded in the row
+        for seconds in (60, 300, 900, 3600):
+            video = make_fixture(seconds, fps=12)
             idx = sample_1fps(video)
-            row = {"arm": "quickdecode_batch", "duration_s": seconds,
-                   "frames": len(idx), "threads": 16}
-            row.update(bench(run_batch, args.runs, video, 16, idx))
-            results.append(row)
+            for arm, nt in (
+                ("quickdecode_batch", 16),
+                ("sequential_baseline", 1),
+            ):
+                row = {"arm": arm, "duration_s": seconds, "fps": 12,
+                       "frames": len(idx), "threads": nt, "wh": "1920x1080"}
+                row.update(bench(run_batch, max(2, args.runs // 2), video,
+                                 nt, idx))
+                results.append(row)
+                print(json.dumps(row), file=sys.stderr, flush=True)
     for r in results:
         print(json.dumps(r))
 

@@ -133,6 +133,9 @@ class LVUConfig:
     # transfer, overlapping it with prefill compute (the queue then bounds
     # device-side staging memory to prefetch_depth groups)
     seed: int = 0
+    reference_query_mask: bool = False  # query-based modes: reproduce the
+    # reference's bottom-right-aligned causal mask exactly (used by the
+    # cross-implementation parity suite; see PARITY.md mask divergence note)
 
     def __post_init__(self):
         # Mirrors reference __post_init__ (lvu/lvu_config.py:26-33).

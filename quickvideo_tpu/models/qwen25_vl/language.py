@@ -117,6 +117,13 @@ class StepSpec:
     # capacity axis is sharded over the mesh's "sp" axis — attention over the
     # past runs as per-shard partials merged with LSE collectives and appends
     # scatter into the local shard (parallel/context_parallel.py)
+    ref_query_mask: bool = False  # query-based mode: reproduce the
+    # reference's bottom-right-aligned causal mask over (q=video+prompt,
+    # k=past+video) — video row i sees video keys <= i-prompt_len and early
+    # rows see a truncated past (an artifact of appending the prompt to the
+    # flash call). Default False = our unsplit-sequence mask (documented
+    # divergence, PARITY.md); True is used by the cross-implementation
+    # parity tests against the reference-faithful torch pipeline.
 
     @property
     def video_len(self) -> int:
@@ -193,12 +200,34 @@ def layer_step(
         gv = spec.video_len
         k_grp, v_grp = k[:, :gv], v[:, :gv]
         accum = _prompt_accum_scores(q[:, gv:], k_grp, cfg)
-        # mask: video rows causal over video keys; prompt rows see all video
         row = jax.lax.broadcasted_iota(jnp.int32, (spec.q_len, gv), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (spec.q_len, gv), 1)
-        cmask = (col <= row) | (row >= gv)  # prompt rows see all video keys
+        if spec.ref_query_mask:
+            # reference-compat bottom-right causal: row i sees video key v
+            # iff v <= i - prompt_len (flash semantics with the prompt
+            # appended, k = past+video)
+            cmask = col <= row - spec.prompt_len
+        else:
+            # our mask: video rows causal over video keys; prompt rows see
+            # all video keys (unsplit-sequence semantics, PARITY.md)
+            cmask = (col <= row) | (row >= gv)
         pg = attn_ops._partial_attention(q, k_grp, v_grp, cmask, scale)
-        if use_cache_past and spec.cp_mesh is not None:
+        if use_cache_past and spec.ref_query_mask:
+            # reference-compat past visibility: row i sees past col j iff
+            # j <= i + length - prompt_len (early rows see a truncated past)
+            cap = k_buf.shape[1]
+            rowp = jax.lax.broadcasted_iota(jnp.int32, (spec.q_len, cap), 0)
+            colp = jax.lax.broadcasted_iota(jnp.int32, (spec.q_len, cap), 1)
+            pmask = colp < jnp.minimum(
+                length, rowp + length - spec.prompt_len + 1
+            )
+            kb, vb = k_buf, v_buf
+            if k_scale_buf is not None:
+                kb = kv.dequantize_kv(k_buf, k_scale_buf)
+                vb = kv.dequantize_kv(v_buf, v_scale_buf)
+            pp = attn_ops._partial_attention(q, kb, vb, pmask, scale)
+            out, _ = attn_ops.merge_partials(pp, pg)
+        elif use_cache_past and spec.cp_mesh is not None:
             from quickvideo_tpu.parallel.context_parallel import (
                 cp_past_attention,
             )

@@ -524,6 +524,7 @@ class LVUEngine:
                 attend_past=lvu.adaptive_local_attention,
                 kv_quant=(lvu.kv_cache_dtype == "int8"),
                 cp_mesh=self.cp_mesh,
+                ref_query_mask=lvu.reference_query_mask,
             )
             # one dispatch per group: slice + embed + scatter + full stack
             # (per-op dispatch over the device transport costs 100s of ms)

@@ -91,6 +91,8 @@ def _lib() -> ctypes.CDLL:
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int,
     ]
+    lib.qd_encode_textured_video.restype = ctypes.c_int
+    lib.qd_encode_textured_video.argtypes = lib.qd_encode_test_video.argtypes
     _LIB = lib
     return lib
 
@@ -306,6 +308,21 @@ def encode_test_video(
     )
     if r != 0:
         raise IOError(f"encode_test_video failed with code {r}")
+    return path
+
+
+def encode_textured_video(
+    path: str, width=1920, height=1080, nframes=240, fps=24, gop=48
+):
+    """Decode-stressed fixture: dense per-pixel drifting texture (BluRay-like
+    residual load for the decoder) with the frame index still recoverable
+    from the top-left quarter's luma (VERDICT r1 item 3: the flat synthetic
+    fixture understates real decode cost)."""
+    r = _lib().qd_encode_textured_video(
+        path.encode(), width, height, nframes, fps, gop
+    )
+    if r != 0:
+        raise IOError(f"encode_textured_video failed with code {r}")
     return path
 
 
