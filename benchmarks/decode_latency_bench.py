@@ -86,7 +86,11 @@ def main():
     cos, sin = precompute_mrope_cos_sin_device(
         jnp.asarray(pos, jnp.int32), t.head_dim, t.mrope_section, t.rope_theta
     )
-    dspec = StepSpec(cfg=t, q_len=1, keep_k=0, kv_quant=quant)
+    active = max(4096, -(-(args.occupancy + args.tokens + 64) // 4096) * 4096)
+    dspec = StepSpec(
+        cfg=t, q_len=1, keep_k=0, kv_quant=quant,
+        active_cap=0 if active >= args.capacity else active,
+    )
 
     chunk = 32
     # warmup

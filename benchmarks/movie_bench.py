@@ -113,7 +113,7 @@ def main():
         top_k_predict_type="key_norms_small",
         num_frames=args.seconds,  # 1 fps over the whole duration
         max_decode_tokens=16,
-        kv_cache_capacity=1 << 18,
+        kv_cache_capacity=1 << int(os.environ.get("MOVIE_CAP_LOG2", "17")),
         kv_cache_dtype="int8",
         decode_output="yuv420",
         align_resize_to_window=os.environ.get("BENCH_ALIGN", "1") == "1",

@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode_threads", type=int, default=8)
     p.add_argument("--decode_intervals", type=int, default=64)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--param_dtype", default=None,
+                   help="bfloat16 | int8 (weight-only quantization; fits 7B on one 16 GB chip)")
     p.add_argument("--use_tqdm", action="store_true")
     p.add_argument("--demo", action="store_true",
                    help="generate a synthetic demo clip if no video given")
@@ -79,6 +81,7 @@ def main(argv=None):
         decode_intervals=args.decode_intervals,
         max_decode_tokens=max(args.max_new_tokens, 16),
         dtype=args.dtype,
+        param_dtype=args.param_dtype or args.dtype,
     )
     lvu = LVU(cfg)
     questions = args.question or ["Describe this video."]

@@ -117,6 +117,14 @@ class StepSpec:
     # capacity axis is sharded over the mesh's "sp" axis — attention over the
     # past runs as per-shard partials merged with LSE collectives and appends
     # scatter into the local shard (parallel/context_parallel.py)
+    active_cap: int = 0  # static upper bound (0 = whole buffer) on the
+    # cache prefix this step's attention may read. The flash kernel's grid
+    # is sized by the buffer, so empty capacity beyond the valid length
+    # costs real time (~3 us per clamped tail block-step; ~7 ms/token at
+    # 64k capacity with 1k valid, measured). The engine buckets decode
+    # chunks to the next power of two above the known occupancy; appends
+    # still write the full buffer. Caller contract: length + appends of
+    # this step never exceed active_cap.
     ref_query_mask: bool = False  # query-based mode: reproduce the
     # reference's bottom-right-aligned causal mask over (q=video+prompt,
     # k=past+video) — video row i sees video keys <= i-prompt_len and early
@@ -173,24 +181,75 @@ def layer_step(
     x: Array,  # (q_len, C)
     cos: Array,  # (q_len, head_dim)
     sin: Array,
-    k_buf: Array,  # (Hkv, capacity, D)
-    v_buf: Array,
-    length: Array,  # () int32 valid cache slots (pre-step)
+    k_all: Optional[Array],  # STACKED cache (L, Hkv, capacity, D), or None
+    v_all: Optional[Array],  # when use_cache_past=False
+    length: Array,  # () int32 valid cache slots of THIS layer (pre-step)
     rng: Optional[Array],
     spec: StepSpec,
+    li=0,  # layer index into the stack: () int32 (scan) or python int
     use_cache_past: bool = True,
-    k_scale_buf: Optional[Array] = None,  # (Hkv, capacity) int8 mode
-    v_scale_buf: Optional[Array] = None,
+    k_scale_all: Optional[Array] = None,  # (L, Hkv, capacity) int8 mode
+    v_scale_all: Optional[Array] = None,
 ):
     """One decoder layer over the current group. Returns
-    (x_out, k_buf', v_buf', indices|None). Cache append happens inside; the
-    caller advances `length` by spec.append_n after the full stack."""
+    (x_out, k_all', v_all', k_scale_all', v_scale_all', indices|None). Cache
+    append happens inside; the caller advances `length` after the stack.
+
+    The cache rides through the layer loop as the FULL stack: the hot Pallas
+    path appends via small dynamic_update_slices at (li, ...) (aliased
+    in place on the scan carry) and the flash kernel DMAs its k/v blocks
+    straight out of the stack (layer_idx scalar prefetch). The previous
+    design scanned with the cache as xs/ys, which dynamic-sliced a full
+    (Hkv, capacity, D) layer view out and wrote it back every layer —
+    ~15 GB/token of pure copy traffic at 64k capacity on the 7B stack
+    (measured; decode was 2.4x off the HBM roofline because of it). The
+    non-hot paths (XLA/CPU impls, context-parallel, query-based masks) still
+    materialize the layer view and write it back — they are not the TPU
+    decode/prefill hot path."""
     cfg = spec.cfg
     scale = cfg.head_dim ** -0.5
     already_appended = False
     h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
     q, k, v = _project_qkv(lp, h, cfg)
     q, k = apply_rotary(q, k, cos, sin)
+
+    def _idx(buf):
+        # materialize this layer's view (non-hot paths only — this is the
+        # full-capacity copy the hot path exists to avoid)
+        if buf is None:
+            return None
+        return jax.lax.dynamic_index_in_dim(buf, li, 0, keepdims=False)
+
+    def _att_view(buf):
+        # static prefix view for the XLA attention paths when the engine
+        # bounded this step's occupancy (spec.active_cap); appends still hit
+        # the full buffer. The Pallas path instead passes active_cap to the
+        # kernel, which bounds its k-grid without slicing the operand.
+        ac = spec.active_cap
+        if buf is not None and ac and ac < buf.shape[1]:
+            return jax.lax.slice_in_dim(buf, 0, ac, axis=1)
+        return buf
+
+    # resolve the attention impl up front so the hot stacked path is known
+    # before any layer view is materialized
+    impl = spec.attn_impl
+    if impl == "auto" and use_cache_past and k_all is not None:
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        big = k_all.shape[-2] >= attn_ops.BLOCKWISE_THRESHOLD
+        impl = "pallas_unified" if (on_tpu and big) else "xla"
+    hot = (
+        use_cache_past
+        and k_all is not None
+        and spec.prompt_len == 0
+        and spec.attend_past
+        and spec.causal
+        and spec.cp_mesh is None
+        and impl in ("pallas", "pallas_unified")
+    )
+    k_buf = v_buf = k_scale_buf = v_scale_buf = None
+    if not hot and use_cache_past and k_all is not None:
+        k_buf, v_buf = _idx(k_all), _idx(v_all)
+        k_scale_buf, v_scale_buf = _idx(k_scale_all), _idx(v_scale_all)
 
     accum = None
     if spec.prompt_len > 0:
@@ -215,16 +274,16 @@ def layer_step(
         if use_cache_past and spec.ref_query_mask:
             # reference-compat past visibility: row i sees past col j iff
             # j <= i + length - prompt_len (early rows see a truncated past)
-            cap = k_buf.shape[1]
+            kb, vb = _att_view(k_buf), _att_view(v_buf)
+            cap = kb.shape[1]
             rowp = jax.lax.broadcasted_iota(jnp.int32, (spec.q_len, cap), 0)
             colp = jax.lax.broadcasted_iota(jnp.int32, (spec.q_len, cap), 1)
             pmask = colp < jnp.minimum(
                 length, rowp + length - spec.prompt_len + 1
             )
-            kb, vb = k_buf, v_buf
             if k_scale_buf is not None:
-                kb = kv.dequantize_kv(k_buf, k_scale_buf)
-                vb = kv.dequantize_kv(v_buf, v_scale_buf)
+                kb = kv.dequantize_kv(kb, _att_view(k_scale_buf))
+                vb = kv.dequantize_kv(vb, _att_view(v_scale_buf))
             pp = attn_ops._partial_attention(q, kb, vb, pmask, scale)
             out, _ = attn_ops.merge_partials(pp, pg)
         elif use_cache_past and spec.cp_mesh is not None:
@@ -238,9 +297,9 @@ def layer_step(
             out, _ = attn_ops.merge_partials(pp, pg)
         elif use_cache_past:
             pp = attn_ops.past_partial_attention(
-                q, k_buf, v_buf, length, spec.q_len, scale,
-                impl=spec.attn_impl,
-                k_scale=k_scale_buf, v_scale=v_scale_buf,
+                q, _att_view(k_buf), _att_view(v_buf), length, spec.q_len,
+                scale, impl=spec.attn_impl,
+                k_scale=_att_view(k_scale_buf), v_scale=_att_view(v_scale_buf),
             )
             out, _ = attn_ops.merge_partials(pp, pg)
         else:
@@ -248,7 +307,6 @@ def layer_step(
         group_probs = None
     else:
         k_grp, v_grp = k, v
-        impl = spec.attn_impl
         if not spec.attend_past:
             # local attention only (adaptive_local_attention=False): compute
             # within-group causal attention, then append K/V to the cache so
@@ -258,10 +316,6 @@ def layer_step(
                 scale=scale, return_group_probs=spec.needs_probs,
                 causal=spec.causal,
             )
-        elif impl == "auto" and use_cache_past:
-            on_tpu = jax.default_backend() not in ("cpu", "gpu")
-            big = k_buf.shape[1] >= attn_ops.BLOCKWISE_THRESHOLD
-            impl = "pallas_unified" if (on_tpu and big) else "xla"
         if use_cache_past and spec.cp_mesh is not None and spec.attend_past:
             # context-parallel past: per-shard partials + LSE-merge
             # collectives over the sp axis (needs_probs / int8 KV are
@@ -275,9 +329,7 @@ def layer_step(
                 scale=scale, mesh=spec.cp_mesh, causal=spec.causal,
             )
             group_probs = None
-        elif (spec.attend_past
-                and impl in ("pallas", "pallas_unified")
-                and use_cache_past and spec.causal):
+        elif hot:
             # unified path: append raw group K/V at [length, length+G), run ONE
             # flash kernel causally over [0, length+G), then (below) overwrite
             # the raw span with the pruned compact. Avoids both the two-partial
@@ -290,22 +342,34 @@ def layer_step(
                 # group K/V appended quantized; the kernel dequantizes per
                 # block (the current group sees ~1/127 rounding on itself,
                 # standard KV-quant behavior)
-                k_buf, v_buf, k_scale_buf, v_scale_buf = (
-                    kv.layer_append_quantized(
-                        k_buf, v_buf, k_scale_buf, v_scale_buf, length,
+                k_all, v_all, k_scale_all, v_scale_all = (
+                    kv.stacked_append_quantized(
+                        k_all, v_all, k_scale_all, v_scale_all, li, length,
                         k_grp, v_grp,
                     )
                 )
             else:
-                k_buf, v_buf = kv.layer_append(
-                    k_buf, v_buf, length, k_grp, v_grp
+                k_all, v_all = kv.stacked_append(
+                    k_all, v_all, li, length, k_grp, v_grp
                 )
             already_appended = True
+            # decode (q_len==1): per-grid-step overhead dominates the kernel
+            # (measured ~6 us/step * 37 blocks * n_layers = ~8 ms/token at
+            # 37k occupancy); 4x larger k blocks cut the step count 4x and
+            # the tiny q tile keeps the f32 score tile small
+            bk = 4096 if spec.q_len == 1 else 1024
+            # spec.active_cap bounds the kernel's k-grid statically; the
+            # stack stays the operand (layer_idx indexes it) so nothing is
+            # sliced or copied and in-place cache donation is preserved.
+            # The int8 scale views ARE sliced per layer — they're 128x
+            # smaller than the values (~1 MB, ~0.3 ms/token total)
             pa = flash_past_attention(
-                q, k_buf, v_buf, length, scale=scale, causal=True,
+                q, k_all, v_all, length, scale=scale,
+                causal=True, block_k=bk, active_cap=spec.active_cap,
+                layer_idx=li,
                 interpret=bool(_os.environ.get("QV_PALLAS_INTERPRET")),
-                k_scale=k_scale_buf if spec.kv_quant else None,
-                v_scale=v_scale_buf if spec.kv_quant else None,
+                k_scale=_idx(k_scale_all) if spec.kv_quant else None,
+                v_scale=_idx(v_scale_all) if spec.kv_quant else None,
             )
             out = pa.out
             group_probs = None
@@ -329,14 +393,14 @@ def layer_step(
         elif spec.attend_past:
             out, group_probs = attn_ops.grouped_attention(
                 q, k_grp, v_grp,
-                k_buf if use_cache_past else None,
-                v_buf if use_cache_past else None,
+                _att_view(k_buf) if use_cache_past else None,
+                _att_view(v_buf) if use_cache_past else None,
                 length if use_cache_past else None,
                 scale=scale,
                 return_group_probs=spec.needs_probs,
                 causal=spec.causal,
                 impl="xla" if impl in ("auto", "pallas_unified") else impl,
-                k_scale=k_scale_buf, v_scale=v_scale_buf,
+                k_scale=_att_view(k_scale_buf), v_scale=_att_view(v_scale_buf),
             )
 
     hq = cfg.num_attention_heads
@@ -364,7 +428,19 @@ def layer_step(
         # unified-kernel path already wrote the raw group at [length, ...);
         # the compact overwrite below replaces its first keep_k slots (the
         # leftover raw tail stays beyond the valid length, masked off)
-        if spec.kv_quant:
+        if hot:
+            if spec.kv_quant:
+                k_all, v_all, k_scale_all, v_scale_all = (
+                    kv.stacked_append_quantized(
+                        k_all, v_all, k_scale_all, v_scale_all, li, length,
+                        res.k_keep, res.v_keep,
+                    )
+                )
+            else:
+                k_all, v_all = kv.stacked_append(
+                    k_all, v_all, li, length, res.k_keep, res.v_keep
+                )
+        elif spec.kv_quant:
             k_buf, v_buf, k_scale_buf, v_scale_buf = kv.layer_append_quantized(
                 k_buf, v_buf, k_scale_buf, v_scale_buf, length,
                 res.k_keep, res.v_keep,
@@ -405,9 +481,23 @@ def layer_step(
                     k_buf, v_buf, length, k_grp, v_grp
                 )
 
+    if not hot and use_cache_past and k_all is not None:
+        # write the (possibly appended) layer views back into the stack —
+        # full-capacity copies, acceptable off the TPU hot path
+        def _wb(all_, view_):
+            if all_ is None or view_ is None:
+                return all_
+            return jax.lax.dynamic_update_index_in_dim(
+                all_, view_.astype(all_.dtype), li, 0
+            )
+
+        k_all, v_all = _wb(k_all, k_buf), _wb(v_all, v_buf)
+        k_scale_all = _wb(k_scale_all, k_scale_buf)
+        v_scale_all = _wb(v_scale_all, v_scale_buf)
+
     h2 = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
     x = x + swiglu_mlp(h2, lp)
-    return x, k_buf, v_buf, k_scale_buf, v_scale_buf, indices
+    return x, k_all, v_all, k_scale_all, v_scale_all, indices
 
 
 # ---------------------------------------------------------------------------
@@ -433,36 +523,26 @@ def prefill_step(
     """
     cfg = spec.cfg
 
-    quant = spec.kv_quant
-
     def body(carry, xs):
-        xh, layer_i = carry
-        if quant:
-            lp, k_buf, v_buf, length, ks_buf, vs_buf = xs
-        else:
-            lp, k_buf, v_buf, length = xs
-            ks_buf = vs_buf = None
-        lrng = jax.random.fold_in(rng, layer_i)
-        xh, k_buf, v_buf, ks_buf, vs_buf, _ = layer_step(
-            lp, xh, cos, sin, k_buf, v_buf, length, lrng, spec,
-            k_scale_buf=ks_buf, v_scale_buf=vs_buf,
+        xh, li, k_all, v_all, ks_all, vs_all = carry
+        lp, length = xs
+        lrng = jax.random.fold_in(rng, li)
+        xh, k_all, v_all, ks_all, vs_all, _ = layer_step(
+            lp, xh, cos, sin, k_all, v_all, length, lrng, spec, li=li,
+            k_scale_all=ks_all, v_scale_all=vs_all,
         )
-        ys = (k_buf, v_buf, ks_buf, vs_buf) if quant else (k_buf, v_buf)
-        return (xh, layer_i + 1), ys
+        return (xh, li + 1, k_all, v_all, ks_all, vs_all), None
 
-    xs = (
-        (params["layers"], cache.k, cache.v, cache.length,
-         cache.k_scale, cache.v_scale)
-        if quant else (params["layers"], cache.k, cache.v, cache.length)
+    # the cache rides in the CARRY (updated in place via small DUS at
+    # (li, ...)), not as scan xs/ys — xs/ys re-materializes the full stack
+    # every step (see layer_step docstring)
+    (x_out, _, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
+        body,
+        (x, jnp.int32(0), cache.k, cache.v, cache.k_scale, cache.v_scale),
+        (params["layers"], cache.length),
     )
-    (x_out, _), ys = jax.lax.scan(body, (x, jnp.int32(0)), xs)
-    if quant:
-        new_k, new_v, new_ks, new_vs = ys
-        cache = cache.replace(k_scale=new_ks, v_scale=new_vs)
-    else:
-        new_k, new_v = ys
     cache = cache.replace(
-        k=new_k, v=new_v,
+        k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs,
         length=cache.length + (spec.append_n if advance is None else advance),
     )
     return cache, x_out
@@ -487,23 +567,18 @@ def prefill_step_unrolled(
     passes the pruned tuple to the next layer, qwen25_vl.py:193-195)."""
     cfg = specs[0].cfg
     n = cfg.num_hidden_layers
-    new_k, new_v, new_len = [], [], []
-    new_ks, new_vs = [], []
+    k_all, v_all = cache.k, cache.v
+    ks_all, vs_all = cache.k_scale, cache.v_scale
+    new_len = []
     for li in range(n):
         lp = jax.tree.map(lambda a: a[li], params["layers"])
         spec = specs[li]
         lrng = jax.random.fold_in(rng, li)
-        x, k_buf, v_buf, ks_buf, vs_buf, indices = layer_step(
-            lp, x, cos, sin, cache.k[li], cache.v[li], cache.length[li],
-            lrng, spec,
-            k_scale_buf=None if cache.k_scale is None else cache.k_scale[li],
-            v_scale_buf=None if cache.v_scale is None else cache.v_scale[li],
+        x, k_all, v_all, ks_all, vs_all, indices = layer_step(
+            lp, x, cos, sin, k_all, v_all, cache.length[li],
+            lrng, spec, li=li,
+            k_scale_all=ks_all, v_scale_all=vs_all,
         )
-        new_k.append(k_buf)
-        new_v.append(v_buf)
-        if ks_buf is not None:
-            new_ks.append(ks_buf)
-            new_vs.append(vs_buf)
         new_len.append(cache.length[li] + spec.append_n)
         if spec.keep_k > 0 and spec.cascade and li < n - 1 and indices is not None:
             if spec.prompt_len > 0:
@@ -520,12 +595,9 @@ def prefill_step_unrolled(
                 cos = cos[indices]
                 sin = sin[indices]
     cache = cache.replace(
-        k=jnp.stack(new_k), v=jnp.stack(new_v), length=jnp.stack(new_len)
+        k=k_all, v=v_all, k_scale=ks_all, v_scale=vs_all,
+        length=jnp.stack(new_len),
     )
-    if new_ks:
-        cache = cache.replace(
-            k_scale=jnp.stack(new_ks), v_scale=jnp.stack(new_vs)
-        )
     return cache, x
 
 
@@ -551,37 +623,28 @@ def decode_step(
     cfg = spec.cfg
     x = embed_tokens(params, token_id[None])  # (1, C)
 
-    quant = spec.kv_quant
     dspec = dataclasses.replace(
         spec, q_len=1, keep_k=0, needs_probs=False, prompt_len=0
     )
 
     def body(carry, xs):
-        xh = carry
-        if quant:
-            lp, k_buf, v_buf, length, ks_buf, vs_buf = xs
-        else:
-            lp, k_buf, v_buf, length = xs
-            ks_buf = vs_buf = None
-        xh, k_buf, v_buf, ks_buf, vs_buf, _ = layer_step(
-            lp, xh, cos, sin, k_buf, v_buf, length, None, dspec,
-            k_scale_buf=ks_buf, v_scale_buf=vs_buf,
+        xh, li, k_all, v_all, ks_all, vs_all = carry
+        lp, length = xs
+        xh, k_all, v_all, ks_all, vs_all, _ = layer_step(
+            lp, xh, cos, sin, k_all, v_all, length, None, dspec, li=li,
+            k_scale_all=ks_all, v_scale_all=vs_all,
         )
-        ys = (k_buf, v_buf, ks_buf, vs_buf) if quant else (k_buf, v_buf)
-        return xh, ys
+        return (xh, li + 1, k_all, v_all, ks_all, vs_all), None
 
-    xs = (
-        (params["layers"], cache.k, cache.v, cache.length,
-         cache.k_scale, cache.v_scale)
-        if quant else (params["layers"], cache.k, cache.v, cache.length)
+    (x_out, _, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
+        body,
+        (x, jnp.int32(0), cache.k, cache.v, cache.k_scale, cache.v_scale),
+        (params["layers"], cache.length),
     )
-    x_out, ys = jax.lax.scan(body, x, xs)
-    if quant:
-        new_k, new_v, new_ks, new_vs = ys
-        cache = cache.replace(k_scale=new_ks, v_scale=new_vs)
-    else:
-        new_k, new_v = ys
-    cache = cache.replace(k=new_k, v=new_v, length=cache.length + 1)
+    cache = cache.replace(
+        k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs,
+        length=cache.length + 1,
+    )
     logits = compute_logits(params, x_out[0], cfg)
     return cache, logits
 
@@ -599,9 +662,7 @@ def full_forward_logits(
 
     def body(xh, lp):
         xh, _, _, _, _, _ = layer_step(
-            lp, xh, cos, sin,
-            jnp.zeros((cfg.num_key_value_heads, 1, cfg.head_dim), x.dtype),
-            jnp.zeros((cfg.num_key_value_heads, 1, cfg.head_dim), x.dtype),
+            lp, xh, cos, sin, None, None,
             jnp.int32(0), None, spec, use_cache_past=False,
         )
         return xh, None

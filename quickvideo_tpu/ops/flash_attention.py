@@ -35,11 +35,13 @@ LOG2E = 1.4426950408889634
 
 
 def _flash_kernel(
-    length_ref,  # scalar prefetch: (2,) int32 [valid cache length, group_start]
-                 # group_start < 0 => pure past mode (no causal span)
+    length_ref,  # scalar prefetch: (3,) int32 [valid cache length,
+                 # group_start, layer_idx]; group_start < 0 => pure past
+                 # mode (no causal span); layer_idx used only by the
+                 # stacked-cache index maps
     q_ref,  # (1, nq_inner*rep*BQ, D) — nq_inner q blocks per grid step
-    k_ref,  # (1, BK, D)
-    v_ref,  # (1, BK, D)
+    k_ref,  # (1, BK, D); stacked-cache mode: (1, 1, BK, D)
+    v_ref,  # same shape as k_ref
     o_ref,  # (1, nq_inner*rep*BQ, D) f32
     lse_ref,  # (1, nq_inner*rep*BQ, 128) f32 (lse broadcast over lanes; TPU
               # block shapes need the minor dim divisible by 128)
@@ -83,7 +85,7 @@ def _flash_kernel(
 
     def _scores(rows):
         q = q_ref[0, rows]  # (rep*BQ, D)
-        k = k_ref[0]  # (BK, D)
+        k = k_ref[0, 0] if len(k_ref.shape) == 4 else k_ref[0]  # (BK, D)
         if ks_ref is not None and k.dtype == jnp.int8:
             # int8 matmul inputs lower poorly; cast values to the q dtype and
             # fold the per-token scale into the SCORES columns (lane-aligned,
@@ -114,7 +116,7 @@ def _flash_kernel(
         p = jnp.exp2(scores - m_safe[:, None])
         alpha = jnp.exp2(jnp.maximum(m_prev, -1e29) - m_safe)
         s_scr[rows, 0] = s_scr[rows, 0] * alpha + jnp.sum(p, axis=-1)
-        v_blk = v_ref[0]
+        v_blk = v_ref[0, 0] if len(v_ref.shape) == 4 else v_ref[0]
         pv = p
         if vs_ref is not None:
             # per-token V scale folded into p's columns (= scaling V rows)
@@ -182,11 +184,13 @@ def _flash_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_q", "block_k", "interpret", "causal"),
+    static_argnames=(
+        "scale", "block_q", "block_k", "interpret", "causal", "active_cap"
+    ),
 )
 def flash_past_attention(
     q: Array,  # (Hq, G, D)
-    k_past: Array,  # (Hkv, capacity, D)
+    k_past: Array,  # (Hkv, capacity, D); stacked mode: (L, Hkv, capacity, D)
     v_past: Array,
     length: Array,  # () int32
     *,
@@ -201,13 +205,31 @@ def flash_past_attention(
     causal: bool = False,
     k_scale: Array = None,  # (Hkv, capacity) f32 when k_past is int8
     v_scale: Array = None,
+    active_cap: int = 0,  # static bound on the cache prefix this call may
+    # read (0 = whole buffer). The k-grid is sized by it instead of the
+    # buffer capacity: empty tail block-steps beyond the valid length cost
+    # real time even with their DMA elided (~3 us/step per layer — 7 ms/token
+    # at 64k capacity with 1k valid, measured on v5e). The buffer stays the
+    # operand — no slice, so in-place cache donation is preserved. Caller
+    # contract: length (+ any appended group) never exceeds active_cap.
+    layer_idx: Array = None,  # stacked-cache mode: k/v_past are the FULL
+    # (L, Hkv, capacity, D) cache stack and this () int32 selects the layer.
+    # The index maps address blocks straight into the stack, so the caller
+    # never materializes a (Hkv, capacity, D) layer view — slicing one out
+    # copies the whole capacity buffer (~15 GB/token across a 7B stack at
+    # 64k capacity, measured; the reason decode was 2.4x off the roofline).
 ) -> PartialAttn:
     """Pure-past mode (causal=False): attends cache slots [0, length).
     Unified mode (causal=True): the buffer holds [past | appended group];
     query row i (a group position) attends slots [0, length + i] — one kernel
     replaces the two-partial merge of the XLA path."""
     hq, g, d = q.shape
-    hkv, cap, _ = k_past.shape
+    stacked = k_past.ndim == 4
+    if stacked:
+        assert layer_idx is not None, "stacked cache needs layer_idx"
+        _, hkv, cap, _ = k_past.shape
+    else:
+        hkv, cap, _ = k_past.shape
     rep = hq // hkv
     # pre-scale q by scale*log2(e): scores leave the MXU already in log2
     # units, saving one full-tile VPU multiply per kv block in the kernel
@@ -216,10 +238,16 @@ def flash_past_attention(
     q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
     block_q = min(block_q, g)
     block_k = min(block_k, cap)
+    if stacked:
+        # padding the stack would copy it wholesale — shrink block_k to a
+        # divisor instead (capacities are powers of two in practice)
+        while cap % block_k:
+            block_k //= 2
+    eff_cap = cap if not active_cap else min(cap, max(active_cap, block_k))
     nq = -(-g // block_q)
-    nk = -(-cap // block_k)
+    nk = -(-eff_cap // block_k)
     pad_q = nq * block_q - g
-    pad_k = nk * block_k - cap
+    pad_k = -(-cap // block_k) * block_k - cap  # full-buffer layout padding
     if pad_q:
         q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
     if pad_k:
@@ -252,7 +280,7 @@ def flash_past_attention(
     quant = k_scale is not None
     capp = cap + pad_k  # padded capacity
 
-    def kv_index(h, qh, ki, len_ref):
+    def kv_block(h, qh, ki, len_ref):
         # The kernel is DMA-BOUND (measured: streaming k/v blocks alone costs
         # ~60% of kernel time at the group shape), and Mosaic prefetches the
         # block for EVERY grid step regardless of @pl.when — including the
@@ -267,16 +295,28 @@ def flash_past_attention(
         max_kv = jnp.where(
             group_start >= 0, group_start + (qblk_hi + 1) * block_q, length
         )
-        last = jnp.maximum((max_kv + block_k - 1) // block_k - 1, 0)
-        return (h, jnp.minimum(ki, last), 0)
+        return jnp.maximum(
+            jnp.minimum(ki, (max_kv + block_k - 1) // block_k - 1), 0
+        )
+
+    if stacked:
+        def kv_index(h, qh, ki, len_ref):
+            return (len_ref[2], h, kv_block(h, qh, ki, len_ref), 0)
+
+        kv_blockshape = (1, 1, block_k, d)
+    else:
+        def kv_index(h, qh, ki, len_ref):
+            return (h, kv_block(h, qh, ki, len_ref), 0)
+
+        kv_blockshape = (1, block_k, d)
 
     in_specs = [
         pl.BlockSpec(
             (1, qrows, d), lambda h, qh, ki, *_: (h, qh, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec((1, block_k, d), kv_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_k, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec(kv_blockshape, kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec(kv_blockshape, kv_index, memory_space=pltpu.VMEM),
     ]
     if quant:
         assert block_k % 128 == 0 and capp % 128 == 0, (block_k, capp)
@@ -284,8 +324,7 @@ def flash_past_attention(
         # replicated (Mosaic block shapes need sublanes % 8); the kernel
         # reads row 0 as a (1, BK) vector aligned with score columns
         def scale_index(h, qh, ki, len_ref):
-            _, kc, _ = kv_index(h, qh, ki, len_ref)
-            return (h, 0, kc)
+            return (h, 0, kv_block(h, qh, ki, len_ref))
 
         in_specs += [
             pl.BlockSpec(
@@ -350,8 +389,12 @@ def flash_past_attention(
         ],
         interpret=interpret,
     )(
-        jnp.stack([length.astype(jnp.int32),
-                   (length.astype(jnp.int32) if causal else jnp.int32(-1))]),
+        jnp.stack([
+            length.astype(jnp.int32),
+            (length.astype(jnp.int32) if causal else jnp.int32(-1)),
+            (jnp.asarray(layer_idx, jnp.int32)
+             if layer_idx is not None else jnp.int32(0)),
+        ]),
         *operands,
     )
     # unfold back to (Hq, G, D)

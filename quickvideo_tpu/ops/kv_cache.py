@@ -140,6 +140,43 @@ def layer_append_quantized(
     return k_buf, v_buf, k_scale_buf, v_scale_buf
 
 
+def stacked_append(
+    k_all: Array, v_all: Array, li, length: Array, k_new: Array, v_new: Array
+):
+    """Append into layer `li` of the STACKED cache (L, H, capacity, D)
+    without materializing the layer view. Slicing a (H, capacity, D) view out
+    of the stack and writing it back (the scan-xs/ys pattern) copies the full
+    capacity buffer per layer per step — ~15 GB/token at 64k capacity on a
+    7B stack, measured; this is a single small dynamic_update_slice that XLA
+    aliases in place on a loop carry."""
+    k_all = jax.lax.dynamic_update_slice(
+        k_all, k_new.astype(k_all.dtype)[None], (li, 0, length, 0)
+    )
+    v_all = jax.lax.dynamic_update_slice(
+        v_all, v_new.astype(v_all.dtype)[None], (li, 0, length, 0)
+    )
+    return k_all, v_all
+
+
+def stacked_append_quantized(
+    k_all: Array, v_all: Array, k_scale_all: Array, v_scale_all: Array,
+    li, length: Array, k_new: Array, v_new: Array,
+):
+    """int8 variant of `stacked_append`: quantize the appended rows and
+    write values + per-(head, token) scales into layer `li` of the stack."""
+    kq, ks = quantize_kv(k_new)
+    vq, vs = quantize_kv(v_new)
+    k_all = jax.lax.dynamic_update_slice(k_all, kq[None], (li, 0, length, 0))
+    v_all = jax.lax.dynamic_update_slice(v_all, vq[None], (li, 0, length, 0))
+    k_scale_all = jax.lax.dynamic_update_slice(
+        k_scale_all, ks[None], (li, 0, length)
+    )
+    v_scale_all = jax.lax.dynamic_update_slice(
+        v_scale_all, vs[None], (li, 0, length)
+    )
+    return k_all, v_all, k_scale_all, v_scale_all
+
+
 def valid_mask(capacity: int, length: Array) -> Array:
     """(capacity,) bool mask of populated slots."""
     return jnp.arange(capacity, dtype=jnp.int32) < length

@@ -690,6 +690,27 @@ class LVUEngine:
             kv_quant=(lvu.kv_cache_dtype == "int8"),
             cp_mesh=self.cp_mesh,
         )
+        # decode occupancy is known host-side -> bound each chunk's attention
+        # to the next power-of-two bucket above it. The flash kernel's static
+        # grid otherwise pays ~3 us per empty capacity block-step per layer
+        # (7 ms/token at 64k capacity with 1k valid, measured); buckets cost
+        # at most log2(capacity/4096) extra one-time compiles.
+        suffix_advance_now = keep_k if keep_k > 0 else suffix_len
+        decode_base = state["cache_len"] + suffix_advance_now
+        capacity = cache.k.shape[2]
+
+        def _chunk_spec(n_chunks_done: int) -> StepSpec:
+            if self.cp_mesh is not None:
+                return dspec  # shard-local capacities stay fixed
+            needed = decode_base + 32 * (n_chunks_done + 1)
+            # multiples of 4096 (= 4 flash k-blocks): decode occupancy is
+            # near-static per request, so in practice one bucket (and one
+            # compile) per distinct video size
+            b = max(4096, -(-needed // 4096) * 4096)
+            return dspec if b >= capacity else dataclasses.replace(
+                dspec, active_cap=b
+            )
+
         with timer.span("decode"):
             if greedy:
                 # device-side chunked greedy decode: one dispatch per chunk
@@ -697,6 +718,7 @@ class LVUEngine:
                 nxt = int(jnp.argmax(logits))
                 out_tokens.append(nxt)
                 chunk_size = 32  # FIXED: one compiled chunk for any max_new
+                n_chunks = 0
                 while len(out_tokens) < max_new and (
                     out_tokens[-1] not in eos_token_ids
                 ):
@@ -706,8 +728,9 @@ class LVUEngine:
                         np.int32(out_tokens[-1]),
                         cos[L + i0 : L + i0 + chunk_size],
                         sin[L + i0 : L + i0 + chunk_size],
-                        spec=dspec,
+                        spec=_chunk_spec(n_chunks),
                     )
+                    n_chunks += 1
                     for t in np.asarray(toks).tolist():
                         if len(out_tokens) >= max_new:
                             break
@@ -724,6 +747,7 @@ class LVUEngine:
                 chunk_size = 32
                 tp = float(top_p) if top_p is not None else None
                 tk = int(top_k) if top_k is not None else None
+                n_chunks = 0
                 while len(out_tokens) < max_new and (
                     out_tokens[-1] not in eos_token_ids
                 ):
@@ -735,8 +759,9 @@ class LVUEngine:
                         cos[L + i0 : L + i0 + chunk_size],
                         sin[L + i0 : L + i0 + chunk_size],
                         rng, np.float32(temperature),
-                        spec=dspec, top_p=tp, top_k=tk,
+                        spec=_chunk_spec(n_chunks), top_p=tp, top_k=tk,
                     )
+                    n_chunks += 1
                     for t in np.asarray(toks).tolist():
                         if len(out_tokens) >= max_new:
                             break
