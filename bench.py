@@ -75,6 +75,7 @@ def main():
         decode_output=os.environ.get("BENCH_DECODE_OUTPUT", "yuv420"),
         kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "bfloat16"),
         align_resize_to_window=os.environ.get("BENCH_ALIGN", "1") == "1",
+        resize_on_device=os.environ.get("BENCH_RESIZE_DEVICE", "0") == "1",
         decode_threads=int(os.environ.get("QUICKCODEC_CORES", "16")),
         prefetch_to_device=os.environ.get("BENCH_PREFETCH_DEV", "1") == "1",
         dtype="bfloat16",
@@ -111,6 +112,22 @@ def main():
     res = best
     e2e = res.timings["e2e"]
 
+    # attribution run: device barriers at span edges make the spans
+    # PARTITION device time (async dispatch otherwise piles queued prefill
+    # into the decode span). Serializes the overlap, so its e2e is WORSE
+    # than the headline — report it only as a breakdown, never as the metric.
+    sync_timings = None
+    if os.environ.get("BENCH_ATTRIBUTION", "1") == "1":
+        os.environ["QV_SYNC_SPANS"] = "1"
+        try:
+            lvu.generate("Describe this video.", video, max_new_tokens=1)
+            sync_timings = {
+                k: round(v, 3) for k, v in lvu.last_result.timings.items()
+            }
+            log(f"attribution run (sync spans): {sync_timings}")
+        finally:
+            del os.environ["QV_SYNC_SPANS"]
+
     meta = {
         "frames": N_FRAMES,
         "group_size": GROUP_SIZE,
@@ -122,6 +139,9 @@ def main():
         "video_gen_s": round(video_gen_s, 2),
         "device": str(jax.devices()[0]),
         "best_of_runs": runs,
+        # device-time partition from the serialized attribution run (its
+        # own e2e exceeds the headline because barriers kill the overlap)
+        "sync_timings": sync_timings,
     }
     print(json.dumps({
         "metric": (

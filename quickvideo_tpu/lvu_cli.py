@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_new_tokens", type=int, default=128)
     p.add_argument("--decode_threads", type=int, default=8)
     p.add_argument("--decode_intervals", type=int, default=64)
+    p.add_argument("--resize_on_device", action="store_true",
+                   help="decode at native size; Lanczos-resample to the "
+                        "model grid inside the vision program (offloads the "
+                        "swscale resize from weak hosts)")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--param_dtype", default=None,
                    help="bfloat16 | int8 (weight-only quantization; fits 7B on one 16 GB chip)")
@@ -79,6 +83,7 @@ def main(argv=None):
         use_tqdm=args.use_tqdm,
         decode_threads=args.decode_threads,
         decode_intervals=args.decode_intervals,
+        resize_on_device=args.resize_on_device,
         max_decode_tokens=max(args.max_new_tokens, 16),
         dtype=args.dtype,
         param_dtype=args.param_dtype or args.dtype,

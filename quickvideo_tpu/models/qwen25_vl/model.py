@@ -78,14 +78,18 @@ def encode_video_group(
     pixels: Array,  # (S, patch_input_dim)
     grid_thw: Tuple[int, int, int],
     layout_arrays: Optional[dict] = None,
+    native_hw: Optional[Tuple[int, int]] = None,
 ) -> Array:
     """Vision tower over one video group -> (S/merge_unit, text_hidden).
 
     Jitted callers pass `layout_arrays` (index tables as traced args, see
-    vision.layout_arrays_for) with static (cfg, grid_thw)."""
+    vision.layout_arrays_for) with static (cfg, grid_thw). `native_hw` set
+    means frames arrive at the decoder-native size and are Lanczos-resampled
+    to the model grid on device (lvu.resize_on_device)."""
     layout = layout_for(cfg, grid_thw)
     return vision_forward(
-        params["vision"], pixels, layout, cfg.vision, layout_arrays
+        params["vision"], pixels, layout, cfg.vision, layout_arrays,
+        native_hw=native_hw,
     )
 
 

@@ -342,6 +342,8 @@ def vision_forward(
     layout: VisionLayout,
     cfg: VisionConfig,
     layout_arrays: Optional[dict] = None,
+    native_hw: Optional[Tuple[int, int]] = None,  # decoder-native (H, W) of
+    # incoming frames when resize happens ON DEVICE (lvu.resize_on_device)
 ) -> Array:
     """Full tower: patch embed -> window-reorder -> blocks -> merger ->
     original order. Returns (S / merge_unit, out_hidden_size).
@@ -352,24 +354,31 @@ def vision_forward(
     if layout_arrays is None:
         layout_arrays = layout_arrays_for(layout)
     pdtype = params["blocks"]["ln1"].dtype
+    fh = layout.grid_thw[1] * cfg.patch_size
+    fw = layout.grid_thw[2] * cfg.patch_size
+    # device-side resize: frames arrive at the DECODER-NATIVE size and are
+    # resampled to the model grid here. On a weak host the swscale LANCZOS
+    # resize dominates serial decode time (measured 5.7 s vs 1.4 s per
+    # 1024-frame run when the target width is not SIMD-aligned); lanczos3
+    # on the TPU is bandwidth-trivial next to the ViT and frees the host to
+    # just demux+decode. (The reference resizes in-decoder because its 16
+    # CPU cores are plentiful and PCIe transfer of native frames is not —
+    # the opposite trade holds here.)
+    sh, sw = native_hw if native_hw else (fh, fw)
     if pixels.ndim == 2 and pixels.dtype == jnp.uint8 and (
-        pixels.shape[1]
-        == layout.grid_thw[1] * cfg.patch_size
-        * layout.grid_thw[2] * cfg.patch_size * 3 // 2
+        pixels.shape[1] == sh * sw * 3 // 2
     ):
         # packed YUV420p frames (T, H*W*3/2): half the host->device bytes of
         # RGB. Chroma nearest-upsample + limited-range BT.601 matrix on
         # device (matches swscale's yuv420p->rgb within +-2 levels).
-        fh = layout.grid_thw[1] * cfg.patch_size
-        fw = layout.grid_thw[2] * cfg.patch_size
         t_frames = pixels.shape[0]
-        hw = fh * fw
-        y = pixels[:, :hw].reshape(t_frames, fh, fw).astype(jnp.float32)
+        hw = sh * sw
+        y = pixels[:, :hw].reshape(t_frames, sh, sw).astype(jnp.float32)
         u = pixels[:, hw : hw + hw // 4].reshape(
-            t_frames, fh // 2, fw // 2
+            t_frames, sh // 2, sw // 2
         ).astype(jnp.float32)
         v = pixels[:, hw + hw // 4 :].reshape(
-            t_frames, fh // 2, fw // 2
+            t_frames, sh // 2, sw // 2
         ).astype(jnp.float32)
         u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2) - 128.0
         v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2) - 128.0
@@ -391,6 +400,20 @@ def vision_forward(
         _yuv_float = True
     else:
         _yuv_float = False
+    if pixels.ndim == 4 and pixels.shape[2:] != (fh, fw):
+        # native-size frames -> model grid (antialiased 3-lobe Lanczos, the
+        # same family as swscale/PIL LANCZOS; parity within resampler
+        # rounding, tests/test_preprocess.py)
+        if pixels.dtype == jnp.uint8:
+            pixels = pixels.astype(jnp.float32)
+            _yuv_float = True
+        pixels = jnp.clip(
+            jax.image.resize(
+                pixels, (*pixels.shape[:2], fh, fw), method="lanczos3",
+                antialias=True,
+            ),
+            0.0, 255.0,
+        )
     if pixels.ndim == 4:
         # raw decoded frames (T, C, H, W): patchify ON DEVICE (the HF
         # merged-unit interleave is a pure reshape/transpose — free for XLA,

@@ -89,13 +89,15 @@ class BatchedQAEngine:
             ), donate_argnums=(1,))
         return self._jits[key]
 
-    def _vision_vjit(self, grid):
-        key = ("vision", grid)
+    def _vision_vjit(self, grid, native_hw=None):
+        key = ("vision", grid, native_hw)
         if key not in self._jits:
             cfg = self.eng.cfg
 
             def f(p, px, la):
-                return qmodel.encode_video_group(p, cfg, px, grid, la)
+                return qmodel.encode_video_group(
+                    p, cfg, px, grid, la, native_hw=native_hw
+                )
 
             self._jits[key] = jax.jit(jax.vmap(f, in_axes=(None, 0, None)))
         return self._jits[key]
@@ -191,7 +193,7 @@ class BatchedQAEngine:
             pix = jnp.asarray(np.stack([pg[gi] for pg in pixel_iters]))
             if pix.dtype != jnp.uint8:
                 pix = pix.astype(eng.dtype)
-            vis = self._vision_vjit(grid)(
+            vis = self._vision_vjit(grid, requests[0].native_hw)(
                 eng.params, pix, eng._layout_arrays(grid)
             )
             spec = StepSpec(

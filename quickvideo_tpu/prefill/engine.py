@@ -63,6 +63,9 @@ class PrefillInputs:
     group_grids: Sequence[Tuple[int, int, int]]  # per group (t_g, h, w)
     second_per_grid_ts: float = 1.0
     num_video_tokens: Optional[int] = None
+    native_hw: Optional[Tuple[int, int]] = None  # frames arrive at this
+    # decoder-native (H, W); the vision program Lanczos-resamples to the
+    # model grid on device (lvu.resize_on_device)
 
 
 @dataclass
@@ -163,7 +166,8 @@ class LVUEngine:
             self._decode_body, static_argnames=("spec",), donate_argnames=("cache",)
         )
         self._vision_jit = jax.jit(
-            qmodel.encode_video_group, static_argnames=("cfg", "grid_thw")
+            qmodel.encode_video_group,
+            static_argnames=("cfg", "grid_thw", "native_hw"),
         )
         self._layout_arrays_cache = {}
         self._embed_scatter_jit = jax.jit(self._embed_scatter)
@@ -511,6 +515,7 @@ class LVUEngine:
                     pix = pix.astype(self.dtype)
                 vis = _maybe_sync(self._vision_jit(
                     self.params, cfg, pix, grid, self._layout_arrays(grid),
+                    native_hw=inputs.native_hw,
                 ))
             q_len = in_len + prompt_len
             base = StepSpec(

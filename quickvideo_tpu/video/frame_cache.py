@@ -33,9 +33,13 @@ def default_cache_dir() -> Path:
     ).expanduser()
 
 
-def cache_key(video_path: str, plan: VideoPlan) -> str:
+def cache_key(
+    video_path: str, plan: VideoPlan, native_hw=None
+) -> str:
     """Stem + sampling/resize params (reference key scheme,
-    lvu/models/qwen25_vl.py:365-369) + an index hash for exactness."""
+    lvu/models/qwen25_vl.py:365-369) + an index hash for exactness.
+    `native_hw` set = frames stored at decoder-native size
+    (resize_on_device), a distinct artifact from the resized frames."""
     stem = Path(video_path).stem
     h = hashlib.md5(
         json.dumps(
@@ -43,6 +47,7 @@ def cache_key(video_path: str, plan: VideoPlan) -> str:
                 "n": plan.nframes,
                 "h": plan.resized_height,
                 "w": plan.resized_width,
+                "native": list(native_hw) if native_hw else None,
                 "idx0": int(plan.indices[0]),
                 "idxN": int(plan.indices[-1]),
                 "len": len(plan.indices),
@@ -50,13 +55,14 @@ def cache_key(video_path: str, plan: VideoPlan) -> str:
             sort_keys=True,
         ).encode()
     ).hexdigest()[:10]
-    return f"{stem}_n={plan.nframes}_hw={plan.resized_height}x{plan.resized_width}_{h}"
+    hw = native_hw or (plan.resized_height, plan.resized_width)
+    return f"{stem}_n={plan.nframes}_hw={hw[0]}x{hw[1]}_{h}"
 
 
 def save(video_path: str, plan: VideoPlan, frames: np.ndarray,
-         cache_dir: Optional[str] = None) -> Path:
+         cache_dir: Optional[str] = None, native_hw=None) -> Path:
     d = Path(cache_dir).expanduser() if cache_dir else default_cache_dir()
-    d = d / cache_key(video_path, plan)
+    d = d / cache_key(video_path, plan, native_hw)
     d.mkdir(parents=True, exist_ok=True)
     np.save(d / "frames.npy", frames)
     (d / "meta.json").write_text(json.dumps({
@@ -72,17 +78,17 @@ def save(video_path: str, plan: VideoPlan, frames: np.ndarray,
 
 
 def load(video_path: str, plan: VideoPlan,
-         cache_dir: Optional[str] = None) -> Optional[np.ndarray]:
+         cache_dir: Optional[str] = None,
+         native_hw=None) -> Optional[np.ndarray]:
     d = Path(cache_dir).expanduser() if cache_dir else default_cache_dir()
-    d = d / cache_key(video_path, plan)
+    d = d / cache_key(video_path, plan, native_hw)
     f = d / "frames.npy"
     if not f.exists():
         return None
     frames = np.load(f, mmap_mode="r")
-    rgb_shape = (plan.nframes, 3, plan.resized_height, plan.resized_width)
-    yuv_shape = (
-        plan.nframes, plan.resized_height * plan.resized_width * 3 // 2
-    )
+    h, w = native_hw or (plan.resized_height, plan.resized_width)
+    rgb_shape = (plan.nframes, 3, h, w)
+    yuv_shape = (plan.nframes, h * w * 3 // 2)
     if frames.shape not in (rgb_shape, yuv_shape):
         return None  # stale entry
     return frames

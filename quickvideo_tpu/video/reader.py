@@ -92,21 +92,27 @@ def decode_video_batch(
     (frames TCHW uint8, plan). The qwen25_lvu engine path."""
     name, reader = open_reader(path, lvu.decode_threads)
     plan = plan_from_reader(reader, lvu)
-    reader.height = plan.resized_height
-    reader.width = plan.resized_width
-    if hasattr(reader, "interpolation"):
-        reader.interpolation = "LANCZOS"
+    native_hw = None
+    if lvu.resize_on_device and hasattr(reader, "source_height"):
+        # decode at native size; the vision program resamples on device
+        native_hw = (reader.source_height, reader.source_width)
+    else:
+        reader.height = plan.resized_height
+        reader.width = plan.resized_width
+        if hasattr(reader, "interpolation"):
+            reader.interpolation = "LANCZOS"
     if lvu.decode_output.lower() == "yuv420" and hasattr(reader, "output_format"):
         reader.output_format = "YUV420"
     frames = reader.get_batch(plan.indices.tolist())
     reader.close()
-    return frames, plan
+    return frames, plan, native_hw
 
 
 def build_prefill_inputs_from_frames(
-    frames: np.ndarray,  # (T, C, H, W) uint8 resized
+    frames: np.ndarray,  # (T, C, H, W) uint8 resized (or native w/ native_hw)
     plan: pp.VideoPlan,
     input_ids: np.ndarray,
+    native_hw: Optional[Tuple[int, int]] = None,
 ):
     """Patchify per group -> PrefillInputs (sync list form)."""
     from quickvideo_tpu.prefill.engine import PrefillInputs
@@ -124,4 +130,5 @@ def build_prefill_inputs_from_frames(
         pixel_groups=groups,
         group_grids=plan.group_grids,
         second_per_grid_ts=plan.second_per_grid_ts,
+        native_hw=native_hw,
     )

@@ -48,9 +48,17 @@ class AsyncPixelGroups:
             num_intervals=lvu.decode_intervals,
         )
         self.plan = plan or plan_from_reader(self.reader, lvu)
-        self.reader.height = self.plan.resized_height
-        self.reader.width = self.plan.resized_width
-        self.reader.interpolation = "LANCZOS"
+        self.native_hw = None
+        if lvu.resize_on_device:
+            # decode at native size; the vision program resamples to the
+            # model grid on device (config.resize_on_device rationale)
+            self.native_hw = (
+                self.reader.source_height, self.reader.source_width
+            )
+        else:
+            self.reader.height = self.plan.resized_height
+            self.reader.width = self.plan.resized_width
+            self.reader.interpolation = "LANCZOS"
         if lvu.decode_output.lower() == "yuv420":
             self.reader.output_format = "YUV420"
         # kick off async native decode of the sampled frames NOW — decode of

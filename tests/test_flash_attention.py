@@ -80,3 +80,42 @@ def test_flash_int8_matches_dequant_oracle(rng_np):
     vd = dequantize_kv(vq, vs)
     ref = oracle(q, kd, vd, jnp.int32(length))
     np.testing.assert_allclose(got.out, ref.out, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("li", [0, 2])
+def test_flash_stacked_matches_flat(rng_np, li):
+    """Stacked-cache mode (4D k/v + layer_idx scalar prefetch) must equal the
+    flat per-layer call on the same layer's buffers."""
+    L, g, cap, length = 3, 128, 1024, 700
+    q = jnp.asarray(rng_np.standard_normal((HQ, g, D)).astype(np.float32))
+    k = jnp.asarray(rng_np.standard_normal((L, HKV, cap, D)).astype(np.float32))
+    v = jnp.asarray(rng_np.standard_normal((L, HKV, cap, D)).astype(np.float32))
+    got = flash_past_attention(
+        q, k, v, jnp.int32(length), scale=SCALE, block_q=128, block_k=256,
+        interpret=True, layer_idx=jnp.int32(li),
+    )
+    ref = flash_past_attention(
+        q, k[li], v[li], jnp.int32(length), scale=SCALE, block_q=128,
+        block_k=256, interpret=True,
+    )
+    np.testing.assert_allclose(got.out, ref.out, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(got.lse, ref.lse, rtol=1e-6, atol=1e-6)
+
+
+def test_flash_stacked_active_cap(rng_np):
+    """active_cap bounds the k-grid: with valid length below the bound the
+    result must be identical to the unbounded call (bound rounds up to a
+    whole block; slots beyond `length` are masked regardless)."""
+    L, g, cap, length = 2, 64, 2048, 300
+    q = jnp.asarray(rng_np.standard_normal((HQ, g, D)).astype(np.float32))
+    k = jnp.asarray(rng_np.standard_normal((L, HKV, cap, D)).astype(np.float32))
+    v = jnp.asarray(rng_np.standard_normal((L, HKV, cap, D)).astype(np.float32))
+    got = flash_past_attention(
+        q, k, v, jnp.int32(length), scale=SCALE, block_q=64, block_k=256,
+        interpret=True, layer_idx=jnp.int32(1), active_cap=512,
+    )
+    ref = flash_past_attention(
+        q, k, v, jnp.int32(length), scale=SCALE, block_q=64, block_k=256,
+        interpret=True, layer_idx=jnp.int32(1),
+    )
+    np.testing.assert_allclose(got.out, ref.out, rtol=1e-6, atol=1e-6)

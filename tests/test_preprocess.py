@@ -127,3 +127,76 @@ def test_window_aligned_resize():
     from quickvideo_tpu.models.qwen25_vl.vision import build_layout
     lo = build_layout(plan.group_grids[0], 14, 2, 112, 80)
     assert lo.win_uniform
+
+
+class TestDeviceResize:
+    def test_lanczos3_matches_pil_lanczos(self):
+        """jax.image.resize lanczos3 (the resize_on_device resampler) vs PIL
+        LANCZOS — same 3-lobe filter family; parity within resampler
+        rounding/boundary handling."""
+        import jax
+        import jax.numpy as jnp
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (96, 96, 3), np.uint8)
+        # smooth it a little so boundary handling differences don't dominate
+        img = (img.astype(np.float32) + np.roll(img, 1, 0) + np.roll(img, 1, 1)) / 3.0
+        tgt = (56, 56)
+        ours = np.asarray(jnp.clip(jax.image.resize(
+            jnp.asarray(img), (*tgt, 3), method="lanczos3", antialias=True,
+        ), 0, 255))
+        ref = np.asarray(
+            Image.fromarray(img.astype(np.uint8)).resize(
+                tgt[::-1], Image.LANCZOS
+            )
+        ).astype(np.float32)
+        diff = np.abs(ours - ref)
+        assert diff.mean() < 2.0, diff.mean()
+        assert np.percentile(diff, 99) < 8.0, np.percentile(diff, 99)
+
+    def test_vision_forward_native_yuv_close_to_preresized(self):
+        """Full device pipeline: packed native-size YUV + native_hw must be
+        close to feeding the same frames pre-resized on the host."""
+        import jax
+        import jax.numpy as jnp
+        from quickvideo_tpu.models.qwen25_vl import get_config
+        from quickvideo_tpu.models.qwen25_vl import model as qmodel
+        from quickvideo_tpu.models.qwen25_vl.vision import init_vision_params
+
+        cfg = get_config("tiny")
+        rng = np.random.default_rng(1)
+        t_frames, nh, nw = 2, 84, 84
+        fh = fw = 56  # target grid
+        yuv = rng.integers(16, 235, (t_frames, nh * nw * 3 // 2), np.uint8)
+        params = {"vision": init_vision_params(
+            cfg.vision, jax.random.key(0), jnp.float32
+        )}
+        grid = (1, fh // cfg.vision.patch_size, fw // cfg.vision.patch_size)
+        out_native = qmodel.encode_video_group(
+            params, cfg, jnp.asarray(yuv), grid, native_hw=(nh, nw)
+        )
+        # host reference: device YUV->RGB at native size, PIL-free lanczos3
+        # resize outside the program, then the pre-resized YUV-free path
+        hw = nh * nw
+        y = yuv[:, :hw].reshape(t_frames, nh, nw).astype(np.float32)
+        u = yuv[:, hw : hw + hw // 4].reshape(t_frames, nh // 2, nw // 2)
+        v = yuv[:, hw + hw // 4 :].reshape(t_frames, nh // 2, nw // 2)
+        u = np.repeat(np.repeat(u, 2, 1), 2, 2).astype(np.float32) - 128.0
+        v = np.repeat(np.repeat(v, 2, 1), 2, 2).astype(np.float32) - 128.0
+        c = (y - 16.0) * 1.1643835
+        rgb = np.stack([
+            c + 1.5960268 * v,
+            c - 0.3917623 * u - 0.8129676 * v,
+            c + 2.0172321 * u,
+        ], axis=1).clip(0, 255)
+        rgb_r = np.asarray(jax.image.resize(
+            jnp.asarray(rgb), (t_frames, 3, fh, fw), method="lanczos3",
+            antialias=True,
+        )).clip(0, 255)
+        out_host = qmodel.encode_video_group(
+            params, cfg, jnp.asarray(rgb_r.astype(np.uint8)), grid
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_native), np.asarray(out_host), rtol=0.1, atol=0.35
+        )

@@ -167,3 +167,38 @@ def test_yuv420_device_conversion_matches_sws_rgb(fixture_video):
     # the bulk; allow a small tail of edge pixels to deviate more
     assert np.percentile(diff, 90) <= 4.0, np.percentile(diff, 90)
     assert diff.mean() <= 2.5, diff.mean()
+
+
+def test_unaligned_width_scratch_path(fixture_video):
+    """Widths not divisible by 32 route sws output through the
+    aligned-stride scratch (unaligned row stores cost ~4x inside
+    sws_scale); content must match the direct path's semantics for both
+    output formats."""
+    idx = [0, 23, 50]
+    vr = qd.VideoReader(fixture_video, num_threads=1)
+    vr.height = 68
+    vr.width = 92  # 92 % 32 != 0 -> scratch path
+    vr.interpolation = "LANCZOS"
+    rgb = vr.get_batch(idx)
+    assert rgb.shape == (3, 3, 68, 92)
+    for j, i in enumerate(idx):
+        got = rgb_to_frame_index(rgb[j])
+        assert abs(got - i) <= 2, f"frame {i} decoded as ~{got}"
+    vr.output_format = "YUV420"
+    yuv = vr.get_batch(idx)
+    assert yuv.shape == (3, 68 * 92 * 3 // 2)
+    hw = 68 * 92
+    y = yuv[:, :hw].reshape(-1, 68, 92).astype(np.float32)
+    u = yuv[:, hw : hw + hw // 4].reshape(-1, 34, 46).astype(np.float32)
+    v = yuv[:, hw + hw // 4 :].reshape(-1, 34, 46).astype(np.float32)
+    u = np.repeat(np.repeat(u, 2, 1), 2, 2) - 128.0
+    v = np.repeat(np.repeat(v, 2, 1), 2, 2) - 128.0
+    c = (y - 16.0) * 1.1643835
+    ours = np.clip(np.stack([
+        c + 1.5960268 * v,
+        c - 0.3917623 * u - 0.8129676 * v,
+        c + 2.0172321 * u,
+    ], 1), 0, 255)
+    diff = np.abs(ours - rgb.astype(np.float32))
+    assert np.percentile(diff, 90) <= 4.0, np.percentile(diff, 90)
+    assert diff.mean() <= 2.5, diff.mean()
