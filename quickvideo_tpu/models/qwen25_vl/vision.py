@@ -92,6 +92,17 @@ class VisionLayout(NamedTuple):
     win_uniform: bool  # True -> plain reshape works (no padding)
     frame_len: int  # h*w patches per temporal frame (full-attn block)
     seq_len: int
+    # Ragged grids: windows are SIZE-BUCKETED in the permutation (all
+    # largest-size windows first, then the next size, ...) so window
+    # attention runs as one uniform block-diagonal call per bucket on a
+    # contiguous slice — no padding, no masks, no gather/scatter (the old
+    # padded-gather path cost ~2x tower time at strict-resize grids).
+    # buckets: ((span_patches, start_row, end_row), ...) static.
+    buckets: Tuple[Tuple[int, int, int], ...] = ()
+    # Bucketing breaks per-temporal-slice contiguity, which the per-frame
+    # full-attention layers need — they permute through these (patch-level).
+    frame_perm: Optional[np.ndarray] = None  # bucket order -> frame-grouped
+    frame_inv: Optional[np.ndarray] = None  # and back
 
 
 @functools.lru_cache(maxsize=64)
@@ -123,8 +134,34 @@ def build_layout(
         .reshape(t, nwh * nww, vit_win, vit_win)
     )
     seqlens_units = (idxp != -100).sum(axis=(2, 3)).reshape(-1)  # per window
-    flat = idxp.reshape(-1)
-    window_index = flat[flat != -100]  # (t*lh*lw,) unit-level permutation
+    buckets: Tuple[Tuple[int, int, int], ...] = ()
+    frame_perm = frame_inv = None
+    if (seqlens_units == seqlens_units[0]).all():
+        flat = idxp.reshape(-1)
+        window_index = flat[flat != -100]  # (t*lh*lw,) unit-level perm
+    else:
+        # ragged windows: size-bucket them (stable sort, largest first) so
+        # attention runs uniform per bucket (see VisionLayout docstring)
+        rows = idxp.reshape(t * nwh * nww, vit_win * vit_win)
+        order = np.argsort(-seqlens_units, kind="stable")
+        window_index = np.concatenate(
+            [rows[i][rows[i] != -100] for i in order]
+        )
+        sizes_sorted = seqlens_units[order]
+        blist = []
+        start = 0
+        for size in sorted(set(sizes_sorted.tolist()), reverse=True):
+            n_here = int((sizes_sorted == size).sum())
+            span = size * unit
+            blist.append((span, start, start + n_here * span))
+            start += n_here * span
+        buckets = tuple(blist)
+        # full-attention layers need rows grouped by temporal slice
+        units_per_slice = lh * lw
+        slice_of_unit = window_index // units_per_slice
+        slice_of_patch = np.repeat(slice_of_unit, unit)
+        frame_perm = np.argsort(slice_of_patch, kind="stable")
+        frame_inv = np.argsort(frame_perm, kind="stable")
 
     # patch-level permutation: each unit is `unit` consecutive patches
     perm = (window_index[:, None] * unit + np.arange(unit)[None, :]).reshape(-1)
@@ -149,8 +186,13 @@ def build_layout(
     cos = np.cos(emb)[perm].astype(np.float32)
     sin = np.sin(emb)[perm].astype(np.float32)
 
-    # --- padded window gather over PATCHES in window order ---
-    seqlens_patches = seqlens_units * unit
+    # --- legacy padded window-gather tables (kept for tests/fallbacks; the
+    # forward uses the bucketed layout for ragged grids) ---
+    seqlens_eff = (
+        seqlens_units if not buckets else
+        seqlens_units[np.argsort(-seqlens_units, kind="stable")]
+    )
+    seqlens_patches = seqlens_eff * unit
     nw = len(seqlens_patches)
     mw = int(seqlens_patches.max()) if nw else 0
     starts = np.concatenate([[0], np.cumsum(seqlens_patches)[:-1]])
@@ -172,6 +214,9 @@ def build_layout(
         win_uniform=win_uniform,
         frame_len=h * w,
         seq_len=s,
+        buckets=buckets,
+        frame_perm=frame_perm,
+        frame_inv=frame_inv,
     )
 
 
@@ -233,6 +278,7 @@ def vision_block(
     mw: int,
     t: int,
     frame_len: int,
+    buckets: Tuple[Tuple[int, int, int], ...] = (),
 ):
     c = cfg.hidden_size
     nh = cfg.num_heads
@@ -249,66 +295,56 @@ def vision_block(
 
     s_len = x.shape[0]
     interp = bool(os.environ.get("QV_PALLAS_INTERPRET"))
+    on_kernel_backend = interp or jax.default_backend() not in ("cpu", "gpu")
 
     def _va():
         from quickvideo_tpu.ops import vision_attention
 
         return vision_attention
 
-    use_kernel = (
-        (full_attn or uniform)
-        and (interp or jax.default_backend() not in ("cpu", "gpu"))
-        and _va().kernel_applicable(s_len, frame_len if full_attn else mw)
-    )
-    if use_kernel:
-        # fused block-diagonal kernel: full-attn blocks are spans of
-        # frame_len, window blocks spans of mw — same op (ops/
-        # vision_attention.py; ~60x the XLA batched-tiny-matmul path)
-        out = _va().block_diag_attention(
-            q, k, v, frame_len if full_attn else mw, scale=scale,
-            interpret=interp,
-        ).astype(jnp.float32)
-    elif full_attn:
-        # block-diagonal per temporal frame; frames are contiguous in window
-        # order (windows never cross temporal patches)
-        qb = q.reshape(t, frame_len, nh, hd)
-        kb = k.reshape(t, frame_len, nh, hd)
-        vb = v.reshape(t, frame_len, nh, hd)
-        ob = _block_attention(qb, kb, vb, None, scale)
-        out = ob.reshape(s_len, nh, hd)
-    elif uniform:
-        qb = q.reshape(nw, mw, nh, hd)
-        kb = k.reshape(nw, mw, nh, hd)
-        vb = v.reshape(nw, mw, nh, hd)
-        ob = _block_attention(qb, kb, vb, None, scale)
-        out = ob.reshape(s_len, nh, hd)
-    else:
-        gidx = layout_arrays["win_gather"]  # (NW, MW)
-        valid = layout_arrays["win_valid"]
-        safe = jnp.maximum(gidx, 0)
-        qb = q[safe]
-        kb = k[safe]
-        vb = v[safe]
-        padded_len = int(np.prod(gidx.shape))
-        if (interp or jax.default_backend() not in ("cpu", "gpu")) and (
-            _va().kernel_applicable(padded_len, mw, masked=True)
-        ):
-            # ragged windows, padded-uniform in gather layout: the same
-            # block-diag kernel with a per-column validity penalty (pad
-            # rows produce garbage and are dropped by the scatter below)
-            ob = _va().block_diag_attention(
-                qb.reshape(padded_len, nh, hd),
-                kb.reshape(padded_len, nh, hd),
-                vb.reshape(padded_len, nh, hd),
-                mw, scale=scale, valid=valid.reshape(-1),
-                interpret=interp,
+    def _span_attention(qs, ks, vs, span):
+        """Uniform block-diagonal attention over contiguous `span`s —
+        fused kernel when applicable, XLA batched blocks otherwise."""
+        n = qs.shape[0]
+        if on_kernel_backend and _va().kernel_applicable(n, span):
+            return _va().block_diag_attention(
+                qs, ks, vs, span, scale=scale, interpret=interp
             ).astype(jnp.float32)
+        ob = _block_attention(
+            qs.reshape(n // span, span, nh, hd),
+            ks.reshape(n // span, span, nh, hd),
+            vs.reshape(n // span, span, nh, hd),
+            None, scale,
+        )
+        return ob.reshape(n, nh, hd)
+
+    if full_attn:
+        # per-temporal-frame full attention. Ragged (bucketed) layouts
+        # interleave windows of different temporal slices, so regroup rows
+        # by slice through the static frame permutation first (~0.1 ms of
+        # row gathers vs the padded-gather+scatter this design replaced).
+        if buckets:
+            fp = layout_arrays["frame_perm"]
+            out = _span_attention(q[fp], k[fp], v[fp], frame_len)
+            out = out[layout_arrays["frame_inv"]]
         else:
-            ob = _block_attention(qb, kb, vb, valid, scale)
-        # scatter only valid lanes (pad lanes map out of range -> dropped)
-        out = jnp.zeros(q.shape, jnp.float32).at[
-            jnp.where(valid.reshape(-1), gidx.reshape(-1), s_len)
-        ].set(ob.reshape(-1, nh, hd), mode="drop")
+            # frames are contiguous in plain window order (windows never
+            # cross temporal patches)
+            out = _span_attention(q, k, v, frame_len)
+    elif uniform:
+        out = _span_attention(q, k, v, mw)
+    else:
+        # ragged windows, size-bucketed by the layout: one uniform
+        # block-diagonal call per bucket on a contiguous slice. No padding,
+        # no masks, no gather/scatter — the old padded-gather path measured
+        # 285 vs 141 ms/group (24% vs 43% MFU) against aligned grids.
+        out = jnp.concatenate(
+            [
+                _span_attention(q[a:b], k[a:b], v[a:b], span)
+                for span, a, b in buckets
+            ],
+            axis=0,
+        )
 
     attn_out = out.astype(x.dtype).reshape(s_len, c)
     attn_out = qdot(attn_out, bp["wo"]).astype(x.dtype) + bp["bo"]
@@ -326,7 +362,7 @@ def layout_arrays_for(layout: VisionLayout) -> dict:
     """Device-array view of a layout — passed as ARGUMENTS to the jitted
     tower (baking them in as HLO constants adds O(S * head_dim) bytes to the
     program, which overflows remote-compile transports and bloats caches)."""
-    return {
+    arrays = {
         "perm": jnp.asarray(layout.perm),
         "inv_perm_units": jnp.asarray(layout.inv_perm_units),
         "cos": jnp.asarray(layout.cos),
@@ -334,6 +370,10 @@ def layout_arrays_for(layout: VisionLayout) -> dict:
         "win_gather": jnp.asarray(layout.win_gather),
         "win_valid": jnp.asarray(layout.win_valid),
     }
+    if layout.frame_perm is not None:
+        arrays["frame_perm"] = jnp.asarray(layout.frame_perm)
+        arrays["frame_inv"] = jnp.asarray(layout.frame_inv)
+    return arrays
 
 
 def vision_forward(
@@ -463,7 +503,7 @@ def vision_forward(
         kw = dict(
             layout_arrays=layout_arrays, cfg=cfg,
             uniform=layout.win_uniform, nw=nw, mw=mw, t=t,
-            frame_len=layout.frame_len,
+            frame_len=layout.frame_len, buckets=layout.buckets,
         )
         xh = jax.lax.cond(
             is_full,

@@ -151,3 +151,40 @@ def test_vision_tower_kernel_path_matches_xla(rng_np, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_bucketed_ragged_forward_kernel_matches_xla(monkeypatch):
+    """Ragged grid through the full tower: per-bucket kernel calls +
+    frame-permuted full-attention (interpret mode) vs the pure-XLA path."""
+    import jax
+    import jax.numpy as jnp
+    from quickvideo_tpu.models.qwen25_vl import get_config
+    from quickvideo_tpu.models.qwen25_vl import model as qmodel
+    from quickvideo_tpu.models.qwen25_vl.vision import (
+        build_layout, init_vision_params,
+    )
+
+    cfg = get_config("tiny")
+    grid = (2, 12, 12)  # llm grid 6x6, window edge 4 -> ragged buckets
+    L = build_layout(
+        grid, cfg.vision.patch_size, cfg.vision.spatial_merge_size,
+        cfg.vision.window_size, cfg.vision.head_dim,
+    )
+    assert not L.win_uniform and len(L.buckets) >= 2
+    rng = np.random.default_rng(3)
+    s = grid[0] * grid[1] * grid[2]
+    pixels = rng.standard_normal(
+        (s, cfg.vision.patch_input_dim)
+    ).astype(np.float32)
+    params = {"vision": init_vision_params(
+        cfg.vision, jax.random.key(0), jnp.float32
+    )}
+    ref = np.asarray(qmodel.encode_video_group(
+        params, cfg, jnp.asarray(pixels), grid
+    ))
+    monkeypatch.setenv("QV_PALLAS_INTERPRET", "1")
+    jax.clear_caches()
+    got = np.asarray(qmodel.encode_video_group(
+        params, cfg, jnp.asarray(pixels), grid
+    ))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
