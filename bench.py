@@ -142,6 +142,13 @@ def main():
         # device-time partition from the serialized attribution run (its
         # own e2e exceeds the headline because barriers kill the overlap)
         "sync_timings": sync_timings,
+        "sync_caveat": (
+            "sync spans serialize the overlap AND pay one transport "
+            "round-trip per span edge — on a remote/tunneled device they "
+            "OVERSTATE many-iteration spans (vision/prefill). Trust e2e "
+            "and the isolated program timings in BENCH_RESULTS.md for "
+            "attribution."
+        ) if sync_timings else None,
     }
     print(json.dumps({
         "metric": (

@@ -246,8 +246,13 @@ def layer_step(
         and spec.cp_mesh is None
         and impl in ("pallas", "pallas_unified")
     )
+    # context-parallel: the sharded cache ALSO stays stacked — appends and
+    # per-shard attention address layer `li` in place (context_parallel.
+    # cp_stacked_*), avoiding the same per-layer shard-capacity copies the
+    # hot path avoids on one chip
+    cp = use_cache_past and k_all is not None and spec.cp_mesh is not None
     k_buf = v_buf = k_scale_buf = v_scale_buf = None
-    if not hot and use_cache_past and k_all is not None:
+    if not hot and not cp and use_cache_past and k_all is not None:
         k_buf, v_buf = _idx(k_all), _idx(v_all)
         k_scale_buf, v_scale_buf = _idx(k_scale_all), _idx(v_scale_all)
 
@@ -271,7 +276,18 @@ def layer_step(
             # all video keys (unsplit-sequence semantics, PARITY.md)
             cmask = (col <= row) | (row >= gv)
         pg = attn_ops._partial_attention(q, k_grp, v_grp, cmask, scale)
-        if use_cache_past and spec.ref_query_mask:
+        if cp:
+            # stacked context-parallel past (takes precedence over the
+            # reference-compat mask, which is a single-chip test mode)
+            from quickvideo_tpu.parallel.context_parallel import (
+                cp_stacked_past_attention,
+            )
+
+            pp = cp_stacked_past_attention(
+                q, k_all, v_all, length, li, scale=scale, mesh=spec.cp_mesh
+            )
+            out, _ = attn_ops.merge_partials(pp, pg)
+        elif use_cache_past and spec.ref_query_mask:
             # reference-compat past visibility: row i sees past col j iff
             # j <= i + length - prompt_len (early rows see a truncated past)
             kb, vb = _att_view(k_buf), _att_view(v_buf)
@@ -285,15 +301,6 @@ def layer_step(
                 kb = kv.dequantize_kv(kb, _att_view(k_scale_buf))
                 vb = kv.dequantize_kv(vb, _att_view(v_scale_buf))
             pp = attn_ops._partial_attention(q, kb, vb, pmask, scale)
-            out, _ = attn_ops.merge_partials(pp, pg)
-        elif use_cache_past and spec.cp_mesh is not None:
-            from quickvideo_tpu.parallel.context_parallel import (
-                cp_past_attention,
-            )
-
-            pp = cp_past_attention(
-                q, k_buf, v_buf, length, scale=scale, mesh=spec.cp_mesh
-            )
             out, _ = attn_ops.merge_partials(pp, pg)
         elif use_cache_past:
             pp = attn_ops.past_partial_attention(
@@ -316,16 +323,17 @@ def layer_step(
                 scale=scale, return_group_probs=spec.needs_probs,
                 causal=spec.causal,
             )
-        if use_cache_past and spec.cp_mesh is not None and spec.attend_past:
+        if cp and spec.attend_past:
             # context-parallel past: per-shard partials + LSE-merge
             # collectives over the sp axis (needs_probs / int8 KV are
-            # rejected by the engine for this mode)
+            # rejected by the engine for this mode); the stacked sharded
+            # cache is addressed at layer `li` in place
             from quickvideo_tpu.parallel.context_parallel import (
-                cp_grouped_attention,
+                cp_stacked_grouped_attention,
             )
 
-            out = cp_grouped_attention(
-                q, k_grp, v_grp, k_buf, v_buf, length,
+            out = cp_stacked_grouped_attention(
+                q, k_grp, v_grp, k_all, v_all, length, li,
                 scale=scale, mesh=spec.cp_mesh, causal=spec.causal,
             )
             group_probs = None
@@ -440,19 +448,19 @@ def layer_step(
                 k_all, v_all = kv.stacked_append(
                     k_all, v_all, li, length, res.k_keep, res.v_keep
                 )
+        elif cp:
+            from quickvideo_tpu.parallel.context_parallel import (
+                cp_stacked_append,
+            )
+
+            k_all, v_all = cp_stacked_append(
+                k_all, v_all, li, length, res.k_keep, res.v_keep,
+                mesh=spec.cp_mesh,
+            )
         elif spec.kv_quant:
             k_buf, v_buf, k_scale_buf, v_scale_buf = kv.layer_append_quantized(
                 k_buf, v_buf, k_scale_buf, v_scale_buf, length,
                 res.k_keep, res.v_keep,
-            )
-        elif spec.cp_mesh is not None:
-            from quickvideo_tpu.parallel.context_parallel import (
-                cp_layer_append,
-            )
-
-            k_buf, v_buf = cp_layer_append(
-                k_buf, v_buf, length, res.k_keep, res.v_keep,
-                mesh=spec.cp_mesh,
             )
         else:
             k_buf, v_buf = prune_ops.prune_append_layer(
@@ -461,27 +469,28 @@ def layer_step(
         indices = res.indices
     else:
         if not already_appended:
-            if spec.kv_quant:
+            if cp:
+                from quickvideo_tpu.parallel.context_parallel import (
+                    cp_stacked_append,
+                )
+
+                k_all, v_all = cp_stacked_append(
+                    k_all, v_all, li, length, k_grp, v_grp,
+                    mesh=spec.cp_mesh,
+                )
+            elif spec.kv_quant:
                 k_buf, v_buf, k_scale_buf, v_scale_buf = (
                     kv.layer_append_quantized(
                         k_buf, v_buf, k_scale_buf, v_scale_buf, length,
                         k_grp, v_grp,
                     )
                 )
-            elif spec.cp_mesh is not None:
-                from quickvideo_tpu.parallel.context_parallel import (
-                    cp_layer_append,
-                )
-
-                k_buf, v_buf = cp_layer_append(
-                    k_buf, v_buf, length, k_grp, v_grp, mesh=spec.cp_mesh
-                )
             else:
                 k_buf, v_buf = kv.layer_append(
                     k_buf, v_buf, length, k_grp, v_grp
                 )
 
-    if not hot and use_cache_past and k_all is not None:
+    if not hot and not cp and use_cache_past and k_all is not None:
         # write the (possibly appended) layer views back into the stack —
         # full-capacity copies, acceptable off the TPU hot path
         def _wb(all_, view_):

@@ -125,6 +125,149 @@ def cp_layer_append(
     )(k_buf, v_buf, length, k_new, v_new)
 
 
+def _use_flash() -> bool:
+    import os
+
+    return bool(os.environ.get("QV_PALLAS_INTERPRET")) or (
+        jax.default_backend() not in ("cpu", "gpu")
+    )
+
+
+def cp_stacked_past_attention(
+    q: Array,  # (Hq, Q, D) replicated
+    k_all: Array,  # STACKED cache (L, Hkv, capacity, D), capacity sharded
+    v_all: Array,  # over `axis`
+    length: Array,  # () int32 global valid length
+    li,  # layer index, () int32 or python int
+    *,
+    scale: float,
+    mesh: Mesh,
+    axis: str = "sp",
+) -> PartialAttn:
+    """Stacked-cache variant of cp_past_attention: each shard attends its
+    slice of layer `li` WITHOUT materializing a layer view (slicing the
+    (Hkv, cap_local, D) view out of the shard copies the full shard
+    capacity per layer per step — the same traffic bug the single-chip
+    stacked hot path eliminates). On TPU the per-shard body is the stacked
+    flash kernel (layer_idx scalar prefetch); the CPU/test body falls back
+    to the dense partial on a materialized view."""
+    n = mesh.shape[axis]
+    if k_all.shape[2] % n:
+        raise ValueError(
+            f"cache capacity {k_all.shape[2]} not divisible by mesh "
+            f"axis {axis!r}={n}"
+        )
+    flash = _use_flash()
+
+    def body(q, k_loc, v_loc, length, li):
+        local_cap = k_loc.shape[2]
+        start = lax.axis_index(axis) * local_cap
+        lv = jnp.clip(length - start, 0, local_cap)
+        if flash:
+            from quickvideo_tpu.ops.flash_attention import (
+                flash_past_attention,
+            )
+            import os as _os
+
+            pa = flash_past_attention(
+                q, k_loc, v_loc, lv, scale=scale, causal=False,
+                layer_idx=li,
+                interpret=bool(_os.environ.get("QV_PALLAS_INTERPRET")),
+            )
+        else:
+            k_l = lax.dynamic_index_in_dim(k_loc, li, 0, keepdims=False)
+            v_l = lax.dynamic_index_in_dim(v_loc, li, 0, keepdims=False)
+            col = lax.broadcasted_iota(jnp.int32, (q.shape[1], local_cap), 1)
+            pa = _partial_attention(q, k_l, v_l, col < lv, scale)
+
+        m = jnp.maximum(lax.pmax(pa.lse, axis), -1e29)
+        w = jnp.exp(pa.lse - m)
+        num = lax.psum(pa.out * w[..., None], axis)
+        den = lax.psum(w, axis)
+        out = num / jnp.maximum(den, 1e-30)[..., None]
+        lse = jnp.where(
+            den > 0, m + jnp.log(jnp.maximum(den, 1e-30)), NEG_INF
+        )
+        return out, lse
+
+    out, lse = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(), P(None, None, axis, None), P(None, None, axis, None),
+            P(), P(),
+        ),
+        out_specs=(P(), P()),
+    )(q, k_all, v_all, length, jnp.asarray(li, jnp.int32))
+    return PartialAttn(out, lse)
+
+
+def cp_stacked_append(
+    k_all: Array,  # STACKED (L, Hkv, capacity, D), capacity sharded
+    v_all: Array,
+    li,  # layer index
+    length: Array,  # () int32 global append offset
+    k_new: Array,  # (Hkv, m, D) replicated
+    v_new: Array,
+    *,
+    mesh: Mesh,
+    axis: str = "sp",
+):
+    """Stacked-cache variant of cp_layer_append: scatter the appended rows
+    into layer `li` of each shard's slice in place (no layer view)."""
+
+    def body(kb, vb, li, ln, kn, vn):
+        cap_loc = kb.shape[2]
+        start = lax.axis_index(axis) * cap_loc
+        idx = ln + jnp.arange(kn.shape[1], dtype=jnp.int32) - start
+        idx = jnp.where((idx >= 0) & (idx < cap_loc), idx, cap_loc)
+        # advanced indices (li, idx) straddle the ':' head axis, so numpy
+        # semantics put the index dim FIRST: target block is (m, Hkv, D)
+        kb = kb.at[li, :, idx, :].set(
+            kn.astype(kb.dtype).swapaxes(0, 1), mode="drop"
+        )
+        vb = vb.at[li, :, idx, :].set(
+            vn.astype(vb.dtype).swapaxes(0, 1), mode="drop"
+        )
+        return kb, vb
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, axis, None), P(None, None, axis, None),
+            P(), P(), P(), P(),
+        ),
+        out_specs=(P(None, None, axis, None), P(None, None, axis, None)),
+    )(k_all, v_all, jnp.asarray(li, jnp.int32), length, k_new, v_new)
+
+
+def cp_stacked_grouped_attention(
+    q: Array,  # (Hq, G, D)
+    k_grp: Array,  # (Hkv, G, D) current group (replicated)
+    v_grp: Array,
+    k_all: Array,  # STACKED sharded cache
+    v_all: Array,
+    length: Array,
+    li,
+    *,
+    scale: float,
+    mesh: Mesh,
+    axis: str = "sp",
+    causal: bool = True,
+) -> Array:
+    """Grouped-prefill attention against the stacked context-parallel past
+    (stacked analogue of cp_grouped_attention)."""
+    pp = cp_stacked_past_attention(
+        q, k_all, v_all, length, li, scale=scale, mesh=mesh, axis=axis
+    )
+    g = q.shape[1]
+    mask = causal_mask(g) if causal else None
+    pg = _partial_attention(q, k_grp, v_grp, mask, scale)
+    out, _ = merge_partials(pp, pg)
+    return out
+
+
 def cp_grouped_attention(
     q: Array,  # (Hq, G, D)
     k_grp: Array,  # (Hkv, G, D) current group (replicated)

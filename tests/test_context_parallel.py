@@ -151,3 +151,68 @@ class TestEngineAutoRouting:
         )
         with pytest.raises(ValueError, match="int8 KV"):
             LVUEngine(params, cfg, lvu, jnp.float32, mesh=make_mesh(lvu.mesh))
+
+
+class TestStackedCP:
+    """Stacked-cache cp variants (no layer-view materialization) must match
+    the view-based originals exactly."""
+
+    def test_stacked_past_matches_view(self, rng_np):
+        from quickvideo_tpu.parallel.context_parallel import (
+            cp_past_attention, cp_stacked_past_attention,
+        )
+
+        mesh = make_mesh(4)
+        L, hq, hkv, qn, cap, d = 3, 8, 2, 16, 64, 32
+        q = jnp.asarray(rng_np.standard_normal((hq, qn, d)).astype(np.float32))
+        k = jnp.asarray(
+            rng_np.standard_normal((L, hkv, cap, d)).astype(np.float32)
+        )
+        v = jnp.asarray(
+            rng_np.standard_normal((L, hkv, cap, d)).astype(np.float32)
+        )
+        ks = jax.device_put(k, NamedSharding(mesh, P(None, None, "sp", None)))
+        vs = jax.device_put(v, NamedSharding(mesh, P(None, None, "sp", None)))
+        for li in (0, 2):
+            got = cp_stacked_past_attention(
+                q, ks, vs, jnp.int32(37), li, scale=SCALE, mesh=mesh
+            )
+            ref = cp_past_attention(
+                q,
+                jax.device_put(k[li], NamedSharding(mesh, P(None, "sp", None))),
+                jax.device_put(v[li], NamedSharding(mesh, P(None, "sp", None))),
+                jnp.int32(37), scale=SCALE, mesh=mesh,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got.out), np.asarray(ref.out), rtol=1e-6, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(got.lse), np.asarray(ref.lse), rtol=1e-6, atol=1e-6
+            )
+
+    def test_stacked_append_matches_view(self, rng_np):
+        from quickvideo_tpu.parallel.context_parallel import (
+            cp_layer_append, cp_stacked_append,
+        )
+
+        mesh = make_mesh(4)
+        L, hkv, cap, d, m = 3, 2, 64, 32, 8
+        k = jnp.zeros((L, hkv, cap, d), jnp.float32)
+        v = jnp.zeros((L, hkv, cap, d), jnp.float32)
+        kn = jnp.asarray(rng_np.standard_normal((hkv, m, d)).astype(np.float32))
+        vn = jnp.asarray(rng_np.standard_normal((hkv, m, d)).astype(np.float32))
+        spec4 = NamedSharding(mesh, P(None, None, "sp", None))
+        ks, vs = jax.device_put(k, spec4), jax.device_put(v, spec4)
+        # offset 13 straddles the first shard boundary (local cap 16)
+        got_k, got_v = cp_stacked_append(
+            ks, vs, 1, jnp.int32(13), kn, vn, mesh=mesh
+        )
+        spec3 = NamedSharding(mesh, P(None, "sp", None))
+        ref_k, ref_v = cp_layer_append(
+            jax.device_put(k[1], spec3), jax.device_put(v[1], spec3),
+            jnp.int32(13), kn, vn, mesh=mesh,
+        )
+        np.testing.assert_array_equal(np.asarray(got_k[1]), np.asarray(ref_k))
+        np.testing.assert_array_equal(np.asarray(got_v[1]), np.asarray(ref_v))
+        # other layers untouched
+        assert np.asarray(got_k[0]).sum() == 0 and np.asarray(got_k[2]).sum() == 0
