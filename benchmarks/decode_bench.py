@@ -141,16 +141,26 @@ def main():
             row.update(bench(run_batch, args.runs, video, 16, idx))
             results.append(row)
     else:  # duration — to the reference's 1-hour axis
-        # (video_length_timings.py:30-52); fixture fps 12 bounds the one-time
-        # 1-core encode cost, recorded in the row
-        for seconds in (60, 300, 900, 3600):
-            video = make_fixture(seconds, fps=12)
-            idx = sample_1fps(video)
+        # (video_length_timings.py:30-52). One 3600 s textured 1080p fixture;
+        # each duration decodes its PREFIX (keyframe-aligned intervals adapt
+        # to the requested index range, so an N-second prefix is the same
+        # decode workload as an N-second file) — avoids re-encoding a
+        # multi-GB fixture per duration on the 1-core host.
+        movie = os.path.join(
+            tempfile.gettempdir(), "movie_tex_3600s_12fps_1080p.mp4"
+        )  # shared with benchmarks/movie_bench.py
+        video = args.video or (
+            movie if os.path.exists(movie) else make_fixture(3600, fps=12)
+        )
+        all_idx = sample_1fps(video)
+        fps = 12
+        for seconds in (60, 300, 900, 1800, 3600):
+            idx = [i for i in all_idx if i < seconds * fps]
             for arm, nt in (
                 ("quickdecode_batch", 16),
                 ("sequential_baseline", 1),
             ):
-                row = {"arm": arm, "duration_s": seconds, "fps": 12,
+                row = {"arm": arm, "duration_s": seconds, "fps": fps,
                        "frames": len(idx), "threads": nt, "wh": "1920x1080"}
                 row.update(bench(run_batch, max(2, args.runs // 2), video,
                                  nt, idx))
