@@ -518,6 +518,17 @@ class LVUEngine:
                     native_hw=inputs.native_hw,
                 ))
             q_len = in_len + prompt_len
+            # bound each group's flash k-grid to the next power-of-two
+            # bucket above its known occupancy: empty capacity tail steps
+            # cost ~2-3 us each even with their DMA elided, ~1.3 s across a
+            # 32-group run at 64k capacity (early groups have tiny
+            # occupancy but full-size grids). Power-of-two buckets keep the
+            # extra compiles to log2(capacity/8192) one-time programs.
+            capacity = int(cache.k.shape[2])
+            needed = logical_len + q_len
+            acap = 8192
+            while acap < needed:
+                acap *= 2
             base = StepSpec(
                 cfg=cfg.text,
                 q_len=q_len,
@@ -530,6 +541,9 @@ class LVUEngine:
                 kv_quant=(lvu.kv_cache_dtype == "int8"),
                 cp_mesh=self.cp_mesh,
                 ref_query_mask=lvu.reference_query_mask,
+                active_cap=0 if (
+                    self.cp_mesh is not None or acap >= capacity
+                ) else acap,
             )
             # one dispatch per group: slice + embed + scatter + full stack
             # (per-op dispatch over the device transport costs 100s of ms)
