@@ -153,7 +153,9 @@ def main():
             movie if os.path.exists(movie) else make_fixture(3600, fps=12)
         )
         all_idx = sample_1fps(video)
-        fps = 12
+        vr = qd.VideoReader(video, num_threads=1)
+        fps = vr.get_fps()
+        vr.close()
         for seconds in (60, 300, 900, 1800, 3600):
             idx = [i for i in all_idx if i < seconds * fps]
             for arm, nt in (

@@ -87,8 +87,8 @@ class VisionLayout(NamedTuple):
     inv_perm_units: np.ndarray  # (S/merge_unit,) undo for merger output
     cos: np.ndarray  # (S, head_dim) rotary table, window order
     sin: np.ndarray
-    win_gather: np.ndarray  # (NW, MW) padded window gather idx (-1 = pad)
-    win_valid: np.ndarray  # (NW, MW) bool
+    nw: int  # number of windows
+    mw: int  # max window length in patches (uniform grids: THE length)
     win_uniform: bool  # True -> plain reshape works (no padding)
     frame_len: int  # h*w patches per temporal frame (full-attn block)
     seq_len: int
@@ -186,22 +186,9 @@ def build_layout(
     cos = np.cos(emb)[perm].astype(np.float32)
     sin = np.sin(emb)[perm].astype(np.float32)
 
-    # --- legacy padded window-gather tables (kept for tests/fallbacks; the
-    # forward uses the bucketed layout for ragged grids) ---
-    seqlens_eff = (
-        seqlens_units if not buckets else
-        seqlens_units[np.argsort(-seqlens_units, kind="stable")]
-    )
-    seqlens_patches = seqlens_eff * unit
-    nw = len(seqlens_patches)
-    mw = int(seqlens_patches.max()) if nw else 0
-    starts = np.concatenate([[0], np.cumsum(seqlens_patches)[:-1]])
-    win_gather = np.full((nw, mw), -1, np.int64)
-    for wi in range(nw):
-        n = seqlens_patches[wi]
-        win_gather[wi, :n] = starts[wi] + np.arange(n)
-    win_valid = win_gather >= 0
-    win_uniform = bool((seqlens_patches == mw).all())
+    nw = len(seqlens_units)
+    mw = int(seqlens_units.max()) * unit if nw else 0
+    win_uniform = not buckets
 
     return VisionLayout(
         grid_thw=grid_thw,
@@ -209,8 +196,8 @@ def build_layout(
         inv_perm_units=inv_perm_units,
         cos=cos,
         sin=sin,
-        win_gather=win_gather,
-        win_valid=win_valid,
+        nw=nw,
+        mw=mw,
         win_uniform=win_uniform,
         frame_len=h * w,
         seq_len=s,
@@ -367,8 +354,6 @@ def layout_arrays_for(layout: VisionLayout) -> dict:
         "inv_perm_units": jnp.asarray(layout.inv_perm_units),
         "cos": jnp.asarray(layout.cos),
         "sin": jnp.asarray(layout.sin),
-        "win_gather": jnp.asarray(layout.win_gather),
-        "win_valid": jnp.asarray(layout.win_valid),
     }
     if layout.frame_perm is not None:
         arrays["frame_perm"] = jnp.asarray(layout.frame_perm)
@@ -489,7 +474,7 @@ def vision_forward(
     x = qdot(pixels.astype(pdtype), params["patch_embed"]).astype(pdtype)
     x = x[layout_arrays["perm"]]
     t = layout.grid_thw[0]
-    nw, mw = layout.win_gather.shape
+    nw, mw = layout.nw, layout.mw
     # scan over blocks with a per-layer full/window flag — one compiled layer
     # body instead of a depth-unrolled HLO (32 blocks unrolled made XLA
     # compile times explode on the 670M tower)

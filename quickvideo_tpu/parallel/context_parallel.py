@@ -103,7 +103,11 @@ def cp_layer_append(
     """Append m rows at global offset `length` into the capacity-sharded
     buffers — each shard scatters only the sub-range of [length, length+m)
     that lands inside its slot window, so no cache movement crosses chips
-    (the appended rows are tiny and already replicated)."""
+    (the appended rows are tiny and already replicated).
+
+    The engine uses the stacked variant (`cp_stacked_append`); this
+    per-layer-view form is kept as the independent ORACLE the stacked
+    tests compare against (tests/test_context_parallel.py)."""
 
     def body(kb, vb, ln, kn, vn):
         cap_loc = kb.shape[1]

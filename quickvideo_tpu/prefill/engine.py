@@ -392,7 +392,12 @@ class LVUEngine:
         # unified-kernel slack: during group i the buffer transiently holds
         # the RAW group at [length, length+G) before the compact overwrites it
         total += max(group_token_counts, default=0)
-        return int(total)
+        # round up to a multiple of 4096: the stacked flash kernel needs
+        # block_k to divide capacity (it shrinks block_k to a divisor —
+        # an odd capacity would collapse it to 1, and the int8-KV variant
+        # asserts 128-alignment), and the decode occupancy buckets are
+        # 4096-granular anyway
+        return -(-int(total) // 4096) * 4096
 
     # -- main entry points ----------------------------------------------
 
@@ -462,7 +467,9 @@ class LVUEngine:
                     f"request needs {capacity} KV slots > configured "
                     f"kv_cache_capacity={lvu.kv_cache_capacity}"
                 )
-            capacity = lvu.kv_cache_capacity
+            # round any user-provided capacity up to the 4096 multiple the
+            # stacked flash kernel's block sizes need (see plan_capacity)
+            capacity = -(-lvu.kv_cache_capacity // 4096) * 4096
         if self.cp_mesh is not None:
             # capacity divisible by the sp axis so shards are equal
             sp = self.cp_mesh.shape["sp"]
@@ -561,7 +568,18 @@ class LVUEngine:
                         np.int32(gi), specs=self._layer_specs(base),
                     )
             past_len += in_len
-            logical_len += base.append_n
+            if self._uniform():
+                logical_len += base.append_n
+            else:
+                # decay/cascade schedules: a layer whose resolved top_k is 0
+                # appends the FULL group — occupancy accounting (and the
+                # active_cap buckets derived from it) must track the max
+                # over layers, same as plan_capacity
+                logical_len += max(
+                    resolve_effective_top_k(lvu, li, n_layers, in_len)
+                    or in_len
+                    for li in range(n_layers)
+                )
         assert past_len == suffix_start, (past_len, suffix_start)
 
         state = {
@@ -714,8 +732,8 @@ class LVUEngine:
         # grid otherwise pays ~3 us per empty capacity block-step per layer
         # (7 ms/token at 64k capacity with 1k valid, measured); buckets cost
         # at most log2(capacity/4096) extra one-time compiles.
-        suffix_advance_now = keep_k if keep_k > 0 else suffix_len
-        decode_base = state["cache_len"] + suffix_advance_now
+        suffix_advance = keep_k if keep_k > 0 else suffix_len
+        decode_base = state["cache_len"] + suffix_advance
         capacity = cache.k.shape[2]
 
         def _chunk_spec(n_chunks_done: int) -> StepSpec:
@@ -807,7 +825,6 @@ class LVUEngine:
                         sin[pos_idx : pos_idx + 1],
                         spec=dspec,
                     )
-        suffix_advance = keep_k if keep_k > 0 else suffix_len
         logical = state["cache_len"] + suffix_advance + max(
             0, len(out_tokens) - 1
         )

@@ -400,3 +400,29 @@ class TestInt8KVCache:
             np.asarray(x)
         ).max()
         assert rel < 0.01  # 1/127 rounding
+
+
+class TestOccupancyAccounting:
+    def test_logical_len_tracks_max_layer_with_decay(self, params):
+        """active_cap buckets derive from host-side occupancy tracking; a
+        decay schedule whose deep layers resolve to top_k=0 appends the FULL
+        group there, so the tracker must follow the max over layers (the
+        regression: it advanced by layer-0's keep only, and a bucket below a
+        deep layer's real occupancy silently truncates its attention)."""
+        ids, pixels, pixel_groups, group_grids = build_request(groups_t=(2, 2))
+        # exponential decay 0.25: layer0 keep=32, deeper layers hit 0 (=keep all)
+        eng = make_engine(
+            params, top_k=32, top_k_decay_type="exponential",
+            top_k_decay_factor=0.25, max_decode_tokens=8,
+        )
+        assert not eng._uniform()
+        from quickvideo_tpu.prefill.engine import PrefillInputs as PI
+
+        cache, state = eng.prefill(
+            PI(ids, GRID, pixel_groups, group_grids, 2.0)
+        )
+        per_layer = np.asarray(cache.length)
+        assert per_layer.max() > per_layer.min()  # schedule diverges layers
+        assert state["cache_len"] == int(per_layer.max()), (
+            state["cache_len"], per_layer.tolist()
+        )
