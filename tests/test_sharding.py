@@ -125,3 +125,41 @@ def test_lvu_api_with_mesh(tmp_path):
     assert lvu.mesh is not None
     out = lvu.generate("What?", video, max_new_tokens=3)
     assert len(lvu.last_result.tokens) == 3
+
+
+def test_72b_tp8_sharding_plan_covers_every_param():
+    """Scale check without allocating: the TP sharding plan must divide
+    every Qwen2.5-VL-72B parameter on a tp=8 mesh, and the per-chip bf16
+    weight footprint must fit a 95 GB v5p chip (the deployment the 72B
+    preset exists for)."""
+    import jax
+    from jax.sharding import Mesh
+    from quickvideo_tpu.models.qwen25_vl import get_config
+    from quickvideo_tpu.models.qwen25_vl import model as qmodel
+    from quickvideo_tpu.parallel.sharding import param_shardings
+
+    cfg = get_config("qwen25-vl-72b")
+    shapes = jax.eval_shape(
+        lambda: qmodel.init_params_fast(cfg, jnp.bfloat16)
+    )
+    devs = np.array(jax.devices()[:8]).reshape(1, 8, 1)
+    mesh = Mesh(devs, ("dp", "tp", "sp"))
+    specs = param_shardings(mesh)
+
+    total = 0
+    per_chip = 0
+    flat_shapes, tdef = jax.tree.flatten(shapes)
+    flat_specs = tdef.flatten_up_to(specs)
+    assert len(flat_shapes) == len(flat_specs)
+    for sd, spec in zip(flat_shapes, flat_specs):
+        nbytes = int(np.prod(sd.shape)) * sd.dtype.itemsize
+        total += nbytes
+        shard = 1
+        for dim, axis in zip(sd.shape, tuple(spec) + (None,) * 8):
+            if axis is not None:
+                n = mesh.shape[axis]
+                assert dim % n == 0, (sd.shape, spec, axis)
+                shard *= n
+        per_chip += nbytes // shard
+    assert total > 140e9  # ~73B params in bf16
+    assert per_chip < 95e9, per_chip  # fits one v5p chip beside activations
