@@ -94,9 +94,11 @@ def main():
 
     chunk = 32
     # warmup
+    import jax.numpy as jnp
+    no_eos = jnp.asarray([-1], jnp.int32)  # never fires: sustained decode
     cache, toks = eng._decode_chunk_jit(
         params["language"], cache, np.int32(1), cos[:chunk], sin[:chunk],
-        spec=dspec,
+        no_eos, spec=dspec,
     )
     np.asarray(toks)
     n_chunks = args.tokens // chunk
@@ -106,7 +108,7 @@ def main():
         cache, toks = eng._decode_chunk_jit(
             params["language"], cache, last,
             cos[i * chunk : (i + 1) * chunk], sin[i * chunk : (i + 1) * chunk],
-            spec=dspec,
+            no_eos, spec=dspec,
         )
         last = np.int32(np.asarray(toks)[-1])
     dt = time.perf_counter() - t0

@@ -82,7 +82,9 @@ class BatchedQAEngine:
             e = self.eng
 
             def f(p, cache, tok0, cos_c, sin_c):
-                return e._decode_chunk_body(p, cache, tok0, cos_c, sin_c, spec)
+                return e._decode_chunk_body_fixed(
+                    p, cache, tok0, cos_c, sin_c, spec
+                )
 
             self._jits[key] = jax.jit(jax.vmap(
                 f, in_axes=(None, 0, 0, 0, 0)

@@ -289,9 +289,47 @@ class LVUEngine:
         return cache, logits
 
     def _decode_chunk_body(self, params_lang, cache, tok0, cos_chunk,
-                           sin_chunk, spec):
+                           sin_chunk, eos_ids, spec):
         """Greedy decode of a whole chunk device-side — one dispatch instead
-        of one RTT per token (the transport RTT dominates per-token decode)."""
+        of one RTT per token (the transport RTT dominates per-token decode).
+        A lax.while_loop stops at EOS, so a chunk that finishes early skips
+        the remaining steps' full weight-streaming passes (~12 ms/token on
+        the 7B). NOT lax.cond-per-step: a conditional over the cache carry
+        breaks XLA's in-place aliasing and copies the cache every step
+        (measured 654 ms/token); while_loop keeps the same aliased-carry
+        dataflow as scan. Unvisited output slots stay at the EOS-fill value
+        (the host discards post-EOS tokens anyway)."""
+        n = cos_chunk.shape[0]
+        fill = eos_ids[0]
+
+        def cond(carry):
+            cache, tok, i, toks = carry
+            return (i < n) & jnp.logical_not(jnp.any(tok == eos_ids))
+
+        def body(carry):
+            cache, tok, i, toks = carry
+            cache, logits = decode_step(
+                params_lang, cache, tok, cos_chunk[i][None],
+                sin_chunk[i][None], spec,
+            )
+            nxt = jnp.argmax(logits).astype(jnp.int32)
+            toks = toks.at[i].set(nxt)
+            return cache, nxt, i + 1, toks
+
+        cache, _, _, toks = jax.lax.while_loop(
+            cond, body,
+            (cache, tok0, jnp.int32(0), jnp.full((n,), fill, jnp.int32)),
+        )
+        return cache, toks
+
+    def _decode_chunk_body_fixed(self, params_lang, cache, tok0, cos_chunk,
+                                 sin_chunk, spec):
+        """Fixed-trip scan variant of _decode_chunk_body for VMAPPED use
+        (BatchedQAEngine): vmap of a while_loop runs until every batch
+        element's cond is false and masks each element's carry updates per
+        iteration — full-cache selects that defeat in-place aliasing. A
+        fixed 32-step scan vmaps cleanly; finished samples decode garbage
+        the batch driver drops host-side."""
 
         def body(carry, xs):
             cache, tok = carry
@@ -309,28 +347,37 @@ class LVUEngine:
 
     def _decode_sample_chunk_body(
         self, params_lang, cache, tok0, cos_chunk, sin_chunk, rng,
-        temperature, spec, top_p, top_k,
+        temperature, eos_ids, spec, top_p, top_k,
     ):
         """Sampled decode of a whole chunk device-side: filter + categorical
         run in-graph, so sampling pays one transport RTT per chunk instead of
         per token (the reference samples inside HF generate on-device too).
-        top_p/top_k are static (fixed per request); temperature is traced."""
+        top_p/top_k are static (fixed per request); temperature is traced.
+        Early exit at EOS via while_loop (see _decode_chunk_body)."""
+        n = cos_chunk.shape[0]
+        fill = eos_ids[0]
 
-        def body(carry, xs):
-            cache, tok, rng = carry
-            cos_r, sin_r = xs
-            cache, logits = decode_step(
-                params_lang, cache, tok, cos_r[None], sin_r[None], spec
-            )
+        def cond(carry):
+            cache, tok, rng, i, toks = carry
+            return (i < n) & jnp.logical_not(jnp.any(tok == eos_ids))
+
+        def body(carry):
+            cache, tok, rng, i, toks = carry
             rng, sub = jax.random.split(rng)
+            cache, logits = decode_step(
+                params_lang, cache, tok, cos_chunk[i][None],
+                sin_chunk[i][None], spec,
+            )
             flt = self._filter_logits(logits, top_p, top_k)
             nxt = jax.random.categorical(sub, flt / temperature).astype(
                 jnp.int32
             )
-            return (cache, nxt, rng), nxt
+            toks = toks.at[i].set(nxt)
+            return cache, nxt, rng, i + 1, toks
 
-        (cache, _, _), toks = jax.lax.scan(
-            body, (cache, tok0, rng), (cos_chunk, sin_chunk)
+        cache, _, _, _, toks = jax.lax.while_loop(
+            cond, body,
+            (cache, tok0, rng, jnp.int32(0), jnp.full((n,), fill, jnp.int32)),
         )
         return cache, toks
 
@@ -748,6 +795,9 @@ class LVUEngine:
                 dspec, active_cap=b
             )
 
+        eos_arr = jnp.asarray(
+            sorted(eos_token_ids) if eos_token_ids else [-1], jnp.int32
+        )
         with timer.span("decode"):
             if greedy:
                 # device-side chunked greedy decode: one dispatch per chunk
@@ -765,7 +815,7 @@ class LVUEngine:
                         np.int32(out_tokens[-1]),
                         cos[L + i0 : L + i0 + chunk_size],
                         sin[L + i0 : L + i0 + chunk_size],
-                        spec=_chunk_spec(n_chunks),
+                        eos_arr, spec=_chunk_spec(n_chunks),
                     )
                     n_chunks += 1
                     for t in np.asarray(toks).tolist():
@@ -795,7 +845,7 @@ class LVUEngine:
                         np.int32(out_tokens[-1]),
                         cos[L + i0 : L + i0 + chunk_size],
                         sin[L + i0 : L + i0 + chunk_size],
-                        rng, np.float32(temperature),
+                        rng, np.float32(temperature), eos_arr,
                         spec=_chunk_spec(n_chunks), top_p=tp, top_k=tk,
                     )
                     n_chunks += 1

@@ -426,3 +426,51 @@ class TestOccupancyAccounting:
         assert state["cache_len"] == int(per_layer.max()), (
             state["cache_len"], per_layer.tolist()
         )
+
+
+class TestDecodeEarlyExit:
+    def test_post_eos_steps_skip_cache_writes(self, params):
+        """Once EOS appears in a decode chunk, remaining steps take the
+        no-op branch: no KV appends, outputs pinned to the EOS token."""
+        import jax.numpy as jnp
+        from quickvideo_tpu.models.qwen25_vl.language import StepSpec
+        from quickvideo_tpu.models.qwen25_vl.rope import (
+            precompute_mrope_cos_sin_device, text_positions,
+        )
+        from quickvideo_tpu.ops import kv_cache as kvc
+
+        t = CFG.text
+        eng = make_engine(params, top_k=None, max_decode_tokens=32)
+        cache = kvc.init_cache(
+            t.num_hidden_layers, t.num_key_value_heads, 4096, t.head_dim,
+            dtype=jnp.float32,
+        )
+        cache = cache.replace(
+            length=jnp.full((t.num_hidden_layers,), 7, jnp.int32)
+        )
+        pos = text_positions(7, 64)
+        cos, sin = precompute_mrope_cos_sin_device(
+            jnp.asarray(pos, jnp.int32), t.head_dim, t.mrope_section,
+            t.rope_theta,
+        )
+        spec = StepSpec(cfg=t, q_len=1, keep_k=0)
+        # free-running chunk (no EOS): find what token step 0 produces
+        no_eos = jnp.asarray([-1], jnp.int32)
+        import jax
+        _, toks_free = eng._decode_chunk_jit(
+            # deep-copy: the jit donates the cache buffers
+            params["language"], jax.tree.map(jnp.copy, cache), jnp.int32(1),
+            cos[:32], sin[:32], no_eos, spec=spec,
+        )
+        first = int(np.asarray(toks_free)[0])
+        # now make that token EOS: step 0 executes, steps 1..31 skip
+        cache2, toks = eng._decode_chunk_jit(
+            params["language"], cache, jnp.int32(1), cos[:32], sin[:32],
+            jnp.asarray([first], jnp.int32), spec=spec,
+        )
+        out = np.asarray(toks)
+        assert out[0] == first
+        assert (out[1:] == first).all()  # pinned, not decoded
+        # only ONE step appended KV
+        np.testing.assert_array_equal(np.asarray(cache2.length), 7 + 1)
+
