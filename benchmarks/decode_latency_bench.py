@@ -98,7 +98,7 @@ def main():
     no_eos = jnp.asarray([-1], jnp.int32)  # never fires: sustained decode
     cache, toks = eng._decode_chunk_jit(
         params["language"], cache, np.int32(1), cos[:chunk], sin[:chunk],
-        no_eos, spec=dspec,
+        no_eos, np.int32(chunk), spec=dspec,
     )
     np.asarray(toks)
     n_chunks = args.tokens // chunk
@@ -108,7 +108,7 @@ def main():
         cache, toks = eng._decode_chunk_jit(
             params["language"], cache, last,
             cos[i * chunk : (i + 1) * chunk], sin[i * chunk : (i + 1) * chunk],
-            no_eos, spec=dspec,
+            no_eos, np.int32(chunk), spec=dspec,
         )
         last = np.int32(np.asarray(toks)[-1])
     dt = time.perf_counter() - t0

@@ -289,22 +289,26 @@ class LVUEngine:
         return cache, logits
 
     def _decode_chunk_body(self, params_lang, cache, tok0, cos_chunk,
-                           sin_chunk, eos_ids, spec):
-        """Greedy decode of a whole chunk device-side — one dispatch instead
-        of one RTT per token (the transport RTT dominates per-token decode).
-        A lax.while_loop stops at EOS, so a chunk that finishes early skips
-        the remaining steps' full weight-streaming passes (~12 ms/token on
-        the 7B). NOT lax.cond-per-step: a conditional over the cache carry
-        breaks XLA's in-place aliasing and copies the cache every step
-        (measured 654 ms/token); while_loop keeps the same aliased-carry
-        dataflow as scan. Unvisited output slots stay at the EOS-fill value
-        (the host discards post-EOS tokens anyway)."""
+                           sin_chunk, eos_ids, n_stop, spec):
+        """Greedy decode of a whole generation device-side — ONE dispatch
+        for up to max_decode_tokens (the transport RTT dominates per-token
+        decode; per-32-token chunking paid one RTT per chunk). The
+        lax.while_loop stops at EOS or at the traced `n_stop` bound (the
+        request's max_new — traced so every request shares one compiled
+        program at the max_decode_tokens static shape); each skipped step
+        saves a full weight-streaming pass (~12-14 ms/token on the 7B).
+        NOT lax.cond-per-step: a conditional over the cache carry breaks
+        XLA's in-place aliasing and copies the cache every step (measured
+        654 ms/token); while_loop keeps the same aliased-carry dataflow as
+        scan. Unvisited output slots stay at the EOS-fill value (the host
+        discards post-EOS tokens anyway)."""
         n = cos_chunk.shape[0]
         fill = eos_ids[0]
 
         def cond(carry):
             cache, tok, i, toks = carry
-            return (i < n) & jnp.logical_not(jnp.any(tok == eos_ids))
+            bound = jnp.minimum(jnp.int32(n), n_stop)
+            return (i < bound) & jnp.logical_not(jnp.any(tok == eos_ids))
 
         def body(carry):
             cache, tok, i, toks = carry
@@ -347,19 +351,21 @@ class LVUEngine:
 
     def _decode_sample_chunk_body(
         self, params_lang, cache, tok0, cos_chunk, sin_chunk, rng,
-        temperature, eos_ids, spec, top_p, top_k,
+        temperature, eos_ids, n_stop, spec, top_p, top_k,
     ):
         """Sampled decode of a whole chunk device-side: filter + categorical
         run in-graph, so sampling pays one transport RTT per chunk instead of
         per token (the reference samples inside HF generate on-device too).
         top_p/top_k are static (fixed per request); temperature is traced.
-        Early exit at EOS via while_loop (see _decode_chunk_body)."""
+        Early exit at EOS or the traced n_stop bound via while_loop (see
+        _decode_chunk_body)."""
         n = cos_chunk.shape[0]
         fill = eos_ids[0]
 
         def cond(carry):
             cache, tok, rng, i, toks = carry
-            return (i < n) & jnp.logical_not(jnp.any(tok == eos_ids))
+            bound = jnp.minimum(jnp.int32(n), n_stop)
+            return (i < bound) & jnp.logical_not(jnp.any(tok == eos_ids))
 
         def body(carry):
             cache, tok, rng, i, toks = carry
@@ -783,13 +789,12 @@ class LVUEngine:
         decode_base = state["cache_len"] + suffix_advance
         capacity = cache.k.shape[2]
 
-        def _chunk_spec(n_chunks_done: int) -> StepSpec:
+        def _decode_spec() -> StepSpec:
             if self.cp_mesh is not None:
                 return dspec  # shard-local capacities stay fixed
-            needed = decode_base + 32 * (n_chunks_done + 1)
-            # multiples of 4096 (= 4 flash k-blocks): decode occupancy is
-            # near-static per request, so in practice one bucket (and one
-            # compile) per distinct video size
+            # budget the full max_decode_tokens (the while_loop may run that
+            # far): one 4096-multiple bucket (= one compile) per video size
+            needed = decode_base + lvu.max_decode_tokens
             b = max(4096, -(-needed // 4096) * 4096)
             return dspec if b >= capacity else dataclasses.replace(
                 dspec, active_cap=b
@@ -798,63 +803,52 @@ class LVUEngine:
         eos_arr = jnp.asarray(
             sorted(eos_token_ids) if eos_token_ids else [-1], jnp.int32
         )
+        mdt = lvu.max_decode_tokens
+
+        def _consume(toks):
+            for t in np.asarray(toks).tolist():
+                if len(out_tokens) >= max_new:
+                    break
+                out_tokens.append(int(t))
+                if t in eos_token_ids:
+                    break
+
         with timer.span("decode"):
             if greedy:
-                # device-side chunked greedy decode: one dispatch per chunk
-                # (per-token host sync costs a transport RTT each)
+                # the whole generation decodes in ONE device dispatch: the
+                # while_loop stops at EOS or max_new in-graph, so there is
+                # no per-chunk transport RTT and no post-EOS waste. Static
+                # shape = max_decode_tokens -> one compiled program per
+                # video config regardless of the request's max_new.
                 nxt = int(jnp.argmax(logits))
                 out_tokens.append(nxt)
-                chunk_size = 32  # FIXED: one compiled chunk for any max_new
-                n_chunks = 0
-                while len(out_tokens) < max_new and (
-                    out_tokens[-1] not in eos_token_ids
-                ):
-                    i0 = len(out_tokens) - 1
+                if max_new > 1 and nxt not in eos_token_ids:
                     cache, toks = self._decode_chunk_jit(
-                        self.params["language"], cache,
-                        np.int32(out_tokens[-1]),
-                        cos[L + i0 : L + i0 + chunk_size],
-                        sin[L + i0 : L + i0 + chunk_size],
-                        eos_arr, spec=_chunk_spec(n_chunks),
+                        self.params["language"], cache, np.int32(nxt),
+                        cos[L : L + mdt], sin[L : L + mdt],
+                        eos_arr, np.int32(max_new - 1),
+                        spec=_decode_spec(),
                     )
-                    n_chunks += 1
-                    for t in np.asarray(toks).tolist():
-                        if len(out_tokens) >= max_new:
-                            break
-                        out_tokens.append(int(t))
-                        if t in eos_token_ids:
-                            break
+                    _consume(toks)
             elif lvu.sample_on_device:
-                # first token from the final-prefill logits (host), then
-                # whole chunks sampled in-graph — one RTT per chunk
+                # first token from the final-prefill logits (host), then the
+                # rest sampled in-graph in the same single dispatch
                 self._rng, rng0 = jax.random.split(self._rng)
                 flt = self._filter_logits(logits, top_p, top_k)
                 nxt = int(jax.random.categorical(rng0, flt / temperature))
                 out_tokens.append(nxt)
-                chunk_size = 32
                 tp = float(top_p) if top_p is not None else None
                 tk = int(top_k) if top_k is not None else None
-                n_chunks = 0
-                while len(out_tokens) < max_new and (
-                    out_tokens[-1] not in eos_token_ids
-                ):
-                    i0 = len(out_tokens) - 1
+                if max_new > 1 and nxt not in eos_token_ids:
                     self._rng, rng = jax.random.split(self._rng)
                     cache, toks = self._decode_sample_chunk_jit(
-                        self.params["language"], cache,
-                        np.int32(out_tokens[-1]),
-                        cos[L + i0 : L + i0 + chunk_size],
-                        sin[L + i0 : L + i0 + chunk_size],
+                        self.params["language"], cache, np.int32(nxt),
+                        cos[L : L + mdt], sin[L : L + mdt],
                         rng, np.float32(temperature), eos_arr,
-                        spec=_chunk_spec(n_chunks), top_p=tp, top_k=tk,
+                        np.int32(max_new - 1),
+                        spec=_decode_spec(), top_p=tp, top_k=tk,
                     )
-                    n_chunks += 1
-                    for t in np.asarray(toks).tolist():
-                        if len(out_tokens) >= max_new:
-                            break
-                        out_tokens.append(int(t))
-                        if t in eos_token_ids:
-                            break
+                    _consume(toks)
             else:
                 # legacy per-token host sampling (sample_on_device=False):
                 # one transport RTT per token; kept for debugging/repro

@@ -460,13 +460,13 @@ class TestDecodeEarlyExit:
         _, toks_free = eng._decode_chunk_jit(
             # deep-copy: the jit donates the cache buffers
             params["language"], jax.tree.map(jnp.copy, cache), jnp.int32(1),
-            cos[:32], sin[:32], no_eos, spec=spec,
+            cos[:32], sin[:32], no_eos, jnp.int32(32), spec=spec,
         )
         first = int(np.asarray(toks_free)[0])
         # now make that token EOS: step 0 executes, steps 1..31 skip
         cache2, toks = eng._decode_chunk_jit(
             params["language"], cache, jnp.int32(1), cos[:32], sin[:32],
-            jnp.asarray([first], jnp.int32), spec=spec,
+            jnp.asarray([first], jnp.int32), jnp.int32(32), spec=spec,
         )
         out = np.asarray(toks)
         assert out[0] == first
