@@ -1,26 +1,26 @@
-"""Batched offline QA: in-chip data-parallel generate over N same-video-
-geometry requests.
+"""Batched offline QA: amortized generate over N same-video requests.
 
 The reference gets evaluation throughput by sharding examples across 8 GPU
-processes with `accelerate launch` (reference README.md:398-412); a TPU chip
-can instead batch the whole prefill+decode as one vmapped program — the
-language stack's matmuls grow a batch dimension (better MXU utilization at
-small per-sample shapes) and one dispatch drives B requests.
+processes with `accelerate launch` (reference README.md:398-412). On a TPU
+chip the dominant per-sample cost for the lmms-eval shape (one video, many
+multiple-choice questions) is the VIDEO prefill, which is identical for
+every question — so it runs ONCE and each question's suffix prefill +
+decode runs against a copy of the shared pruned cache through the engine's
+single-sample compiled programs. Per-question cost collapses from a full
+prefill to a ~32-token bucket prefill + a short decode.
+
+(Design note: two fully-vmapped formulations were implemented and measured
+SLOWER than sequential on v5e — see the comment in generate_batch.)
 
 Constraints (v1): every request in a batch must share the video geometry —
 identical input_ids up to the video end (same chat prefix, same
 grid/groups); questions (the suffix) may differ in content and length.
-Exactly the lmms-eval shape: one video, many multiple-choice questions.
 Greedy decode only; query-based predictors excluded (their prompt-append
 changes per-sample group shapes).
-
-Memory: B caches are resident — size the batch as
-B * layers * kv_heads * capacity * head_dim * bytes alongside the weights.
 """
 
 from __future__ import annotations
 
-import dataclasses
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -35,74 +35,13 @@ from quickvideo_tpu.config import resolve_effective_top_k
 
 
 class BatchedQAEngine:
-    """vmapped view over an LVUEngine's compiled step bodies."""
+    """Shared-video-prefill amortizer over an LVUEngine."""
 
     def __init__(self, engine: LVUEngine):
         self.eng = engine
         if engine.lvu.query_based:
             raise ValueError("batched mode does not support query-based "
                              "predictors (per-sample prompt appends)")
-        self._jits = {}
-
-    # -- vmapped jit builders (cached per static spec) --------------------
-
-    def _group_vjit(self, spec):
-        key = ("group", spec)
-        if key not in self._jits:
-            e = self.eng
-
-            def f(p, cache, ids, cos, sin, off, vis, gi):
-                return e._group_body(
-                    p, cache, ids, cos, sin, off, vis, None, gi, spec
-                )
-
-            self._jits[key] = jax.jit(jax.vmap(
-                f, in_axes=(None, 0, None, None, None, None, 0, None)
-            ), donate_argnums=(1,))
-        return self._jits[key]
-
-    def _final_vjit(self, spec):
-        key = ("final", spec)
-        if key not in self._jits:
-            e = self.eng
-
-            def f(p, cache, ids_pad, cos, sin, off, valid):
-                return e._final_prefill_body(
-                    p, cache, ids_pad, cos, sin, off, valid, spec
-                )
-
-            self._jits[key] = jax.jit(jax.vmap(
-                f, in_axes=(None, 0, 0, None, None, None, 0)
-            ), donate_argnums=(1,))
-        return self._jits[key]
-
-    def _decode_vjit(self, spec):
-        key = ("decode", spec)
-        if key not in self._jits:
-            e = self.eng
-
-            def f(p, cache, tok0, cos_c, sin_c):
-                return e._decode_chunk_body_fixed(
-                    p, cache, tok0, cos_c, sin_c, spec
-                )
-
-            self._jits[key] = jax.jit(jax.vmap(
-                f, in_axes=(None, 0, 0, 0, 0)
-            ), donate_argnums=(1,))
-        return self._jits[key]
-
-    def _vision_vjit(self, grid, native_hw=None):
-        key = ("vision", grid, native_hw)
-        if key not in self._jits:
-            cfg = self.eng.cfg
-
-            def f(p, px, la):
-                return qmodel.encode_video_group(
-                    p, cfg, px, grid, la, native_hw=native_hw
-                )
-
-            self._jits[key] = jax.jit(jax.vmap(f, in_axes=(None, 0, None)))
-        return self._jits[key]
 
     # -- main entry -------------------------------------------------------
 
@@ -180,23 +119,34 @@ class BatchedQAEngine:
                 )
             capacity = lvu.kv_cache_capacity
         quant = lvu.kv_cache_dtype == "int8"
-        caches = jax.vmap(lambda _: kvc.init_cache(
+        caches = kvc.init_cache(
             cfg.text.num_hidden_layers, cfg.text.num_key_value_heads,
             capacity, cfg.text.head_dim, dtype=eng.dtype, quantized=quant,
-        ))(jnp.arange(b))
+        )
 
-        # --- grouped prefill, one vmapped dispatch per group ---
+        # --- grouped prefill ONCE (every sample shares the video; its KV
+        # trajectory is question-independent), then each question's tiny
+        # suffix+decode runs through the engine's single-sample programs
+        # against a copy of the shared cache. This amortizes the expensive
+        # part — B identical video prefills collapse to one. (Two vmapped
+        # designs were tried and measured SLOWER than sequential: fully
+        # vmapped prefill at 0.53x — vmapped stacked-cache updates and the
+        # vmapped flash kernel both degrade — and vmapped suffix+decode
+        # after a fork at 0.89x, because per-sample lengths turn every
+        # decode append into an XLA scatter.)
         ids_shared = jnp.asarray(ids_list[0][:ss], jnp.int32)
         n_layers = cfg.text.num_hidden_layers
         past = 0
         pixel_iters = [list(r.pixel_groups) for r in requests]
+        cache0 = caches  # built unbatched below
         for gi, grid in enumerate(ggrids0):
             in_len = group_input_lens[gi]
-            pix = jnp.asarray(np.stack([pg[gi] for pg in pixel_iters]))
+            pix = jnp.asarray(pixel_iters[0][gi])
             if pix.dtype != jnp.uint8:
                 pix = pix.astype(eng.dtype)
-            vis = self._vision_vjit(grid, requests[0].native_hw)(
-                eng.params, pix, eng._layout_arrays(grid)
+            vis = eng._vision_jit(
+                eng.params, cfg, pix, grid, eng._layout_arrays(grid),
+                native_hw=requests[0].native_hw,
             )
             spec = StepSpec(
                 cfg=cfg.text, q_len=in_len,
@@ -207,66 +157,38 @@ class BatchedQAEngine:
                 attend_past=lvu.adaptive_local_attention,
                 kv_quant=quant,
             )
-            caches = self._group_vjit(spec)(
-                eng.params["language"], caches, ids_shared, cos, sin,
-                np.int32(past), vis, np.int32(gi),
+            cache0 = eng._group_jit(
+                eng.params["language"], cache0, ids_shared, cos, sin,
+                np.int32(past), vis, None, np.int32(gi), spec=spec,
             )
             past += in_len
 
-        # --- final (question) prefill: per-sample padded bucket ---
-        suffix_lens = lens - ss
-        bucket = max(32, int(-(-suffix_lens.max() // 32) * 32))
-        ids_pad = np.zeros((b, bucket), np.int64)
-        for i, ids in enumerate(ids_list):
-            ids_pad[i, : lens[i] - ss] = ids[ss:]
-        fspec = StepSpec(
-            cfg=cfg.text, q_len=bucket, keep_k=0,
-            attn_impl=lvu.attention_impl, kv_quant=quant,
-        )
-        caches, logits = self._final_vjit(fspec)(
-            eng.params["language"], caches, jnp.asarray(ids_pad, jnp.int32),
-            cos, sin, np.int32(ss), jnp.asarray(suffix_lens, jnp.int32),
-        )
+        shared_len = int(np.asarray(cache0.length).max())
 
-        # --- greedy chunked decode, all samples in lockstep ---
-        dspec = StepSpec(cfg=cfg.text, q_len=1, keep_k=0, kv_quant=quant)
-        toks = [[int(t)] for t in np.asarray(jnp.argmax(logits, axis=-1))]
-        eos = set(int(t) for t in eos_token_ids)
-        chunk = 32
-        n_out = 1
-        while n_out < max_new_tokens and not all(
-            len(t) >= max_new_tokens or t[-1] in eos for t in toks
-        ):
-            i0 = n_out - 1
-            # per-sample decode positions start at that sample's true length
-            row_idx = jnp.asarray(
-                lens[:, None] + i0 + np.arange(chunk)[None, :], jnp.int32
-            )
-            cos_c = jnp.take(cos, row_idx, axis=0)
-            sin_c = jnp.take(sin, row_idx, axis=0)
-            last = jnp.asarray([t[-1] for t in toks], jnp.int32)
-            caches, out = self._decode_vjit(dspec)(
-                eng.params["language"], caches, last, cos_c, sin_c,
-            )
-            out = np.asarray(out)
-            for i in range(b):
-                if len(toks[i]) >= max_new_tokens or toks[i][-1] in eos:
-                    continue  # finished samples decode garbage; drop it
-                for t in out[i].tolist():
-                    if len(toks[i]) >= max_new_tokens:
-                        break
-                    toks[i].append(int(t))
-                    if t in eos:
-                        break
-            n_out += chunk
+        # --- per-question suffix prefill + decode over a cache copy; the
+        # rope tables are shared (positions depend only on the row index
+        # and the common video geometry) and every sample reuses the
+        # engine's already-compiled bucketed final-prefill and
+        # single-dispatch decode programs
+        from quickvideo_tpu.utils.timing import SpanTimer
 
         result = []
-        for t in toks:
-            t = t[:max_new_tokens]
-            if eos:
-                for j, tok in enumerate(t):
-                    if tok in eos:
-                        t = t[: j + 1]
-                        break
-            result.append(np.asarray(t, np.int64))
+        for i in range(b):
+            cache_i = (
+                cache0 if i == b - 1  # last sample may consume the original
+                else jax.tree.map(jnp.copy, cache0)
+            )
+            state = {
+                "cos": cos,
+                "sin": sin,
+                "suffix_start": ss,
+                "L": int(lens[i]),
+                "ids": ids_list[i],
+                "cache_len": shared_len,
+            }
+            toks, _, _ = eng._generate_from_cache(
+                cache_i, state, max_new_tokens, list(eos_token_ids),
+                greedy=True, temperature=1.0, timer=SpanTimer(),
+            )
+            result.append(np.asarray(toks, np.int64))
         return result
