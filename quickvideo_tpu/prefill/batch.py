@@ -97,7 +97,10 @@ class BatchedQAEngine:
             text_positions,
         )
 
-        dec_pos = text_positions(l_max + delta, lvu.max_decode_tokens + 64)
+        # 64-row table bucket, matching the engine (stable traced shapes)
+        n_dec = lvu.max_decode_tokens + 64
+        n_dec += (-(l_max + n_dec)) % 64
+        dec_pos = text_positions(l_max + delta, n_dec)
         all_pos = np.concatenate([positions, dec_pos], axis=1)
         cos, sin = precompute_mrope_cos_sin_device(
             jnp.asarray(all_pos, jnp.int32), cfg.text.head_dim,

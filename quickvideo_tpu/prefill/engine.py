@@ -477,10 +477,14 @@ class LVUEngine:
             # max_pos+1 == L + delta (reference rope_deltas semantics)
             from quickvideo_tpu.models.qwen25_vl.rope import text_positions
 
-            # +32 slack rows: decode runs in FIXED 32-token chunks (may
-            # overshoot max_new and trim) so one compiled chunk serves every
-            # request length
-            dec_pos = text_positions(L + delta, lvu.max_decode_tokens + 32)
+            # extra decode rows pad the TABLE length to a 64-row bucket:
+            # the cos/sin (and ids) lengths are traced shapes in every
+            # program, so without bucketing each distinct question length
+            # recompiled the whole program set (observed as "run 1 is 2x
+            # slower" — the warmup question has a different length)
+            n_dec = lvu.max_decode_tokens + 32
+            n_dec += (-(L + n_dec)) % 64
+            dec_pos = text_positions(L + delta, n_dec)
             all_pos = np.concatenate([positions, dec_pos], axis=1)
             # tables are built ON DEVICE: the host core is slow and the
             # (L, head_dim) tables would otherwise ship over the transport
@@ -552,7 +556,12 @@ class LVUEngine:
         past_len = 0
         logical_len = 0
         n_layers = cfg.text.num_hidden_layers
-        ids_j = jnp.asarray(ids, jnp.int32)
+        # pad ids to the same 64-token bucket as the rope tables (see the
+        # rope span): the group program only reads rows < suffix_start, so
+        # pad content is dead — this just stabilizes the traced shape
+        ids_j = jnp.asarray(
+            np.pad(ids, (0, (-len(ids)) % 64)), jnp.int32
+        )
         prompt_ids_j = (
             jnp.asarray(prompt_ids, jnp.int32) if prompt_len else None
         )
