@@ -98,3 +98,16 @@ class LVU:
                 f"model_type {self.config.model_type!r} has no chat driver"
             )
         return self._chat(self, messages, **generation_kwargs)
+
+    def start_chat(self, video_path: str, reserve_turns: int = 8,
+                   **video_kwargs):
+        """Interactive multi-turn session over one video: the pruned video
+        KV cache stays resident and each follow-up `ask` appends only its
+        question tokens — turn 2+ skips the video prefill entirely
+        (quickvideo_tpu.chat.ChatSession; `chat` re-prefills per call like
+        the reference)."""
+        from quickvideo_tpu.chat import ChatSession
+
+        return ChatSession(
+            self, video_path, reserve_turns=reserve_turns, **video_kwargs
+        )

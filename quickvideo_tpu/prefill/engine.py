@@ -458,9 +458,12 @@ class LVUEngine:
         self,
         inputs: PrefillInputs,
         timer: Optional[SpanTimer] = None,
+        extra_capacity: int = 0,
     ):
         """Run grouped prefill over the video; returns (cache, state dict for
-        generate())."""
+        generate()). `extra_capacity` reserves additional KV slots beyond
+        this request's plan (multi-turn chat sessions append future turns'
+        suffixes and answers into the same cache)."""
         timer = timer or SpanTimer()
         cfg = self.cfg
         lvu = self.lvu
@@ -516,6 +519,8 @@ class LVUEngine:
         group_input_lens[0] += first_vid
 
         capacity = self.plan_capacity(group_input_lens, 0, L - suffix_start)
+        if extra_capacity:
+            capacity = -(-(capacity + int(extra_capacity)) // 4096) * 4096
         if lvu.kv_cache_capacity:
             # fixed capacity pins cache shapes across requests (one compiled
             # program set regardless of video length, bounded by this cap)
@@ -776,10 +781,16 @@ class LVUEngine:
                     kv_quant=(lvu.kv_cache_dtype == "int8"),
                     cp_mesh=self.cp_mesh,
                 )
+                # pre-sliced rope window: keeps the compiled program's
+                # shapes independent of the TABLE length, so any question
+                # (or chat-session follow-up) at any total sequence length
+                # reuses one program (table rows cover ss+bucket: the table
+                # always carries max_decode_tokens+32 rows past L)
                 cache, logits = self._final_prefill_jit(
                     self.params["language"], cache,
                     jnp.asarray(ids_pad, jnp.int32),
-                    cos, sin, np.int32(ss), np.int32(suffix_len),
+                    cos[ss : ss + bucket], sin[ss : ss + bucket],
+                    np.int32(0), np.int32(suffix_len),
                     spec=spec,
                 )
 

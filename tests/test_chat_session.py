@@ -1,0 +1,94 @@
+"""Multi-turn ChatSession: incremental KV reuse must answer follow-ups with
+exactly the tokens the from-scratch full-history path produces (causal
+attention: earlier tokens' KV never changes)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from quickvideo_tpu.config import LVUConfig
+from quickvideo_tpu.api import LVU
+from quickvideo_tpu.video import quickdecode as qd
+
+pytestmark = pytest.mark.skipif(
+    not qd.is_available(), reason="libquickdecode.so not built"
+)
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("chat") / "clip.mp4")
+    qd.encode_test_video(path, width=112, height=112, nframes=16, fps=8,
+                         gop=8)
+    return path
+
+
+def make_lvu():
+    return LVU(LVUConfig(
+        model_name_or_path="tiny",
+        model_type="qwen25_lvu",
+        video_group_size=4,
+        top_p=0.5,
+        num_frames=8,
+        max_decode_tokens=16,
+        dtype="float32",
+        save_video_cache=False,
+    ))
+
+
+def test_incremental_matches_full_history(clip):
+    lvu = make_lvu()
+    session = lvu.start_chat(clip, reserve_turns=4)
+    a1 = session.ask("Describe the video.", max_new_tokens=6)
+    a2 = session.ask("What else?", max_new_tokens=6)
+    t1 = session.turns[0]["tokens"]
+    t2 = session.turns[1]["tokens"]
+    assert len(t1) and len(t2)
+
+    # oracle: fresh engine, full message list incl. turn-1 Q&A, one shot
+    lvu2 = make_lvu()
+    messages = [
+        {
+            "role": "user",
+            "content": [
+                {"type": "video", "video": clip},
+                {"type": "text", "text": "Describe the video."},
+            ],
+        },
+        {"role": "assistant", "content": lvu.tokenizer.decode(
+            [t for t in t1 if t != lvu.tokenizer.eos_token_id]
+        )},
+        {"role": "user", "content": "What else?"},
+    ]
+    full = lvu2.chat(messages, max_new_tokens=6)
+    full_toks = [int(t) for t in lvu2.last_result.tokens]
+
+    # the session's raw token ids for turn 2 must match the full-history
+    # run. (The oracle path re-encodes turn-1's answer text through the
+    # tokenizer; the fallback tokenizer round-trips ids exactly.)
+    assert t2 == full_toks, (t2, full_toks)
+    assert a2 == full[0]
+
+
+def test_follow_up_is_incremental(clip):
+    """Turn 2 must not re-run the video prefill (its timings carry no
+    frame_fetch/vision spans and the cache keeps growing monotonically)."""
+    lvu = make_lvu()
+    session = lvu.start_chat(clip, reserve_turns=4)
+    session.ask("Describe the video.", max_new_tokens=4)
+    len1 = session._cache_len
+    session.ask("And then?", max_new_tokens=4)
+    t2 = session.turns[1]["timings"]
+    assert "frame_fetch" not in t2 and "vision" not in t2
+    assert session._cache_len > len1
+
+
+def test_reserve_exhaustion_raises(clip):
+    lvu = make_lvu()
+    session = lvu.start_chat(clip, reserve_turns=0)
+    session.ask("Describe.", max_new_tokens=4)
+    # force the occupancy to the capacity edge (walking there for real
+    # takes hundreds of turns against the 4096-slot minimum capacity)
+    session._cache_len = int(session._cache.k.shape[2])
+    with pytest.raises(RuntimeError, match="reserve exhausted"):
+        session.ask("More?", max_new_tokens=4)
