@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--demo", action="store_true",
                    help="generate a synthetic demo clip if no video given")
     p.add_argument("--json", action="store_true", help="print machine-readable result")
+    p.add_argument("--interactive", action="store_true",
+                   help="multi-turn chat REPL: the video prefills once and "
+                        "every follow-up reuses the resident KV cache "
+                        "(~0.5 s/answer; quickvideo_tpu.chat.ChatSession)")
     return p
 
 
@@ -89,6 +93,33 @@ def main(argv=None):
         param_dtype=args.param_dtype or args.dtype,
     )
     lvu = LVU(cfg)
+    if args.interactive:
+        import time
+
+        session = lvu.start_chat(video)
+        queued = list(args.question or [])
+        print("[chat] interactive session — empty line or Ctrl-D to exit")
+        while True:
+            if queued:
+                q = queued.pop(0)
+                print(f"> {q}")
+            else:
+                try:
+                    q = input("> ").strip()
+                except EOFError:
+                    break
+                if not q:
+                    break
+            t0 = time.perf_counter()
+            answer = session.ask(q, max_new_tokens=args.max_new_tokens)
+            dt = time.perf_counter() - t0
+            if args.json:
+                print(json.dumps({
+                    "question": q, "answer": answer, "turn_s": round(dt, 2),
+                }))
+            else:
+                print(f"A ({dt:.1f}s): {answer}")
+        return 0
     questions = args.question or ["Describe this video."]
     for q in questions:
         out = lvu.generate(q, video, max_new_tokens=args.max_new_tokens,

@@ -39,3 +39,36 @@ def test_missing_video_without_demo():
     from quickvideo_tpu.lvu_cli import main
 
     assert main([]) == 2
+
+
+def test_interactive_chat_mode(tmp_path, capsys):
+    """--interactive drives a ChatSession: queued questions answer in turn,
+    follow-ups reuse the resident cache (no re-prefill output)."""
+    import io
+    import sys as _sys
+
+    from quickvideo_tpu.lvu_cli import main
+
+    old = _sys.stdin
+    _sys.stdin = io.StringIO("")
+    try:
+        rc = main([
+            "--demo", "--model_name_or_path", "tiny", "--dtype", "float32",
+            "--interactive", "--json", "--max_new_tokens", "4",
+            "--question", "Describe the clip.", "--question", "What else?",
+        ])
+    finally:
+        _sys.stdin = old
+    assert rc == 0
+    out = capsys.readouterr().out
+    import json as _json
+
+    rows = [
+        _json.loads(line) for line in out.splitlines()
+        if line.startswith("{")
+    ]
+    assert len(rows) == 2
+    assert rows[0]["question"] == "Describe the clip."
+    assert rows[1]["question"] == "What else?"
+    # follow-up must be much faster than the prefill turn
+    assert rows[1]["turn_s"] < rows[0]["turn_s"]
