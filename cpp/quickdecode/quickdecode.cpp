@@ -282,12 +282,13 @@ int64_t keyframe_at_or_before(const StreamInfo& si, int64_t target) {
 
 struct Reader;
 
-// Decode frames [from_key .. last_wanted] in one pass; for each ordinal in
-// `wanted` (sorted subset of that range) call sink(ordinal, frame).
+// Decode frames [from_key .. last_wanted] in one sequential pass; for each
+// ordinal in `wanted` (sorted subset of that range) call sink(ordinal,
+// frame).
 template <typename Sink>
-bool decode_range(DecodeCtx& ctx, const StreamInfo& si, int64_t from_key,
-                  const std::vector<int64_t>& wanted, Sink&& sink,
-                  std::string* err) {
+bool decode_pass(DecodeCtx& ctx, const StreamInfo& si, int64_t from_key,
+                 const std::vector<int64_t>& wanted, Sink& sink,
+                 std::string* err) {
   if (wanted.empty()) return true;
   int64_t last = wanted.back();
   int64_t seek_ts = si.frame_ts[from_key];
@@ -362,6 +363,37 @@ bool decode_range(DecodeCtx& ctx, const StreamInfo& si, int64_t from_key,
   av_frame_free(&held);
   av_frame_free(&frame);
   return ok;
+}
+
+// Decode the `wanted` ordinals, SKIPPING unneeded GOPs: sparse sampling
+// (e.g. 1 frame per 8 s at gop 4 s) would otherwise decode every coded
+// frame between samples. Whenever a keyframe lies at least
+// `kSeekMinSkip` coded frames past the previously-delivered wanted frame,
+// the run is split and decoding re-seeks to that keyframe instead of
+// chewing through the gap (decord/deepcodec show the same sparsity
+// scaling; reference sparsity_timing.py is the protocol).
+constexpr int64_t kSeekMinSkip = 8;
+
+template <typename Sink>
+bool decode_range(DecodeCtx& ctx, const StreamInfo& si, int64_t from_key,
+                  const std::vector<int64_t>& wanted, Sink&& sink,
+                  std::string* err) {
+  if (wanted.empty()) return true;
+  size_t i = 0;
+  while (i < wanted.size()) {
+    size_t j = i + 1;
+    while (j < wanted.size()) {
+      int64_t k = keyframe_at_or_before(si, wanted[j]);
+      if (k > wanted[j - 1] + kSeekMinSkip) break;  // re-seek pays here
+      ++j;
+    }
+    std::vector<int64_t> seg(wanted.begin() + i, wanted.begin() + j);
+    int64_t seg_key =
+        (i == 0) ? from_key : keyframe_at_or_before(si, seg[0]);
+    if (!decode_pass(ctx, si, seg_key, seg, sink, err)) return false;
+    i = j;
+  }
+  return true;
 }
 
 struct IntervalJob {
