@@ -1,6 +1,6 @@
-"""Batched-QA throughput probe: B questions on one decoded video, the
-vmapped batch engine vs B sequential single-request runs. Real 3B shapes;
-512-frame video keeps B=4 bf16 caches + weights inside one v5e's HBM."""
+"""Batched-QA throughput probe: B questions on one decoded video — the
+shared-prefill/cache-fork batch engine vs B sequential single-request
+runs. Real 3B shapes, 512-frame video."""
 
 import os
 import sys

@@ -388,8 +388,11 @@ bool decode_range(DecodeCtx& ctx, const StreamInfo& si, int64_t from_key,
       ++j;
     }
     std::vector<int64_t> seg(wanted.begin() + i, wanted.begin() + j);
+    // always start at the LATEST keyframe <= the segment's first wanted
+    // frame — including for the first segment (interval jobs may hand a
+    // from_key several GOPs earlier than wanted[0] under sparse sampling)
     int64_t seg_key =
-        (i == 0) ? from_key : keyframe_at_or_before(si, seg[0]);
+        std::max(from_key, keyframe_at_or_before(si, seg[0]));
     if (!decode_pass(ctx, si, seg_key, seg, sink, err)) return false;
     i = j;
   }

@@ -37,6 +37,15 @@ class ChatSession:
 
     def __init__(self, lvu, video_path: str, reserve_turns: int = 8,
                  **video_kwargs):
+        if lvu.config.query_based or lvu.config.do_top_k_for_query:
+            # question-dependent pruning makes the cached video KV specific
+            # to turn 1's question — follow-ups would silently diverge from
+            # the full-history path (same guard as BatchedQAEngine)
+            raise ValueError(
+                "chat sessions do not support query-based predictors or "
+                "do_top_k_for_query (the pruned cache would depend on the "
+                "first question); use a norm-based predictor"
+            )
         self.lvu = lvu
         self.video_path = video_path
         self.video_kwargs = video_kwargs
@@ -99,7 +108,6 @@ class ChatSession:
         from quickvideo_tpu.engines.qwen25 import (
             _config_with_video_kwargs,
         )
-        from quickvideo_tpu.models.qwen25_vl import model as qmodel
         from quickvideo_tpu.prefill.engine import PrefillInputs
         from quickvideo_tpu.tokenization import build_chat_ids
         from quickvideo_tpu.video.stream import AsyncPixelGroups
@@ -128,14 +136,10 @@ class ChatSession:
         finally:
             stream.close()
         self._delta = state["delta"]
-        # video/prefix position rows, for follow-up turns' tables
-        positions, _ = qmodel.rope_index_for(
-            lvu.model_config, ids,
-            video_grid_thw=np.array([plan.grid_thw]),
-            second_per_grid_ts=[plan.second_per_grid_ts],
-        )
+        # video/prefix position rows (engine already computed them), for
+        # follow-up turns' tables
         self._ss0 = state["suffix_start"]
-        self._pos_prefix = positions[:, : self._ss0]
+        self._pos_prefix = np.asarray(state["positions"])[:, : self._ss0]
         toks, cache, cache_len = lvu.engine._generate_from_cache(
             cache, state, max_new_tokens, self._eos(),
             greedy=not gen.get("do_sample", False),
@@ -178,7 +182,12 @@ class ChatSession:
             )
             total_len = len(full_ids)
             capacity = int(self._cache.k.shape[2])
-            if self._cache_len + len(suffix) + lvu.config.max_decode_tokens \
+            # the bucketed final prefill WRITES a 32-padded bucket of rows
+            # (pad rows are garbage beyond the valid length) — budget the
+            # bucket, not the raw suffix, or a clamped dynamic_update_slice
+            # at the capacity edge would corrupt the newest valid KV
+            bucket = max(32, -(-len(suffix) // 32) * 32)
+            if self._cache_len + bucket + lvu.config.max_decode_tokens \
                     > capacity:
                 raise RuntimeError(
                     f"chat session KV reserve exhausted after "

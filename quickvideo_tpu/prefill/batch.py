@@ -140,11 +140,14 @@ class BatchedQAEngine:
         ids_shared = jnp.asarray(ids_list[0][:ss], jnp.int32)
         n_layers = cfg.text.num_hidden_layers
         past = 0
-        pixel_iters = [list(r.pixel_groups) for r in requests]
-        cache0 = caches  # built unbatched below
+        # only request 0's pixels are consumed (the prefill is shared);
+        # materializing every request's groups would run B-1 redundant
+        # video decodes for streaming inputs
+        pixel_groups0 = list(requests[0].pixel_groups)
+        cache0 = caches
         for gi, grid in enumerate(ggrids0):
             in_len = group_input_lens[gi]
-            pix = jnp.asarray(pixel_iters[0][gi])
+            pix = jnp.asarray(pixel_groups0[gi])
             if pix.dtype != jnp.uint8:
                 pix = pix.astype(eng.dtype)
             vis = eng._vision_jit(

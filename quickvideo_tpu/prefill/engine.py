@@ -326,29 +326,6 @@ class LVUEngine:
         )
         return cache, toks
 
-    def _decode_chunk_body_fixed(self, params_lang, cache, tok0, cos_chunk,
-                                 sin_chunk, spec):
-        """Fixed-trip scan variant of _decode_chunk_body for VMAPPED use
-        (BatchedQAEngine): vmap of a while_loop runs until every batch
-        element's cond is false and masks each element's carry updates per
-        iteration — full-cache selects that defeat in-place aliasing. A
-        fixed 32-step scan vmaps cleanly; finished samples decode garbage
-        the batch driver drops host-side."""
-
-        def body(carry, xs):
-            cache, tok = carry
-            cos_r, sin_r = xs
-            cache, logits = decode_step(
-                params_lang, cache, tok, cos_r[None], sin_r[None], spec
-            )
-            nxt = jnp.argmax(logits).astype(jnp.int32)
-            return (cache, nxt), nxt
-
-        (cache, _), toks = jax.lax.scan(
-            body, (cache, tok0), (cos_chunk, sin_chunk)
-        )
-        return cache, toks
-
     def _decode_sample_chunk_body(
         self, params_lang, cache, tok0, cos_chunk, sin_chunk, rng,
         temperature, eos_ids, n_stop, spec, top_p, top_k,
@@ -431,9 +408,9 @@ class LVUEngine:
     ) -> int:
         """Worst-case (max over layers) cache capacity in tokens."""
         n = self.cfg.text.num_hidden_layers
-        # decode runs in fixed 32-token chunks and may overshoot max_new by
-        # up to chunk-1 appended rows before trimming — budget the overshoot
-        # explicitly instead of relying on unrelated slack terms
+        # decode appends at most max_decode_tokens rows (the while_loop
+        # stops at EOS/max_new in-graph); keep the 32-row rounding so the
+        # capacity stays stable across small max_decode_tokens changes
         decode_budget = -(-self.lvu.max_decode_tokens // 32) * 32
         total = prefix_len + suffix_len + decode_budget
         for gt in group_token_counts:
@@ -656,6 +633,8 @@ class LVUEngine:
             "L": L,
             "delta": delta,
             "ids": ids,
+            "positions": positions,  # host (3, L) mRoPE rows (chat sessions
+            # extend these instead of re-walking the packed sequence)
             "timer": timer,
             # logical cache occupancy tracked host-side: the decode chunks
             # overshoot (fixed 32-size) and the device counter includes the
