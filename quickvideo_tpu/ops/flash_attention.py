@@ -243,6 +243,16 @@ def flash_past_attention(
         # divisor instead (capacities are powers of two in practice)
         while cap % block_k:
             block_k //= 2
+        # a capacity with an odd factor would collapse block_k to 1 — a
+        # degenerate grid (and the int8 path asserts 128-alignment). The
+        # engine rounds capacities to multiples of 4096 (and 4096*sp under
+        # context parallelism) precisely to keep this aligned; fail loudly
+        # rather than emit a ~cap-step kernel.
+        assert block_k >= min(128, cap), (
+            f"stacked-cache flash needs block_k>=128 dividing capacity; "
+            f"capacity={cap} collapsed block_k to {block_k}. Round the "
+            f"cache capacity to a multiple of 4096 (see engine.plan_capacity)."
+        )
     eff_cap = cap if not active_cap else min(cap, max(active_cap, block_k))
     nq = -(-g // block_q)
     nk = -(-eff_cap // block_k)

@@ -136,10 +136,15 @@ def quantize_model_params(params: dict) -> dict:
     """{"language": ..., "vision": ...} -> same tree with the large matmul
     weights quantized (norms, biases, small tensors stay in the model dtype).
 
-    NOTE: runs leaf-at-a-time under jit so peak device memory is
-    full-precision params + ONE extra tensor, not two full copies."""
-    q_lang = jax.jit(quantize_language_params)
-    q_vis = jax.jit(quantize_vision_params)
+    The input tree is DONATED to the jitted quantizers: every bf16 leaf is
+    consumed exactly once, so XLA frees each full-precision buffer as its
+    int8+scale replacement materializes. Peak device memory is therefore
+    ~full-precision params + the already-emitted quantized prefix — never two
+    complete copies — which is what lets a real 15.5 GB bf16 7B checkpoint be
+    quantized in place on a 16 GB chip. Callers must not reuse `params` after
+    this returns (the api.py load path passes ownership and drops its ref)."""
+    q_lang = jax.jit(quantize_language_params, donate_argnums=0)
+    q_vis = jax.jit(quantize_vision_params, donate_argnums=0)
     return {
         "language": q_lang(params["language"]),
         "vision": q_vis(params["vision"]),

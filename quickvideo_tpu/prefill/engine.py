@@ -510,9 +510,13 @@ class LVUEngine:
             # stacked flash kernel's block sizes need (see plan_capacity)
             capacity = -(-lvu.kv_cache_capacity // 4096) * 4096
         if self.cp_mesh is not None:
-            # capacity divisible by the sp axis so shards are equal
+            # capacity divisible by the sp axis so shards are equal — AND each
+            # shard still a multiple of 4096, or the flash kernel's block_k
+            # divisor loop collapses toward 1 on shard capacities with an odd
+            # factor (e.g. sp=3: 65536 -> 65538/3 = 21846 = 2*3*11*331)
             sp = self.cp_mesh.shape["sp"]
-            capacity = -(-capacity // sp) * sp
+            shard_quantum = 4096 * sp
+            capacity = -(-capacity // shard_quantum) * shard_quantum
         with timer.span("cache_alloc"):
             cache = kvc.init_cache(
                 cfg.text.num_hidden_layers,

@@ -88,20 +88,49 @@ class TestQuantizeWeight:
 
 
 class TestQuantizedModel:
-    @pytest.fixture(scope="class")
+    # function-scoped: quantize_model_params DONATES its input tree (the bf16
+    # buffers are invalidated as the int8 copies materialize), so each test
+    # needs a fresh tree.
+    @pytest.fixture()
     def params(self):
         return qmodel.init_params(CFG, seed=0, dtype=jnp.float32)
 
     def test_quantize_model_params_structure(self, params):
+        ln1_before = np.asarray(params["language"]["layers"]["ln1"]).copy()
         qp = quantize_model_params(params)
         assert is_quantized(qp["language"]["layers"]["wq"])
         assert is_quantized(qp["language"]["embed"])
         assert is_quantized(qp["vision"]["blocks"]["wqkv"])
         assert not is_quantized(qp["language"]["norm"])
         np.testing.assert_array_equal(
-            np.asarray(qp["language"]["layers"]["ln1"]),
-            np.asarray(params["language"]["layers"]["ln1"]),
+            np.asarray(qp["language"]["layers"]["ln1"]), ln1_before
         )
+
+    def test_quantize_model_params_donates_input(self, params):
+        # the donation contract is what lets a 15.5 GB bf16 7B be quantized in
+        # place on a 16 GB chip — pin it so a refactor can't silently revert
+        # to double-residency. Donation is backend-dependent (verified live on
+        # the axon TPU; the CPU backend silently skips it when the axon plugin
+        # is co-registered), so probe first and only assert where it works.
+        # probe must mirror quantization's shape: a donated f32 producing
+        # int8 (unaliasable) — some backends only delete donated buffers
+        # they could alias
+        probe_in = jnp.ones((8, 8))
+        jax.jit(
+            lambda x: (x * 2).astype(jnp.int8), donate_argnums=0
+        )(probe_in)
+        try:
+            np.asarray(probe_in + 0)
+            donation_active = False
+        except RuntimeError:
+            donation_active = True
+        wq = params["language"]["layers"]["wq"]
+        quantize_model_params(params)
+        if donation_active:
+            with pytest.raises(RuntimeError):
+                np.asarray(wq + 0)  # materialize: deletion surfaces on fetch
+        else:
+            pytest.skip("backend skips donation; contract verified on TPU")
 
     def test_fast_quantized_init_matches_structure(self):
         qp = init_params_fast_quantized(CFG, dtype=jnp.float32)
