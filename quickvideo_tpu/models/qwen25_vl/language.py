@@ -284,7 +284,9 @@ def layer_step(
             )
 
             pp = cp_stacked_past_attention(
-                q, k_all, v_all, length, li, scale=scale, mesh=spec.cp_mesh
+                q, k_all, v_all, length, li, scale=scale, mesh=spec.cp_mesh,
+                k_scale_all=k_scale_all if spec.kv_quant else None,
+                v_scale_all=v_scale_all if spec.kv_quant else None,
             )
             out, _ = attn_ops.merge_partials(pp, pg)
         elif use_cache_past and spec.ref_query_mask:
@@ -325,8 +327,9 @@ def layer_step(
             )
         if cp and spec.attend_past:
             # context-parallel past: per-shard partials + LSE-merge
-            # collectives over the sp axis (needs_probs / int8 KV are
-            # rejected by the engine for this mode); the stacked sharded
+            # collectives over the sp axis (needs_probs predictors are
+            # rejected by the engine for this mode; int8 KV shards its
+            # scale arrays alongside the values); the stacked sharded
             # cache is addressed at layer `li` in place
             from quickvideo_tpu.parallel.context_parallel import (
                 cp_stacked_grouped_attention,
@@ -335,6 +338,8 @@ def layer_step(
             out = cp_stacked_grouped_attention(
                 q, k_grp, v_grp, k_all, v_all, length, li,
                 scale=scale, mesh=spec.cp_mesh, causal=spec.causal,
+                k_scale_all=k_scale_all if spec.kv_quant else None,
+                v_scale_all=v_scale_all if spec.kv_quant else None,
             )
             group_probs = None
         elif hot:
@@ -451,12 +456,21 @@ def layer_step(
         elif cp:
             from quickvideo_tpu.parallel.context_parallel import (
                 cp_stacked_append,
+                cp_stacked_append_quantized,
             )
 
-            k_all, v_all = cp_stacked_append(
-                k_all, v_all, li, length, res.k_keep, res.v_keep,
-                mesh=spec.cp_mesh,
-            )
+            if spec.kv_quant:
+                k_all, v_all, k_scale_all, v_scale_all = (
+                    cp_stacked_append_quantized(
+                        k_all, v_all, k_scale_all, v_scale_all, li, length,
+                        res.k_keep, res.v_keep, mesh=spec.cp_mesh,
+                    )
+                )
+            else:
+                k_all, v_all = cp_stacked_append(
+                    k_all, v_all, li, length, res.k_keep, res.v_keep,
+                    mesh=spec.cp_mesh,
+                )
         elif spec.kv_quant:
             k_buf, v_buf, k_scale_buf, v_scale_buf = kv.layer_append_quantized(
                 k_buf, v_buf, k_scale_buf, v_scale_buf, length,
@@ -472,12 +486,21 @@ def layer_step(
             if cp:
                 from quickvideo_tpu.parallel.context_parallel import (
                     cp_stacked_append,
+                    cp_stacked_append_quantized,
                 )
 
-                k_all, v_all = cp_stacked_append(
-                    k_all, v_all, li, length, k_grp, v_grp,
-                    mesh=spec.cp_mesh,
-                )
+                if spec.kv_quant:
+                    k_all, v_all, k_scale_all, v_scale_all = (
+                        cp_stacked_append_quantized(
+                            k_all, v_all, k_scale_all, v_scale_all, li,
+                            length, k_grp, v_grp, mesh=spec.cp_mesh,
+                        )
+                    )
+                else:
+                    k_all, v_all = cp_stacked_append(
+                        k_all, v_all, li, length, k_grp, v_grp,
+                        mesh=spec.cp_mesh,
+                    )
             elif spec.kv_quant:
                 k_buf, v_buf, k_scale_buf, v_scale_buf = (
                     kv.layer_append_quantized(

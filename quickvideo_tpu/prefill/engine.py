@@ -141,11 +141,6 @@ class LVUEngine:
         # not just in dryrun/unit tests)
         self.cp_mesh = None
         if mesh is not None and mesh.shape.get("sp", 1) > 1:
-            if lvu_cfg.kv_cache_dtype == "int8":
-                raise ValueError(
-                    "context parallelism (mesh.sp>1) does not support the "
-                    "int8 KV cache yet; use kv_cache_dtype='bfloat16'"
-                )
             if lvu_cfg.needs_attn_stats:
                 raise ValueError(
                     "context parallelism (mesh.sp>1) does not support "
@@ -530,10 +525,17 @@ class LVUEngine:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 sh = NamedSharding(self.cp_mesh, P(None, None, "sp", None))
-                cache = cache.replace(
+                repl = dict(
                     k=jax.device_put(cache.k, sh),
                     v=jax.device_put(cache.v, sh),
                 )
+                if cache.k_scale is not None:
+                    # int8 mode: per-(layer, head, token) scales shard on
+                    # the same capacity axis as the values
+                    sh_sc = NamedSharding(self.cp_mesh, P(None, None, "sp"))
+                    repl["k_scale"] = jax.device_put(cache.k_scale, sh_sc)
+                    repl["v_scale"] = jax.device_put(cache.v_scale, sh_sc)
+                cache = cache.replace(**repl)
 
         prompt_ids = ids[suffix_start:]
         prompt_len = len(prompt_ids) if lvu.query_based else 0

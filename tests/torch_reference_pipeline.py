@@ -62,6 +62,21 @@ def _query_attention_indices(accum: torch.Tensor, keep: int) -> torch.Tensor:
     return torch.sort(idx).values
 
 
+def _attention_weights_sum_indices(
+    p_cols: torch.Tensor, keep: int
+) -> torch.Tensor:
+    """p_cols: (Lq, seg_len) head-mean attention probs of the group's query
+    rows over the group's OWN key columns (full softmax denominator). Column
+    i's score is the sum over query rows >= i (reference lvu/utils.py:64-69:
+    `attn_weights_i[i:, i].sum()`); keep the largest, position order."""
+    lq, seg = p_cols.shape
+    rows = torch.arange(lq)[:, None]
+    cols = torch.arange(seg)[None, :]
+    scores = p_cols.masked_fill(rows < cols, 0.0).sum(dim=0)
+    idx = torch.argsort(scores, descending=True, stable=True)[:keep]
+    return torch.sort(idx).values
+
+
 @dataclass
 class RefTrace:
     """Per-(group, layer) retained index sets + final tokens, for comparison."""
@@ -84,6 +99,21 @@ def run_reference_pipeline(
     top_p: Optional[float] = None,
     predict_type: str = "key_norms_small",
     max_new_tokens: int = 6,
+    # reference decay schedules (lvu/utils.py:244-251): applied per layer
+    # AFTER top_p resolution
+    top_k_decay_type: Optional[str] = None,
+    top_k_decay_factor: float = 0.5,
+    # cascade activation pruning (lvu/lvu_config.py:50-55 ->
+    # utils.py:277,344-372): layers >= this index also prune the hidden
+    # states / positions fed to the NEXT layer
+    prefill_prune_starting_layer: Optional[int] = None,
+    # reference qwen25_vl.py:502-516: False = each group attends only
+    # itself (no past passed to the group forward); pruned K/V still
+    # concatenate into the running cache for the final prefill
+    adaptive_local_attention: bool = True,
+    # reference qwen25_lvu.py generate wrapper (lvu/models/qwen25_vl.py:539):
+    # enable pruning during the final/suffix prefill too
+    do_top_k_for_query: bool = False,
 ) -> RefTrace:
     model = hf.model
     lm = model.language_model
@@ -140,8 +170,10 @@ def run_reference_pipeline(
     def layer_forward(li, x, cos, sin, past_k, past_v, *, q_mask_kind,
                       video_len):
         """One decoder layer over x (1, Lq, C). Returns (x_out, k_new, v_new,
-        accum) where k_new/v_new are the VIDEO-only K/V (prompt stripped) and
-        accum the prompt->key scores (None unless query mode)."""
+        accum, p_cols) where k_new/v_new are the VIDEO-only K/V (prompt
+        stripped), accum the prompt->key scores (None unless query mode), and
+        p_cols the (Lq, Lq) head-mean attention probs over the group's own
+        key columns (for the attention-statistics predictors)."""
         layer = layers[li]
         lq = x.shape[1]
         hst = layer.input_layernorm(x)
@@ -192,9 +224,48 @@ def run_reference_pipeline(
         out = out.transpose(1, 2).reshape(1, lq, -1)
         x = x + layer.self_attn.o_proj(out)
         x = x + layer.mlp(layer.post_attention_layernorm(x))
+        # head-mean probs over the group's OWN columns (the appended segment,
+        # last lq columns of k_use) under the FULL softmax denominator —
+        # reference utils.py:33 `attn_weights[bz_i].mean(0)[:, -k_len:]`
+        p_cols = p[0].mean(0)[:, kl - lq:]
         if q_mask_kind == "query":
-            return x, k[:, :, :video_len][0], v[:, :, :video_len][0], accum
-        return x, k[0], v[0], accum
+            return x, k[:, :, :video_len][0], v[:, :, :video_len][0], accum, p_cols
+        return x, k[0], v[0], accum, p_cols
+
+    total_layers = len(layers)
+
+    def resolve_keep(li, seg_len):
+        """Effective per-layer k: top_p fraction of the CURRENT segment
+        length (reference lvu/utils.py:241-242), then the decay schedule
+        (utils.py:244-251). 0 = no pruning for this (layer, segment)."""
+        keep = top_k
+        if top_p is not None and top_p >= 0:
+            keep = min(keep or seg_len, int(seg_len * top_p))
+        if not top_k_decay_type:
+            pass
+        elif top_k_decay_type == "linear":
+            keep = keep - int(keep * (li / total_layers))
+        elif top_k_decay_type == "exponential":
+            keep = int(keep * (top_k_decay_factor ** li))
+        else:
+            raise ValueError(top_k_decay_type)
+        if not keep or keep <= 0 or seg_len <= keep:
+            return 0
+        return keep
+
+    def select_indices(k_new, accum, p_cols, keep):
+        if predict_type == "key_norms_small":
+            return _key_norms_small_indices(k_new, keep)
+        if predict_type == "query_attention_weights":
+            return _query_attention_indices(accum, keep)
+        if predict_type == "attention_weights_sum":
+            return _attention_weights_sum_indices(p_cols, keep)
+        raise ValueError(predict_type)
+
+    psl = prefill_prune_starting_layer
+    assert not (psl is not None and prompt_len), (
+        "oracle: cascade + query-based not combined (engine matches)"
+    )
 
     # --- grouped prefill ---
     offset = 0
@@ -207,44 +278,59 @@ def run_reference_pipeline(
         trace.retained.append([])
         video_len = in_len
         x_cur = x_g
+        cos_cur, sin_cur = cos, sin
         for li in range(len(layers)):
-            x_cur, k_new, v_new, accum = layer_forward(
-                li, x_cur, cos, sin, cache_k[li], cache_v[li],
+            # adaptive_local_attention=False: the group forward sees NO past
+            # (reference qwen25_vl.py:502-516 omits past_key_values); the
+            # pruned K/V still concatenate into the running cache below
+            past_k = cache_k[li] if adaptive_local_attention else cache_k[li][:, :0]
+            past_v = cache_v[li] if adaptive_local_attention else cache_v[li][:, :0]
+            x_cur, k_new, v_new, accum, p_cols = layer_forward(
+                li, x_cur, cos_cur, sin_cur, past_k, past_v,
                 q_mask_kind="query" if prompt_len else "plain",
                 video_len=video_len,
             )
-            # effective k (reference lvu/utils.py:241-242, fraction of the
-            # current group's video length)
             seg_len = k_new.shape[1]
-            keep = top_k
-            if top_p is not None and top_p >= 0:
-                keep = min(keep or seg_len, int(seg_len * top_p))
-            if keep and 0 < keep < seg_len:
-                if predict_type == "key_norms_small":
-                    idx = _key_norms_small_indices(k_new, keep)
-                elif predict_type == "query_attention_weights":
-                    idx = _query_attention_indices(accum, keep)
-                else:
-                    raise ValueError(predict_type)
+            keep = resolve_keep(li, seg_len)
+            if keep:
+                idx = select_indices(k_new, accum, p_cols, keep)
                 trace.retained[gi].append(np.asarray(idx))
                 k_new = k_new[:, idx]
                 v_new = v_new[:, idx]
+                # cascade activation pruning (prune_for_next_layer): the
+                # NEXT layer sees only the kept rows — hidden states and
+                # rope rows gathered, segment length shrinks
+                if psl is not None and psl >= 0 and li >= psl \
+                        and li < total_layers - 1:
+                    x_cur = x_cur[:, idx]
+                    cos_cur = cos_cur.index_select(-2, idx)
+                    sin_cur = sin_cur.index_select(-2, idx)
+                    video_len = keep
             else:
                 trace.retained[gi].append(np.arange(seg_len))
             cache_k[li] = torch.cat([cache_k[li], k_new], dim=1)
             cache_v[li] = torch.cat([cache_v[li], v_new], dim=1)
         offset += in_len
 
-    # --- final (suffix) prefill, no pruning by default ---
+    # --- final (suffix) prefill; prunes only under do_top_k_for_query
+    # (reference wraps generate with lvu_config.enable=do_top_k_for_query,
+    # lvu/models/qwen25_vl.py:538-540) ---
     x_s = x_full[:, suffix_start:L]
     pos_s = position_ids[:, :, suffix_start:L]
     cos, sin = rope_tables(pos_s)
     x_cur = x_s
     for li in range(len(layers)):
-        x_cur, k_new, v_new, _ = layer_forward(
+        x_cur, k_new, v_new, _, p_cols = layer_forward(
             li, x_cur, cos, sin, cache_k[li], cache_v[li],
             q_mask_kind="plain", video_len=x_s.shape[1],
         )
+        if do_top_k_for_query:
+            seg_len = k_new.shape[1]
+            keep = resolve_keep(li, seg_len)
+            if keep:
+                idx = select_indices(k_new, None, p_cols, keep)
+                k_new = k_new[:, idx]
+                v_new = v_new[:, idx]
         cache_k[li] = torch.cat([cache_k[li], k_new], dim=1)
         cache_v[li] = torch.cat([cache_v[li], v_new], dim=1)
 
@@ -259,7 +345,7 @@ def run_reference_pipeline(
         cos, sin = rope_tables(pos)
         x_cur = lm.embed_tokens(torch.tensor([[tokens[-1]]]))
         for li in range(len(layers)):
-            x_cur, k_new, v_new, _ = layer_forward(
+            x_cur, k_new, v_new, _, _ = layer_forward(
                 li, x_cur, cos, sin, cache_k[li], cache_v[li],
                 q_mask_kind="plain", video_len=1,
             )
