@@ -35,12 +35,27 @@ PARAM_DTYPE = os.environ.get(
 )
 
 
+# Source fixture: textured 1080p by default (VERDICT r2 weak #5: the flat
+# 448 fixture decoded ~10x too fast, so frame_fetch understated real decode
+# cost; the reference demo uses a real video, README.md:350-358). The
+# textured encoder emits dense per-pixel drifting residuals — BluRay-like
+# decoder load. BENCH_SOURCE=flat448 restores the old cheap fixture.
+BENCH_SOURCE = os.environ.get("BENCH_SOURCE", "textured1080")
+
+
 def make_source_video(path: str, frames: int) -> str:
     from quickvideo_tpu.video import quickdecode as qd
 
-    qd.encode_test_video(
-        path, width=448, height=448, nframes=frames, fps=24, gop=48
-    )
+    if os.path.exists(path) and os.path.getsize(path) > 0:
+        return path  # fixture is deterministic; reuse across runs
+    if BENCH_SOURCE == "textured1080":
+        qd.encode_textured_video(
+            path, width=1920, height=1080, nframes=frames, fps=24, gop=48
+        )
+    else:
+        qd.encode_test_video(
+            path, width=448, height=448, nframes=frames, fps=24, gop=48
+        )
     return path
 
 
@@ -58,7 +73,10 @@ def main():
     log(f"devices: {jax.devices()}")
     t_v0 = time.time()
     video = make_source_video(
-        os.path.join(tempfile.gettempdir(), f"bench_{N_FRAMES}f.mp4"), N_FRAMES
+        os.path.join(
+            tempfile.gettempdir(), f"bench_{BENCH_SOURCE}_{N_FRAMES}f.mp4"
+        ),
+        N_FRAMES,
     )
     video_gen_s = time.time() - t_v0
     log(f"source video ready in {video_gen_s:.1f}s")
@@ -130,6 +148,7 @@ def main():
 
     meta = {
         "frames": N_FRAMES,
+        "source": BENCH_SOURCE,
         "group_size": GROUP_SIZE,
         "model": MODEL,
         "param_dtype": PARAM_DTYPE,
