@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from quickvideo_tpu.models.qwen25_vl.config import VisionConfig
-from quickvideo_tpu.ops.quantization import is_quantized, qdot
+from quickvideo_tpu.ops.quantization import is_quantized
+from quickvideo_tpu.ops.quantization import qdot_vision as qdot
 
 Array = jax.Array
 

