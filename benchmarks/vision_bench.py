@@ -1,7 +1,12 @@
-"""Vision tower ablation at the bench group shape (32 frames, aligned
-resize -> uniform windows): full tower vs attention-ablated vs matmul-only.
-Tells whether the documented ~17% vision MFU is lost in the window
-attention (worth a Pallas kernel) or in the projections/layout."""
+"""Vision tower ablation at the bench group shapes: full tower vs
+attention-ablated vs matmul floor, each with/without int8 activations.
+Attributes the tower's time between window attention, projections/MLP, and
+layout/norm overheads — and answers where (if anywhere) act-quant pays.
+
+Defaults = 7B strict-resize group grid (16, 22, 40), int8 weights (the
+headline bench config). Override via env: VB_MODEL, VB_T/VB_H/VB_W,
+VB_PARAM_DTYPE=bf16.
+"""
 
 import os
 import sys
@@ -16,14 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from quickvideo_tpu.models.qwen25_vl import get_config
 from quickvideo_tpu.models.qwen25_vl import model as qmodel
 from quickvideo_tpu.models.qwen25_vl import vision as V
+from quickvideo_tpu.ops import quantization as qz
 
-# bench default: 1024 frames, group 32, aligned resize. From the bench run:
-# grid per group (16, 36, 64) at BENCH default video (252x448 -> 224x448
-# aligned). Override via env.
+MODEL = os.environ.get("VB_MODEL", "qwen25-vl-7b")
 T = int(os.environ.get("VB_T", 16))
-GH = int(os.environ.get("VB_H", 16))
-GW = int(os.environ.get("VB_W", 32))
-REPS = 4
+GH = int(os.environ.get("VB_H", 22))
+GW = int(os.environ.get("VB_W", 40))
+PARAM_DTYPE = os.environ.get("VB_PARAM_DTYPE", "int8")
+REPS = int(os.environ.get("VB_REPS", 6))
 
 
 def sync(x):
@@ -37,16 +42,19 @@ def timeit(name, fn, *args):
         t0 = time.perf_counter()
         sync(fn(*args))
         ts.append(time.perf_counter() - t0)
-    print(f"{name:36s} {min(ts)*1e3:9.1f} ms")
+    print(f"{name:44s} {min(ts)*1e3:9.1f} ms", flush=True)
     return min(ts)
 
 
 def main():
-    cfg = get_config("qwen25-vl-3b")
+    cfg = get_config(MODEL)
     vc = cfg.vision
-    params = jax.device_put(
-        qmodel.init_params_fast(cfg, dtype=jnp.bfloat16)["vision"]
-    )
+    if PARAM_DTYPE == "int8":
+        params = qz.init_params_fast_quantized(cfg, jnp.bfloat16)["vision"]
+    else:
+        params = jax.device_put(
+            qmodel.init_params_fast(cfg, dtype=jnp.bfloat16)["vision"]
+        )
     sync(params)
     grid = (T, GH, GW)
     layout = V.build_layout(
@@ -60,44 +68,121 @@ def main():
             (s, vc.patch_input_dim)
         ), jnp.bfloat16
     )
-    print(f"grid={grid} seq={s} uniform={layout.win_uniform}")
+    print(f"model={MODEL} grid={grid} seq={s} uniform={layout.win_uniform} "
+          f"params={PARAM_DTYPE}", flush=True)
 
-    full = jax.jit(lambda p, px, a: V.vision_forward(p, px, layout, vc, a))
-    timeit("full tower", full, params, pixels, la)
+    def with_vis_act(flag, mk):
+        # _ACT_QUANT_VISION is read at trace time through qdot_vision —
+        # monkeypatch + fresh jit re-traces with the chosen mode
+        old = qz._ACT_QUANT_VISION
+        qz._ACT_QUANT_VISION = flag
+        try:
+            return mk()
+        finally:
+            qz._ACT_QUANT_VISION = old
 
-    orig = V._block_attention
-    try:
-        V._block_attention = lambda q, k, v, valid, scale: q.astype(
-            jnp.float32
-        )
-        noattn = jax.jit(
+    for act in (False, True) if PARAM_DTYPE == "int8" else (False,):
+        tag = "a8" if act else "wo"
+        full = with_vis_act(act, lambda: jax.jit(
             lambda p, px, a: V.vision_forward(p, px, layout, vc, a)
-        )
-        timeit("attention ablated (identity)", noattn, params, pixels, la)
-    finally:
-        V._block_attention = orig
+        ))
+        timeit(f"full tower [{tag}]", full, params, pixels, la)
 
-    # pure matmul floor: the per-block projections at the same seq len
-    x = jnp.ones((s, vc.hidden_size), jnp.bfloat16)
+        from quickvideo_tpu.ops import vision_attention as VA
 
-    def mm_floor(p, x):
-        def body(h, bp):
-            qkv = jnp.dot(h, bp["wqkv"], preferred_element_type=jnp.float32)
-            h = h + jnp.dot(
-                qkv.astype(h.dtype)[:, : vc.hidden_size], bp["wo"],
-                preferred_element_type=jnp.float32,
-            ).astype(h.dtype)
-            g = jnp.dot(h, bp["wg"], preferred_element_type=jnp.float32)
-            u = jnp.dot(h, bp["wu"], preferred_element_type=jnp.float32)
-            m = (jax.nn.silu(g) * u).astype(h.dtype)
-            h = h + jnp.dot(
-                m, bp["wd"], preferred_element_type=jnp.float32
-            ).astype(h.dtype)
-            return h, None
+        orig = V._block_attention
+        orig_bda = VA.block_diag_attention
+        try:
+            # ablate BOTH attention paths (the TPU kernel incl. its
+            # (S,nh,hd)->(nh,S,hd) transposes, and the XLA fallback)
+            V._block_attention = lambda q, k, v, valid, scale: q.astype(
+                jnp.float32
+            )
+            VA.block_diag_attention = (
+                lambda q, k, v, span, **kw: q.astype(jnp.float32)
+            )
+            noattn = with_vis_act(act, lambda: jax.jit(
+                lambda p, px, a: V.vision_forward(p, px, layout, vc, a)
+            ))
+            timeit(f"attention ablated [{tag}]", noattn, params, pixels, la)
+        finally:
+            V._block_attention = orig
+            VA.block_diag_attention = orig_bda
 
-        return jax.lax.scan(body, x, p["blocks"])[0]
+        orig_rot = V._apply_vision_rotary
+        try:
+            V._apply_vision_rotary = lambda x, cos, sin: x
+            norot = with_vis_act(act, lambda: jax.jit(
+                lambda p, px, a: V.vision_forward(p, px, layout, vc, a)
+            ))
+            timeit(f"rotary ablated [{tag}]", norot, params, pixels, la)
+        finally:
+            V._apply_vision_rotary = orig_rot
 
-    timeit("matmul floor (proj+mlp scan)", jax.jit(mm_floor), params, x)
+        orig_norm = V._rms_norm
+        try:
+            V._rms_norm = lambda x, w, eps: x
+            nonorm = with_vis_act(act, lambda: jax.jit(
+                lambda p, px, a: V.vision_forward(p, px, layout, vc, a)
+            ))
+            timeit(f"rmsnorm ablated [{tag}]", nonorm, params, pixels, la)
+        finally:
+            V._rms_norm = orig_norm
+
+        orig_span = V.vision_block
+        try:
+            # identity blocks: isolates patch_embed + layout perms + merger
+            V.vision_block = lambda bp, x, **kw: x
+            noblocks = with_vis_act(act, lambda: jax.jit(
+                lambda p, px, a: V.vision_forward(p, px, layout, vc, a)
+            ))
+            timeit(f"blocks ablated (embed+merger) [{tag}]",
+                   noblocks, params, pixels, la)
+        finally:
+            V.vision_block = orig_span
+
+        # pure matmul floor: per-block projections at the same seq len
+        x = jnp.ones((s, vc.hidden_size), jnp.bfloat16)
+
+        def mm_floor(p, x, act=act):
+            def body(h, bp):
+                qkv = qz.qdot(h, bp["wqkv"], act_quant=act)
+                h = h + qz.qdot(
+                    qkv.astype(h.dtype)[:, : vc.hidden_size], bp["wo"],
+                    act_quant=act,
+                ).astype(h.dtype)
+                g = qz.qdot(h, bp["wg"], act_quant=act)
+                u = qz.qdot(h, bp["wu"], act_quant=act)
+                m = (jax.nn.silu(g) * u).astype(h.dtype)
+                h = h + qz.qdot(m, bp["wd"], act_quant=act).astype(h.dtype)
+                return h, None
+
+            return jax.lax.scan(body, x, p["blocks"])[0]
+
+        timeit(f"matmul floor (proj+mlp scan) [{tag}]",
+               jax.jit(mm_floor), params, x)
+
+        # MLP-only act-quant arm: attention proj weight-only, MLP quantized
+        if act:
+            def mm_mlponly(p, x):
+                def body(h, bp):
+                    qkv = qz.qdot(h, bp["wqkv"], act_quant=False)
+                    h = h + qz.qdot(
+                        qkv.astype(h.dtype)[:, : vc.hidden_size], bp["wo"],
+                        act_quant=False,
+                    ).astype(h.dtype)
+                    g = qz.qdot(h, bp["wg"], act_quant=True)
+                    u = qz.qdot(h, bp["wu"], act_quant=True)
+                    m = (jax.nn.silu(g) * u).astype(h.dtype)
+                    h = h + qz.qdot(
+                        m, bp["wd"], act_quant=True
+                    ).astype(h.dtype)
+                    return h, None
+
+                return jax.lax.scan(body, x, p["blocks"])[0]
+
+            timeit("matmul floor (MLP-only a8)",
+                   jax.jit(mm_mlponly), params, x)
 
 
 if __name__ == "__main__":

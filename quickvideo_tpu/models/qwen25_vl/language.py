@@ -27,7 +27,7 @@ from quickvideo_tpu.ops import attention as attn_ops
 from quickvideo_tpu.ops import kv_cache as kv
 from quickvideo_tpu.ops import prune as prune_ops
 from quickvideo_tpu.ops.predictors import select_top_k_indices
-from quickvideo_tpu.ops.quantization import qdot, qtake
+from quickvideo_tpu.ops.quantization import qdot, qdot_multi, qtake
 
 Array = jax.Array
 
@@ -81,10 +81,10 @@ def rms_norm(x: Array, w: Array, eps: float) -> Array:
 def swiglu_mlp(x: Array, lp: dict) -> Array:
     # matmuls accumulate in f32 (MXU), activations stay in the model dtype —
     # exactly HF's bf16 Linear/SiLU chain, and half the HBM traffic of f32
-    # intermediates on the (L, intermediate) tensors
-    g = qdot(x, lp["wg"]).astype(x.dtype)
-    u = qdot(x, lp["wu"]).astype(x.dtype)
-    h = jax.nn.silu(g) * u
+    # intermediates on the (L, intermediate) tensors. gate/up read the same
+    # input: qdot_multi quantizes it once under int8 activations.
+    g, u = qdot_multi(x, (lp["wg"], lp["wu"]))
+    h = jax.nn.silu(g.astype(x.dtype)) * u.astype(x.dtype)
     return qdot(h, lp["wd"]).astype(x.dtype)
 
 
@@ -150,9 +150,11 @@ class StepSpec:
 def _project_qkv(lp: dict, h: Array, cfg: TextConfig):
     l = h.shape[0]
     hd = cfg.head_dim
-    q = qdot(h, lp["wq"]).astype(h.dtype) + lp["bq"]
-    k = qdot(h, lp["wk"]).astype(h.dtype) + lp["bk"]
-    v = qdot(h, lp["wv"]).astype(h.dtype) + lp["bv"]
+    # q/k/v read the same normed input: quantize it once (qdot_multi)
+    q, k, v = qdot_multi(h, (lp["wq"], lp["wk"], lp["wv"]))
+    q = q.astype(h.dtype) + lp["bq"]
+    k = k.astype(h.dtype) + lp["bk"]
+    v = v.astype(h.dtype) + lp["bv"]
     q = q.reshape(l, cfg.num_attention_heads, hd).transpose(1, 0, 2)
     k = k.reshape(l, cfg.num_key_value_heads, hd).transpose(1, 0, 2)
     v = v.reshape(l, cfg.num_key_value_heads, hd).transpose(1, 0, 2)

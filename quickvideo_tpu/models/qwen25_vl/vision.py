@@ -254,6 +254,41 @@ def _block_attention(q, k, v, valid, scale):
     return out
 
 
+def _pad_head_cols(w, nh: int, hd: int, dp: int):
+    """Pad a (..., in, G*nh*hd) projection weight's OUTPUT columns so each
+    head occupies `dp` lanes (G = 1 or 3 fused groups). Pad columns are zero
+    (quantized: q8 zeros with a harmless nonzero scale), so the padded
+    matmul emits exact zeros in the pad lanes — numerics unchanged, but the
+    (S, G*nh*dp) output splits into lane-tile-aligned heads for FREE (the
+    (S, nh, hd=80) reshape this replaces was a full cross-lane relayout)."""
+    def padcols(a):
+        g = a.shape[-1] // (nh * hd)
+        a4 = a.reshape(*a.shape[:-1], g * nh, hd)
+        a4 = jnp.pad(
+            a4, [(0, 0)] * (a4.ndim - 1) + [(0, dp - hd)]
+        )
+        return a4.reshape(*a.shape[:-1], g * nh * dp)
+
+    if is_quantized(w):
+        return {"q8": padcols(w["q8"]),
+                "sc": jnp.maximum(padcols(w["sc"]), 1e-8)}
+    return padcols(w)
+
+
+def _pad_head_rows(w, nh: int, hd: int, dp: int):
+    """Pad a (nh*hd, out) projection weight's INPUT rows to nh*dp — the
+    attention output arrives head-padded; pad rows multiply the (zero) pad
+    lanes, so values are unchanged."""
+    def padrows(a):
+        a3 = a.reshape(nh, hd, *a.shape[1:])
+        a3 = jnp.pad(a3, [(0, 0), (0, dp - hd)] + [(0, 0)] * (a3.ndim - 2))
+        return a3.reshape(nh * dp, *a.shape[1:])
+
+    if is_quantized(w):
+        return {"q8": padrows(w["q8"]), "sc": w["sc"]}
+    return padrows(w)
+
+
 def vision_block(
     bp: dict,
     x: Array,  # (S, C) window order
@@ -273,13 +308,6 @@ def vision_block(
     hd = cfg.head_dim
     scale = hd ** -0.5
     h = _rms_norm(x, bp["ln1"], cfg.rms_norm_eps)
-    qkv = qdot(h, bp["wqkv"]).astype(x.dtype) + bp["bqkv"]
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = q.reshape(-1, nh, hd)
-    k = k.reshape(-1, nh, hd)
-    v = v.reshape(-1, nh, hd)
-    q = _apply_vision_rotary(q, layout_arrays["cos"], layout_arrays["sin"])
-    k = _apply_vision_rotary(k, layout_arrays["cos"], layout_arrays["sin"])
 
     s_len = x.shape[0]
     interp = bool(os.environ.get("QV_PALLAS_INTERPRET"))
@@ -289,6 +317,83 @@ def vision_block(
         from quickvideo_tpu.ops import vision_attention
 
         return vision_attention
+
+    # --- 2D padded-head fast path -------------------------------------
+    # Heads are padded to a full 128-lane tile IN THE WEIGHT, the attention
+    # kernel consumes the raw (S, nh*dp) projection columns, and the rotary
+    # runs inside the kernel on VMEM tiles. This removes, per block: the
+    # (S, nh, hd) head-split relayout, two full-HBM rotary passes over
+    # lane-padded q/k, three (S,nh,hd)->(nh,S,hd) transposes and the output
+    # transpose (together ~100 of the 7B strict tower's ~200 ms/group).
+    dp = -(-hd // 128) * 128
+    spans_needed = (
+        [(s_len, frame_len)] if full_attn
+        else [(s_len, mw)] if uniform
+        else [(b - a, span) for span, a, b in buckets]
+    )
+    use2d = (
+        on_kernel_backend
+        and os.environ.get("QV_VISION_2D", "1") != "0"
+        and "cos_p" in layout_arrays
+        and hd % 2 == 0
+        and all(
+            n > 0 and _va().kernel_applicable(n, span)
+            for n, span in spans_needed
+        )
+    )
+    if use2d:
+        va = _va()
+        qkv2 = qdot(
+            h, _pad_head_cols(bp["wqkv"], nh, hd, dp)
+        ).astype(x.dtype) + _pad_head_cols(bp["bqkv"], nh, hd, dp)
+        q2, k2, v2 = jnp.split(qkv2, 3, axis=-1)
+        cos_p = layout_arrays["cos_p"].astype(x.dtype)
+        sin_p = layout_arrays["sin_p"].astype(x.dtype)
+        kw2 = dict(scale=scale, nh=nh, dp=dp, rot_half=hd // 2,
+                   interpret=interp)
+        if full_attn and buckets:
+            fp = layout_arrays["frame_perm"]
+            out2 = va.block_diag_attention_2d(
+                q2[fp], k2[fp], v2[fp], frame_len,
+                cos=cos_p[fp], sin=sin_p[fp], **kw2,
+            )[layout_arrays["frame_inv"]]
+        elif full_attn:
+            out2 = va.block_diag_attention_2d(
+                q2, k2, v2, frame_len, cos=cos_p, sin=sin_p, **kw2,
+            )
+        elif uniform:
+            out2 = va.block_diag_attention_2d(
+                q2, k2, v2, mw, cos=cos_p, sin=sin_p, **kw2,
+            )
+        else:
+            out2 = jnp.concatenate(
+                [
+                    va.block_diag_attention_2d(
+                        q2[a:b], k2[a:b], v2[a:b], span,
+                        cos=cos_p[a:b], sin=sin_p[a:b], **kw2,
+                    )
+                    for span, a, b in buckets
+                ],
+                axis=0,
+            )
+        attn_out = qdot(
+            out2, _pad_head_rows(bp["wo"], nh, hd, dp)
+        ).astype(x.dtype) + bp["bo"]
+        x = x + attn_out
+        h2 = _rms_norm(x, bp["ln2"], cfg.rms_norm_eps)
+        g = qdot(h2, bp["wg"]).astype(x.dtype) + bp["bg"]
+        u = qdot(h2, bp["wu"]).astype(x.dtype) + bp["bu"]
+        mlp = jax.nn.silu(g) * u
+        mlp = qdot(mlp, bp["wd"]).astype(x.dtype) + bp["bd"]
+        return x + mlp
+
+    qkv = qdot(h, bp["wqkv"]).astype(x.dtype) + bp["bqkv"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(-1, nh, hd)
+    k = k.reshape(-1, nh, hd)
+    v = v.reshape(-1, nh, hd)
+    q = _apply_vision_rotary(q, layout_arrays["cos"], layout_arrays["sin"])
+    k = _apply_vision_rotary(k, layout_arrays["cos"], layout_arrays["sin"])
 
     def _span_attention(qs, ks, vs, span):
         """Uniform block-diagonal attention over contiguous `span`s —
@@ -356,6 +461,17 @@ def layout_arrays_for(layout: VisionLayout) -> dict:
         "cos": jnp.asarray(layout.cos),
         "sin": jnp.asarray(layout.sin),
     }
+    # lane-padded rotary tables for the 2D padded-head attention path:
+    # (S, dp) with the head's real hd lanes carrying cos/sin and the pad
+    # lanes zero (pad lanes of q/k are zero too, so rotary keeps them zero)
+    hd = layout.cos.shape[1]
+    dp = -(-hd // 128) * 128
+    arrays["cos_p"] = jnp.asarray(
+        np.pad(layout.cos, ((0, 0), (0, dp - hd)))
+    )
+    arrays["sin_p"] = jnp.asarray(
+        np.pad(layout.sin, ((0, 0), (0, dp - hd)))
+    )
     if layout.frame_perm is not None:
         arrays["frame_perm"] = jnp.asarray(layout.frame_perm)
         arrays["frame_inv"] = jnp.asarray(layout.frame_inv)

@@ -89,6 +89,28 @@ def qdot_vision(x: Array, w, *, act_quant: bool | None = None) -> Array:
     return qdot(x, w, act_quant=act_quant)
 
 
+def quantize_act(x: Array) -> tuple:
+    """Dynamic per-token symmetric int8: (xq int8, xs f32 row scales).
+    Share the result across every matmul reading the same activation
+    (q/k/v, gate/up) — one quantize pass instead of relying on XLA CSE."""
+    xf = x.astype(jnp.float32)
+    xs = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=-1, keepdims=True), _EPS
+    ) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+def qdot_pre(xq: Array, xs: Array, w: dict) -> Array:
+    """int8 x int8 dot of a PRE-quantized activation (from quantize_act)
+    against a quantized weight; per-token x per-channel rescale in f32."""
+    y = jax.lax.dot_general(
+        xq, w["q8"], (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * xs * w["sc"]
+
+
 def qdot(x: Array, w, *, act_quant: bool | None = None) -> Array:
     """jnp.dot(x, w) with f32 accumulation; `w` may be a quantized dict.
 
@@ -99,18 +121,27 @@ def qdot(x: Array, w, *, act_quant: bool | None = None) -> Array:
     if act_quant is None:
         act_quant = _ACT_QUANT
     if act_quant and x.ndim >= 2 and x.shape[-1] >= 256:
-        xf = x.astype(jnp.float32)
-        xs = jnp.maximum(
-            jnp.max(jnp.abs(xf), axis=-1, keepdims=True), _EPS
-        ) / 127.0
-        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
-        y = jax.lax.dot_general(
-            xq, w["q8"], (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        return y.astype(jnp.float32) * xs * w["sc"]
+        xq, xs = quantize_act(x)
+        return qdot_pre(xq, xs, w)
     y = jnp.dot(x, w["q8"].astype(x.dtype), preferred_element_type=jnp.float32)
     return y * w["sc"]
+
+
+def qdot_multi(x: Array, ws, *, act_quant: bool | None = None) -> list:
+    """Several matmuls sharing one activation (q/k/v projections, gate/up):
+    quantizes x ONCE and feeds every int8 dot. Falls back to per-call qdot
+    when act-quant is off or any weight is unquantized."""
+    if act_quant is None:
+        act_quant = _ACT_QUANT
+    if (
+        act_quant
+        and x.ndim >= 2
+        and x.shape[-1] >= 256
+        and all(is_quantized(w) for w in ws)
+    ):
+        xq, xs = quantize_act(x)
+        return [qdot_pre(xq, xs, w) for w in ws]
+    return [qdot(x, w, act_quant=act_quant) for w in ws]
 
 
 def qtake(w, token_ids: Array, dtype) -> Array:

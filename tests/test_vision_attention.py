@@ -188,3 +188,75 @@ def test_bucketed_ragged_forward_kernel_matches_xla(monkeypatch):
         params, cfg, jnp.asarray(pixels), grid
     ))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("span,nspan", [(8, 12), (96, 2)])
+def test_kernel2d_matches_rotate_then_attend_oracle(rng_np, span, nspan):
+    """2D padded-head layout with FUSED rotary == rotate q/k then
+    block-attend, per head, with pad lanes exactly zero."""
+    nh, hd, dp = 3, 10, 128
+    rot_half = hd // 2
+    s = span * nspan
+    q = rng_np.standard_normal((s, nh, hd)).astype(np.float32)
+    k = rng_np.standard_normal((s, nh, hd)).astype(np.float32)
+    v = rng_np.standard_normal((s, nh, hd)).astype(np.float32)
+    ang = rng_np.uniform(0, 6.28, (s, rot_half))
+    emb = np.concatenate([ang, ang], axis=-1)  # [h-freqs | w-freqs] layout
+    cos = np.cos(emb).astype(np.float32)
+    sin = np.sin(emb).astype(np.float32)
+
+    def pad2d(x):  # (S, nh, hd) -> (S, nh*dp), pad lanes zero
+        xp = np.zeros((s, nh, dp), np.float32)
+        xp[:, :, :hd] = x
+        return jnp.asarray(xp.reshape(s, nh * dp))
+
+    cos_p = jnp.asarray(np.pad(cos, ((0, 0), (0, dp - hd))))
+    sin_p = jnp.asarray(np.pad(sin, ((0, 0), (0, dp - hd))))
+    from quickvideo_tpu.ops.vision_attention import block_diag_attention_2d
+
+    out2 = block_diag_attention_2d(
+        pad2d(q), pad2d(k), pad2d(v), span,
+        scale=hd ** -0.5, nh=nh, dp=dp, cos=cos_p, sin=sin_p,
+        rot_half=rot_half, interpret=True,
+    )
+    out2 = np.asarray(out2).reshape(s, nh, dp)
+
+    qr = V._apply_vision_rotary(
+        jnp.asarray(q), jnp.asarray(cos), jnp.asarray(sin)
+    )
+    kr = V._apply_vision_rotary(
+        jnp.asarray(k), jnp.asarray(cos), jnp.asarray(sin)
+    )
+    ref = V._block_attention(
+        qr.reshape(nspan, span, nh, hd), kr.reshape(nspan, span, nh, hd),
+        jnp.asarray(v).reshape(nspan, span, nh, hd), None, hd ** -0.5,
+    ).reshape(s, nh, hd)
+    np.testing.assert_allclose(
+        out2[:, :, :hd], np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+    assert (out2[:, :, hd:] == 0).all()
+
+
+def test_pad_head_weights_preserve_projection(rng_np):
+    """_pad_head_cols / _pad_head_rows keep the projection numerics exact:
+    padded-weight matmul == unpadded matmul with zeros interleaved."""
+    c, nh, hd, dp = 12, 2, 6, 128
+    w = rng_np.standard_normal((c, 3 * nh * hd)).astype(np.float32)
+    x = rng_np.standard_normal((5, c)).astype(np.float32)
+    wp = V._pad_head_cols(jnp.asarray(w), nh, hd, dp)
+    assert wp.shape == (c, 3 * nh * dp)
+    yp = np.asarray(x @ np.asarray(wp)).reshape(5, 3 * nh, dp)
+    y = (x @ w).reshape(5, 3 * nh, hd)
+    np.testing.assert_allclose(yp[:, :, :hd], y, rtol=1e-5, atol=1e-5)
+    assert (yp[:, :, hd:] == 0).all()
+
+    wo = rng_np.standard_normal((nh * hd, c)).astype(np.float32)
+    wop = V._pad_head_rows(jnp.asarray(wo), nh, hd, dp)
+    assert wop.shape == (nh * dp, c)
+    a = rng_np.standard_normal((5, nh, hd)).astype(np.float32)
+    ap = np.zeros((5, nh, dp), np.float32)
+    ap[:, :, :hd] = a
+    np.testing.assert_allclose(
+        ap.reshape(5, -1) @ np.asarray(wop), a.reshape(5, -1) @ wo,
+        rtol=1e-5, atol=1e-5,
+    )
