@@ -57,6 +57,13 @@ def _flash_kernel(
                   # of kv token t sits at lane t - blk_start; 8 replicated
                   # sublane rows satisfy Mosaic block-shape constraints)
     vs_ref=None,
+    qs_ref=None,  # int8-QK mode: (1, qrows, 128) f32 per-QUERY-row scales
+                  # (lane-replicated); q_ref is then int8 and the QK matmul
+                  # runs s8xs8->s32 on the MXU (2x the bf16 rate), with
+                  # qs[row] * ks[col] folding both quantizations into the
+                  # f32 scores. scale*log2e is absorbed into qs host-side.
+    pv_dtype=jnp.bfloat16,  # PV compute dtype in int8-QK mode (= the
+                  # activation dtype before q was quantized)
 ):
     """Online-softmax flash step over one KV block x `nq_inner` query blocks.
 
@@ -86,10 +93,21 @@ def _flash_kernel(
     def _scores(rows):
         q = q_ref[0, rows]  # (rep*BQ, D)
         k = k_ref[0, 0] if len(k_ref.shape) == 4 else k_ref[0]  # (BK, D)
+        if qs_ref is not None:
+            # int8 x int8 QK on the MXU (s8s8s32, 2x the bf16 rate); both
+            # quantizations rescale the f32 scores: per-row q scale (which
+            # absorbed scale*log2e) x per-column k scale
+            scores = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            scores = scores * qs_ref[0, rows, 0:1] * ks_ref[0, 0:1, :]
+            return scores
         if ks_ref is not None and k.dtype == jnp.int8:
-            # int8 matmul inputs lower poorly; cast values to the q dtype and
-            # fold the per-token scale into the SCORES columns (lane-aligned,
-            # no relayout): scores[:, t] *= kscale[t]
+            # int8 k against bf16 q: mixed int8 matmul inputs lower poorly;
+            # cast values to the q dtype and fold the per-token scale into
+            # the SCORES columns (lane-aligned): scores[:, t] *= kscale[t]
             k = k.astype(q.dtype)
         scores = jax.lax.dot_general(
             q, k,
@@ -122,7 +140,11 @@ def _flash_kernel(
             # per-token V scale folded into p's columns (= scaling V rows)
             pv = p * vs_ref[0, 0:1, :]
         if v_blk.dtype == jnp.int8:
-            v_blk = v_blk.astype(q_ref.dtype)
+            # PV compute dtype: the ORIGINAL activation dtype (pv_dtype) —
+            # in int8-QK mode q_ref itself is int8 and can't supply it
+            v_blk = v_blk.astype(
+                pv_dtype if q_ref.dtype == jnp.int8 else q_ref.dtype
+            )
         acc_scr[rows] = acc_scr[rows] * alpha[:, None] + jax.lax.dot_general(
             pv.astype(v_blk.dtype), v_blk,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -185,7 +207,8 @@ def _flash_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "scale", "block_q", "block_k", "interpret", "causal", "active_cap"
+        "scale", "block_q", "block_k", "interpret", "causal", "active_cap",
+        "int8_qk",
     ),
 )
 def flash_past_attention(
@@ -212,6 +235,11 @@ def flash_past_attention(
     # at 64k capacity with 1k valid, measured on v5e). The buffer stays the
     # operand — no slice, so in-place cache donation is preserved. Caller
     # contract: length (+ any appended group) never exceeds active_cap.
+    int8_qk: bool = None,  # quantize q per row and run the QK matmul
+    # s8xs8->s32 (2x the bf16 MXU rate). Defaults to ON whenever the cache
+    # is int8 (k_scale given): the keys already carry 1/127-rounding, and
+    # the extra per-row q rounding measures equally small (see
+    # tests/test_quantization_accuracy.py). QV_INT8_QK=0 opts out.
     layer_idx: Array = None,  # stacked-cache mode: k/v_past are the FULL
     # (L, Hkv, capacity, D) cache stack and this () int32 selects the layer.
     # The index maps address blocks straight into the stack, so the caller
@@ -231,11 +259,29 @@ def flash_past_attention(
     else:
         hkv, cap, _ = k_past.shape
     rep = hq // hkv
+    act_dtype = q.dtype  # pre-quantize activation dtype; PV runs in it
+    quant = k_scale is not None
+    if int8_qk is None:
+        import os as _os2
+
+        int8_qk = quant and _os2.environ.get("QV_INT8_QK", "1") != "0"
+    int8_qk = bool(int8_qk and quant)
     # pre-scale q by scale*log2(e): scores leave the MXU already in log2
     # units, saving one full-tile VPU multiply per kv block in the kernel
     # (f32 multiply, then back to the compute dtype — per-element rounding
     # only, no systematic temperature shift)
-    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    qf32 = q.astype(jnp.float32) * (scale * LOG2E)
+    if int8_qk:
+        # per-row symmetric int8: the row scale absorbs scale*log2e, so the
+        # kernel's qs*ks rescale lands scores directly in log2 units
+        qs = jnp.maximum(
+            jnp.max(jnp.abs(qf32), axis=-1, keepdims=True), 1e-20
+        ) / 127.0  # (Hq, G, 1)
+        q = jnp.clip(jnp.round(qf32 / qs), -127, 127).astype(jnp.int8)
+        qs = qs[..., 0]
+    else:
+        q = qf32.astype(q.dtype)
+        qs = None
     block_q = min(block_q, g)
     block_k = min(block_k, cap)
     if stacked:
@@ -260,6 +306,8 @@ def flash_past_attention(
     pad_k = -(-cap // block_k) * block_k - cap  # full-buffer layout padding
     if pad_q:
         q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+        if qs is not None:
+            qs = jnp.pad(qs, ((0, 0), (0, pad_q)), constant_values=1.0)
     if pad_k:
         k_past = jnp.pad(k_past, ((0, 0), (0, pad_k), (0, 0)))
         v_past = jnp.pad(v_past, ((0, 0), (0, pad_k), (0, 0)))
@@ -287,7 +335,6 @@ def flash_past_attention(
     nqh = nq // nq_inner
     qrows = nq_inner * rbq
 
-    quant = k_scale is not None
     capp = cap + pad_k  # padded capacity
 
     def kv_block(h, qh, ki, len_ref):
@@ -344,6 +391,11 @@ def flash_past_attention(
                 (1, 8, block_k), scale_index, memory_space=pltpu.VMEM
             ),
         ]
+        if int8_qk:
+            in_specs.append(pl.BlockSpec(
+                (1, qrows, 128), lambda h, qh, ki, *_: (h, qh, 0),
+                memory_space=pltpu.VMEM,
+            ))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(hkv, nqh, nk),
@@ -375,7 +427,17 @@ def flash_past_attention(
         _flash_kernel, block_q=block_q, block_k=block_k,
         nq_inner=nq_inner, scale=scale,
     )
-    if quant:
+    if quant and int8_qk:
+        def kernel(length_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, qs_ref,
+                   o_ref, lse_ref, m_scr, s_scr, acc_scr):
+            return _flash_kernel(
+                length_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scr, s_scr, acc_scr,
+                block_q=block_q, block_k=block_k, nq_inner=nq_inner,
+                scale=scale, ks_ref=ks_ref, vs_ref=vs_ref, qs_ref=qs_ref,
+                pv_dtype=act_dtype,
+            )
+    elif quant:
         def kernel(length_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                    o_ref, lse_ref, m_scr, s_scr, acc_scr):
             return _flash_kernel(
@@ -390,6 +452,15 @@ def flash_past_attention(
             jnp.broadcast_to(k_scale[:, None, :], (hkv, 8, capp)),
             jnp.broadcast_to(v_scale[:, None, :], (hkv, 8, capp)),
         ]
+        if int8_qk:
+            qsf = (
+                qs.reshape(hkv, rep, nq, block_q)
+                .transpose(0, 2, 1, 3)
+                .reshape(hkv, nq * rbq)
+            )
+            operands.append(jnp.broadcast_to(
+                qsf[:, :, None], (hkv, nq * rbq, 128)
+            ))
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -74,12 +74,49 @@ def test_flash_int8_matches_dequant_oracle(rng_np):
     vq, vs = quantize_kv(v)
     got = flash_past_attention(
         q, kq, vq, jnp.int32(length), scale=SCALE, block_q=128, block_k=256,
-        interpret=True, k_scale=ks, v_scale=vs,
+        interpret=True, k_scale=ks, v_scale=vs, int8_qk=False,
     )
     kd = dequantize_kv(kq, ks)
     vd = dequantize_kv(vq, vs)
     ref = oracle(q, kd, vd, jnp.int32(length))
     np.testing.assert_allclose(got.out, ref.out, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_int8_qk_matches_dequant_oracle(rng_np):
+    """int8-QK mode (per-row quantized q, s8xs8 QK matmul) vs the oracle on
+    EXPLICITLY dequantized q/k/v: the kernel's extra rounding is exactly the
+    q/k quantization, so against the dequantized operands it must be tight;
+    against full-precision q the drift stays at 1/127-rounding scale."""
+    from quickvideo_tpu.ops.kv_cache import dequantize_kv, quantize_kv
+
+    g, cap, length = 128, 1024, 700
+    q = jnp.asarray(rng_np.standard_normal((HQ, g, D)).astype(np.float32))
+    k = jnp.asarray(rng_np.standard_normal((HKV, cap, D)).astype(np.float32))
+    v = jnp.asarray(rng_np.standard_normal((HKV, cap, D)).astype(np.float32))
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    got = flash_past_attention(
+        q, kq, vq, jnp.int32(length), scale=SCALE, block_q=128, block_k=256,
+        interpret=True, k_scale=ks, v_scale=vs, int8_qk=True,
+    )
+    # oracle on the SAME rounded operands: mirror the kernel wrapper's f32
+    # quantization bit-for-bit (scale*log2e folds into the row scale before
+    # rounding; dividing it back yields natural-scale dequantized q)
+    LOG2E = 1.4426950408889634
+    qf32 = q.astype(jnp.float32) * (SCALE * LOG2E)
+    qs = jnp.maximum(
+        jnp.max(jnp.abs(qf32), axis=-1, keepdims=True), 1e-20
+    ) / 127.0
+    qd = (
+        jnp.clip(jnp.round(qf32 / qs), -127, 127) * qs / (SCALE * LOG2E)
+    ).astype(jnp.float32)
+    kd = dequantize_kv(kq, ks)
+    vd = dequantize_kv(vq, vs)
+    ref = oracle(qd, kd, vd, jnp.int32(length))
+    np.testing.assert_allclose(got.out, ref.out, rtol=2e-4, atol=2e-4)
+    # and vs full precision: bounded by quantization noise
+    ref_fp = oracle(q, k, v, jnp.int32(length))
+    assert np.max(np.abs(np.asarray(got.out) - np.asarray(ref_fp.out))) < 0.05
 
 
 @pytest.mark.parametrize("li", [0, 2])
