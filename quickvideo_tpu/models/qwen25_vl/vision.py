@@ -30,7 +30,11 @@ import jax
 import jax.numpy as jnp
 
 from quickvideo_tpu.models.qwen25_vl.config import VisionConfig
-from quickvideo_tpu.ops.quantization import is_quantized
+from quickvideo_tpu.ops.quantization import (
+    is_quantized,
+    qdot_multi,
+    vision_mlp_act_quant,
+)
 from quickvideo_tpu.ops.quantization import qdot_vision as qdot
 
 Array = jax.Array
@@ -379,13 +383,7 @@ def vision_block(
         attn_out = qdot(
             out2, _pad_head_rows(bp["wo"], nh, hd, dp)
         ).astype(x.dtype) + bp["bo"]
-        x = x + attn_out
-        h2 = _rms_norm(x, bp["ln2"], cfg.rms_norm_eps)
-        g = qdot(h2, bp["wg"]).astype(x.dtype) + bp["bg"]
-        u = qdot(h2, bp["wu"]).astype(x.dtype) + bp["bu"]
-        mlp = jax.nn.silu(g) * u
-        mlp = qdot(mlp, bp["wd"]).astype(x.dtype) + bp["bd"]
-        return x + mlp
+        return _vision_mlp(bp, x + attn_out, cfg)
 
     qkv = qdot(h, bp["wqkv"]).astype(x.dtype) + bp["bqkv"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -441,13 +439,23 @@ def vision_block(
 
     attn_out = out.astype(x.dtype).reshape(s_len, c)
     attn_out = qdot(attn_out, bp["wo"]).astype(x.dtype) + bp["bo"]
-    x = x + attn_out
+    return _vision_mlp(bp, x + attn_out, cfg)
+
+
+def _vision_mlp(bp: dict, x: Array, cfg: VisionConfig) -> Array:
+    """ln2 + SwiGLU-style (gate/up/down) MLP with f32 matmul accumulation,
+    model-dtype activations (= HF bf16 Linear). With int8 weights the MLP
+    matmuls run int8 x int8 (vision_mlp_act_quant): gate/up share ONE
+    activation-quantize pass via qdot_multi, and the attention projections
+    stay weight-only (their K=1280 contraction loses under act-quant —
+    measured; see ops/quantization.py)."""
     h2 = _rms_norm(x, bp["ln2"], cfg.rms_norm_eps)
-    # f32 matmul accumulation, model-dtype activations (= HF bf16 Linear)
-    g = qdot(h2, bp["wg"]).astype(x.dtype) + bp["bg"]
-    u = qdot(h2, bp["wu"]).astype(x.dtype) + bp["bu"]
+    act = vision_mlp_act_quant() and is_quantized(bp["wg"])
+    g, u = qdot_multi(h2, (bp["wg"], bp["wu"]), act_quant=act)
+    g = g.astype(x.dtype) + bp["bg"]
+    u = u.astype(x.dtype) + bp["bu"]
     mlp = jax.nn.silu(g) * u
-    mlp = qdot(mlp, bp["wd"]).astype(x.dtype) + bp["bd"]
+    mlp = qdot(mlp, bp["wd"], act_quant=act).astype(x.dtype) + bp["bd"]
     return x + mlp
 
 

@@ -72,6 +72,12 @@ def dequantize_weight(w: dict, contract_axis: int = -2, dtype=jnp.float32):
 
 _ACT_QUANT = os.environ.get("QV_INT8_ACT", "1") == "1"
 
+# Narrow activations don't amortize the dynamic quantize pass (and tiny
+# test models would never exercise the act path at the production gate):
+# matmuls with a contraction below this skip act-quant. Tests lower it
+# to measure act-quant numerics end-to-end on the tiny checkpoint.
+_ACT_MIN_DIM = 256
+
 # The vision tower defaults to weight-only even when QV_INT8_ACT is on:
 # measured on v5e (strict_profile.py, 7B strict grid), act-quant makes the
 # tower SLOWER (194.7 -> 201.4 ms) while the language stack gets much faster
@@ -80,6 +86,19 @@ _ACT_QUANT = os.environ.get("QV_INT8_ACT", "1") == "1"
 # traffic than the int8 dot saves; the language stack contracts over
 # K=3584/18944 where the int8 MXU win dominates. Override: QV_INT8_ACT_VISION.
 _ACT_QUANT_VISION = os.environ.get("QV_INT8_ACT_VISION", "0") == "1"
+
+# MLP-only vision act-quant: the tower-wide loss above is concentrated in
+# the attention projections (K=1280 contractions feeding the kernel); the
+# MLP's gate/up share ONE quantize pass (qdot_multi) and its matmuls run
+# ~1.9x faster int8 (gemm_bench: vis-gu 326 vs 174 TF/s bf16) — so the MLP
+# alone is quantized when the weights are int8. QV_INT8_ACT_VISION_MLP=0
+# opts out.
+_ACT_QUANT_VISION_MLP = os.environ.get("QV_INT8_ACT_VISION_MLP", "1") == "1"
+
+
+def vision_mlp_act_quant() -> bool:
+    """Act-quant decision for the vision MLP matmuls specifically."""
+    return _ACT_QUANT and (_ACT_QUANT_VISION or _ACT_QUANT_VISION_MLP)
 
 
 def qdot_vision(x: Array, w, *, act_quant: bool | None = None) -> Array:
@@ -120,7 +139,7 @@ def qdot(x: Array, w, *, act_quant: bool | None = None) -> Array:
         return jnp.dot(x, w, preferred_element_type=jnp.float32)
     if act_quant is None:
         act_quant = _ACT_QUANT
-    if act_quant and x.ndim >= 2 and x.shape[-1] >= 256:
+    if act_quant and x.ndim >= 2 and x.shape[-1] >= _ACT_MIN_DIM:
         xq, xs = quantize_act(x)
         return qdot_pre(xq, xs, w)
     y = jnp.dot(x, w["q8"].astype(x.dtype), preferred_element_type=jnp.float32)
@@ -136,7 +155,7 @@ def qdot_multi(x: Array, ws, *, act_quant: bool | None = None) -> list:
     if (
         act_quant
         and x.ndim >= 2
-        and x.shape[-1] >= 256
+        and x.shape[-1] >= _ACT_MIN_DIM
         and all(is_quantized(w) for w in ws)
     ):
         xq, xs = quantize_act(x)

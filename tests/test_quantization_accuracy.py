@@ -120,7 +120,12 @@ def measure_teacher_forced(hf, act_quant: bool, seeds=(1, 3, 5, 7)) -> dict:
     fp = fresh_params(hf)
     qp = qz.quantize_model_params(fresh_params(hf))
     old = qz._ACT_QUANT
+    old_min = qz._ACT_MIN_DIM
     qz._ACT_QUANT = act_quant
+    # the tiny checkpoint's hidden dims sit under the production 256-dim
+    # act-quant gate; lower it so the measurement actually exercises the
+    # int8-activation path on EVERY matmul (language + vision MLP)
+    qz._ACT_MIN_DIM = 8 if act_quant else old_min
     try:
         per = [
             _logit_metrics(_forward_logits(fp, s), _forward_logits(qp, s))
@@ -128,6 +133,7 @@ def measure_teacher_forced(hf, act_quant: bool, seeds=(1, 3, 5, 7)) -> dict:
         ]
     finally:
         qz._ACT_QUANT = old
+        qz._ACT_MIN_DIM = old_min
     return {
         "greedy_agreement": float(
             np.mean([m["greedy_agreement"] for m in per])
@@ -150,7 +156,9 @@ def measure_engine_decode(hf, act_quant: bool, n_requests=4) -> dict:
     from tests.test_engine import GRID, build_request
 
     old = qz._ACT_QUANT
+    old_min = qz._ACT_MIN_DIM
     qz._ACT_QUANT = act_quant
+    qz._ACT_MIN_DIM = 8 if act_quant else old_min
     try:
         lvu = LVUConfig(
             model_name_or_path="tiny", num_frames=8, top_p=0.5,
@@ -199,6 +207,7 @@ def measure_engine_decode(hf, act_quant: bool, n_requests=4) -> dict:
         }
     finally:
         qz._ACT_QUANT = old
+        qz._ACT_MIN_DIM = old_min
 
 
 def measure_7b_shaped_matmul(act_quant: bool) -> dict:
