@@ -117,6 +117,16 @@ def test_flash_int8_qk_matches_dequant_oracle(rng_np):
     # and vs full precision: bounded by quantization noise
     ref_fp = oracle(q, k, v, jnp.int32(length))
     assert np.max(np.abs(np.asarray(got.out) - np.asarray(ref_fp.out))) < 0.05
+    # MARGINAL cost of quantizing q, on top of the int8 cache the mode
+    # requires: must be the same order as the k-quantization error that is
+    # already accepted (q and k rounding are symmetric score perturbations)
+    got_fpq = flash_past_attention(
+        q, kq, vq, jnp.int32(length), scale=SCALE, block_q=128, block_k=256,
+        interpret=True, k_scale=ks, v_scale=vs, int8_qk=False,
+    )
+    err_kv_only = np.max(np.abs(np.asarray(got_fpq.out) - np.asarray(ref_fp.out)))
+    err_marginal = np.max(np.abs(np.asarray(got.out) - np.asarray(got_fpq.out)))
+    assert err_marginal < 2.0 * err_kv_only, (err_marginal, err_kv_only)
 
 
 @pytest.mark.parametrize("li", [0, 2])
