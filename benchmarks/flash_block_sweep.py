@@ -89,6 +89,7 @@ def main():
                         q + carry, kbuf, vbuf, length, scale=scale,
                         causal=True, block_q=bq, block_k=bk, active_cap=ACAP,
                         layer_idx=layer_idx,
+                        k_scale=k_scale, v_scale=v_scale,
                     ).out
                     return out[0, 0, 0].astype(jnp.bfloat16), None
 

@@ -284,7 +284,12 @@ class TestActQuantAccuracy:
 
 
 if __name__ == "__main__":
-    # report mode: numbers for PARITY.md
+    # report mode: numbers for PARITY.md. Force CPU the way conftest does —
+    # the container's sitecustomize already initialized jax for the axon
+    # backend, so the env var alone is too late.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     torch.manual_seed(0)
     from transformers import Qwen2_5_VLForConditionalGeneration
 
