@@ -178,6 +178,35 @@ def _prompt_accum_scores(
     return probs.sum(axis=2).mean(axis=(0, 1))
 
 
+def _group_probs_from_lse(
+    q: Array,  # (Hq, G, D) rotary-applied group queries
+    k_grp: Array,  # (Hkv, G, D) raw group keys
+    lse: Array,  # (Hq, G) global log-sum-exp over past + group
+    scale: float,
+    cfg: TextConfig,
+    causal: bool = True,
+) -> Array:
+    """In-group attention probabilities under the FULL softmax denominator,
+    recovered from the attention kernel's log-sum-exp: prob[q, j] =
+    exp(q·k_j * scale − lse[q]). Head-averaged (G, G) — the operand of the
+    attention-statistics predictors (reference utils.py:64-101 semantics).
+    Works identically for the single-chip flash LSE and the LSE-merged
+    context-parallel partials (lse is replicated after the psum merge)."""
+    g = q.shape[1]
+    hkv = cfg.num_key_value_heads
+    qf = q.reshape(hkv, cfg.num_kv_groups, g, cfg.head_dim)
+    scores = jnp.einsum(
+        "hrqd,hld->hrql",
+        qf.astype(jnp.float32),
+        k_grp.astype(jnp.float32),
+    ) * scale
+    scores = scores.reshape(cfg.num_attention_heads, g, g)
+    probs = jnp.exp(scores - lse[..., None])
+    if causal:
+        probs = jnp.where(attn_ops.causal_mask(g)[None], probs, 0.0)
+    return jnp.mean(probs, axis=0)
+
+
 def layer_step(
     lp: dict,
     x: Array,  # (q_len, C)
@@ -329,21 +358,27 @@ def layer_step(
             )
         if cp and spec.attend_past:
             # context-parallel past: per-shard partials + LSE-merge
-            # collectives over the sp axis (needs_probs predictors are
-            # rejected by the engine for this mode; int8 KV shards its
-            # scale arrays alongside the values); the stacked sharded
-            # cache is addressed at layer `li` in place
+            # collectives over the sp axis (int8 KV shards its scale
+            # arrays alongside the values); the stacked sharded cache is
+            # addressed at layer `li` in place. Attention-statistics
+            # predictors ride for free: the merge's global LSE recovers
+            # in-group probs with no extra collective
             from quickvideo_tpu.parallel.context_parallel import (
                 cp_stacked_grouped_attention,
             )
 
-            out = cp_stacked_grouped_attention(
+            out, cp_lse = cp_stacked_grouped_attention(
                 q, k_grp, v_grp, k_all, v_all, length, li,
                 scale=scale, mesh=spec.cp_mesh, causal=spec.causal,
                 k_scale_all=k_scale_all if spec.kv_quant else None,
                 v_scale_all=v_scale_all if spec.kv_quant else None,
+                return_lse=True,
             )
             group_probs = None
+            if spec.needs_probs:
+                group_probs = _group_probs_from_lse(
+                    q, k_grp, cp_lse, scale, cfg, causal=spec.causal
+                )
         elif hot:
             # unified path: append raw group K/V at [length, length+G), run ONE
             # flash kernel causally over [0, length+G), then (below) overwrite
@@ -390,21 +425,9 @@ def layer_step(
             group_probs = None
             if spec.needs_probs:
                 # probs of group columns under the full denominator, from lse
-                hkv = cfg.num_key_value_heads
-                qf = q.reshape(hkv, cfg.num_kv_groups, spec.q_len, cfg.head_dim)
-                scores = jnp.einsum(
-                    "hrqd,hld->hrql",
-                    qf.astype(jnp.float32),
-                    k_grp.astype(jnp.float32),
-                ) * scale
-                scores = scores.reshape(
-                    cfg.num_attention_heads, spec.q_len, spec.q_len
+                group_probs = _group_probs_from_lse(
+                    q, k_grp, pa.lse, scale, cfg
                 )
-                probs = jnp.exp(scores - pa.lse[..., None])
-                probs = jnp.where(
-                    attn_ops.causal_mask(spec.q_len)[None], probs, 0.0
-                )
-                group_probs = jnp.mean(probs, axis=0)
         elif spec.attend_past:
             out, group_probs = attn_ops.grouped_attention(
                 q, k_grp, v_grp,

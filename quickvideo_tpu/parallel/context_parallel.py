@@ -340,9 +340,16 @@ def cp_stacked_grouped_attention(
     causal: bool = True,
     k_scale_all: Array = None,  # int8 mode (sharded scales)
     v_scale_all: Array = None,
+    return_lse: bool = False,
 ) -> Array:
     """Grouped-prefill attention against the stacked context-parallel past
-    (stacked analogue of cp_grouped_attention)."""
+    (stacked analogue of cp_grouped_attention).
+
+    ``return_lse=True`` also returns the merged global log-sum-exp per
+    (head, query) — the full softmax denominator over past + group. The
+    attention-statistics predictors derive in-group probabilities from it
+    (exp(q·k_grp*scale - lse)) without any extra collective: the LSE merge
+    already rides the psum/pmax of the output merge."""
     pp = cp_stacked_past_attention(
         q, k_all, v_all, length, li, scale=scale, mesh=mesh, axis=axis,
         k_scale_all=k_scale_all, v_scale_all=v_scale_all,
@@ -350,7 +357,9 @@ def cp_stacked_grouped_attention(
     g = q.shape[1]
     mask = causal_mask(g) if causal else None
     pg = _partial_attention(q, k_grp, v_grp, mask, scale)
-    out, _ = merge_partials(pp, pg)
+    out, lse = merge_partials(pp, pg)
+    if return_lse:
+        return out, lse
     return out
 
 

@@ -141,13 +141,6 @@ class LVUEngine:
         # not just in dryrun/unit tests)
         self.cp_mesh = None
         if mesh is not None and mesh.shape.get("sp", 1) > 1:
-            if lvu_cfg.needs_attn_stats:
-                raise ValueError(
-                    "context parallelism (mesh.sp>1) does not support "
-                    "attention-statistics predictors "
-                    f"({lvu_cfg.top_k_predict_type!r}); use a norm-based or "
-                    "query-based predictor"
-                )
             self.cp_mesh = mesh
         self._prefill_jit = jax.jit(
             prefill_step, static_argnames=("spec",), donate_argnames=("cache",)
