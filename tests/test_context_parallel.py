@@ -194,6 +194,22 @@ class TestEngineAutoRouting:
         assert res2.cache_length == res1.cache_length
         np.testing.assert_array_equal(res1.tokens, res2.tokens)
 
+    def test_sp2_query_based_tokens_match(self):
+        """Query-based accumulation under CP: the prompt->key scores are
+        computed on the replicated group keys (shard-independent) and the
+        group probs come from the merged LSE — sp=2 must equal
+        single-device token-for-token."""
+        from quickvideo_tpu.models.qwen25_vl import get_config
+        from quickvideo_tpu.models.qwen25_vl import model as qmodel
+
+        params = qmodel.init_params(
+            get_config("tiny"), seed=0, dtype=jnp.float32
+        )
+        res1 = self._gen({}, params, query_based=True)
+        res2 = self._gen({"sp": 2}, params, query_based=True)
+        assert res2.cache_length == res1.cache_length
+        np.testing.assert_array_equal(res1.tokens, res2.tokens)
+
 
 class TestStackedCP:
     """Stacked-cache cp variants (no layer-view materialization) must match
