@@ -75,9 +75,10 @@ def main():
         f"stacked={STACKED} ideal={ideal_ms:.2f} ms", flush=True,
     )
 
-    def bench(bq, bk, nq_inner=None):
-        if nq_inner is not None:
-            os.environ["QV_FLASH_NQ_INNER"] = str(nq_inner)
+    def bench(bq, bk, nq_inner=0):
+        # nq_inner rides as a STATIC jit arg (not the env var): the env is
+        # read at trace time only, so a combo repeating (bq, bk) would hit
+        # the kernel's jit cache and silently reuse the previous unroll
         def make(R):
             # operands are ARGUMENTS (a zero-arg closure would bake the
             # multi-GB kv stack into the program as constants and ship it to
@@ -90,6 +91,7 @@ def main():
                         causal=True, block_q=bq, block_k=bk, active_cap=ACAP,
                         layer_idx=layer_idx,
                         k_scale=k_scale, v_scale=v_scale,
+                        nq_inner=nq_inner,
                     ).out
                     return out[0, 0, 0].astype(jnp.bfloat16), None
 
@@ -108,7 +110,7 @@ def main():
 
         t_lo, t_hi = run(make(R_LO)), run(make(R_HI))
         per = (t_hi - t_lo) / (R_HI - R_LO) * 1e3
-        tag = f" nqi={nq_inner}" if nq_inner is not None else ""
+        tag = f" nqi={nq_inner}" if nq_inner else ""
         print(f"bq={bq:5d} bk={bk:5d}{tag}  {per:8.2f} ms/call  "
               f"MFU~{ideal_ms/per*100:4.1f}%", flush=True)
 

@@ -72,14 +72,28 @@ def main():
           f"params={PARAM_DTYPE}", flush=True)
 
     def with_vis_act(flag, mk):
-        # _ACT_QUANT_VISION is read at trace time through qdot_vision —
-        # monkeypatch + fresh jit re-traces with the chosen mode
+        # the act-quant gates are read at trace time through qdot_vision /
+        # vision_mlp_act_quant — monkeypatch BOTH (attention-projection and
+        # MLP gates) + fresh jit re-traces with the chosen mode, so the
+        # "[wo]" arms are genuinely weight-only (with default env the MLP
+        # gate alone would leave MLP act-quant on)
         old = qz._ACT_QUANT_VISION
+        old_mlp = qz._ACT_QUANT_VISION_MLP
         qz._ACT_QUANT_VISION = flag
+        qz._ACT_QUANT_VISION_MLP = flag
         try:
             return mk()
         finally:
             qz._ACT_QUANT_VISION = old
+            qz._ACT_QUANT_VISION_MLP = old_mlp
+
+    # production path selection happens inside vision_block at trace time
+    # (QV_VISION_2D + kernel applicability); pre-pad the weights the way the
+    # engine does so the 2D arms measure the production program
+    params = V.add_padded_block_weights(params, vc)
+    use2d_default = os.environ.get("QV_VISION_2D", "1") != "0"
+    print(f"vision path: {'2D padded-head' if use2d_default else '1D'}",
+          flush=True)
 
     for act in (False, True) if PARAM_DTYPE == "int8" else (False,):
         tag = "a8" if act else "wo"
@@ -92,15 +106,21 @@ def main():
 
         orig = V._block_attention
         orig_bda = VA.block_diag_attention
+        orig_bda2 = getattr(VA, "block_diag_attention_2d", None)
         try:
-            # ablate BOTH attention paths (the TPU kernel incl. its
-            # (S,nh,hd)->(nh,S,hd) transposes, and the XLA fallback)
+            # ablate ALL attention paths: the 2D padded-head kernel (the
+            # production path on TPU), the 1D TPU kernel incl. its
+            # (S,nh,hd)->(nh,S,hd) transposes, and the XLA fallback
             V._block_attention = lambda q, k, v, valid, scale: q.astype(
                 jnp.float32
             )
             VA.block_diag_attention = (
                 lambda q, k, v, span, **kw: q.astype(jnp.float32)
             )
+            if orig_bda2 is not None:
+                VA.block_diag_attention_2d = (
+                    lambda q, k, v, span, **kw: q.astype(jnp.float32)
+                )
             noattn = with_vis_act(act, lambda: jax.jit(
                 lambda p, px, a: V.vision_forward(p, px, layout, vc, a)
             ))
@@ -108,16 +128,25 @@ def main():
         finally:
             V._block_attention = orig
             VA.block_diag_attention = orig_bda
+            if orig_bda2 is not None:
+                VA.block_diag_attention_2d = orig_bda2
 
+        # rotary as a separate HBM pass exists only on the 1D path (the 2D
+        # kernel fuses it on VMEM tiles); measure its ablation there and
+        # label it so the arm is not mistaken for a production attribution
         orig_rot = V._apply_vision_rotary
+        os.environ["QV_VISION_2D"] = "0"
         try:
             V._apply_vision_rotary = lambda x, cos, sin: x
             norot = with_vis_act(act, lambda: jax.jit(
                 lambda p, px, a: V.vision_forward(p, px, layout, vc, a)
             ))
-            timeit(f"rotary ablated [{tag}]", norot, params, pixels, la)
+            timeit(f"rotary ablated [1D path, {tag}]",
+                   norot, params, pixels, la)
         finally:
             V._apply_vision_rotary = orig_rot
+            if use2d_default:
+                os.environ.pop("QV_VISION_2D", None)
 
         orig_norm = V._rms_norm
         try:

@@ -178,6 +178,28 @@ def _prompt_accum_scores(
     return probs.sum(axis=2).mean(axis=(0, 1))
 
 
+def _cp_append(
+    k_all, v_all, k_scale_all, v_scale_all, li, length, k_rows, v_rows, spec
+):
+    """Append rows into the context-parallel stacked cache (quantized or
+    not) — single dispatch point for the pruned-compact and raw-group
+    appends so the two branches cannot drift."""
+    from quickvideo_tpu.parallel.context_parallel import (
+        cp_stacked_append,
+        cp_stacked_append_quantized,
+    )
+
+    if spec.kv_quant:
+        return cp_stacked_append_quantized(
+            k_all, v_all, k_scale_all, v_scale_all, li, length,
+            k_rows, v_rows, mesh=spec.cp_mesh,
+        )
+    k_all, v_all = cp_stacked_append(
+        k_all, v_all, li, length, k_rows, v_rows, mesh=spec.cp_mesh
+    )
+    return k_all, v_all, k_scale_all, v_scale_all
+
+
 def _group_probs_from_lse(
     q: Array,  # (Hq, G, D) rotary-applied group queries
     k_grp: Array,  # (Hkv, G, D) raw group keys
@@ -479,23 +501,10 @@ def layer_step(
                     k_all, v_all, li, length, res.k_keep, res.v_keep
                 )
         elif cp:
-            from quickvideo_tpu.parallel.context_parallel import (
-                cp_stacked_append,
-                cp_stacked_append_quantized,
+            k_all, v_all, k_scale_all, v_scale_all = _cp_append(
+                k_all, v_all, k_scale_all, v_scale_all, li, length,
+                res.k_keep, res.v_keep, spec,
             )
-
-            if spec.kv_quant:
-                k_all, v_all, k_scale_all, v_scale_all = (
-                    cp_stacked_append_quantized(
-                        k_all, v_all, k_scale_all, v_scale_all, li, length,
-                        res.k_keep, res.v_keep, mesh=spec.cp_mesh,
-                    )
-                )
-            else:
-                k_all, v_all = cp_stacked_append(
-                    k_all, v_all, li, length, res.k_keep, res.v_keep,
-                    mesh=spec.cp_mesh,
-                )
         elif spec.kv_quant:
             k_buf, v_buf, k_scale_buf, v_scale_buf = kv.layer_append_quantized(
                 k_buf, v_buf, k_scale_buf, v_scale_buf, length,
@@ -509,23 +518,10 @@ def layer_step(
     else:
         if not already_appended:
             if cp:
-                from quickvideo_tpu.parallel.context_parallel import (
-                    cp_stacked_append,
-                    cp_stacked_append_quantized,
+                k_all, v_all, k_scale_all, v_scale_all = _cp_append(
+                    k_all, v_all, k_scale_all, v_scale_all, li, length,
+                    k_grp, v_grp, spec,
                 )
-
-                if spec.kv_quant:
-                    k_all, v_all, k_scale_all, v_scale_all = (
-                        cp_stacked_append_quantized(
-                            k_all, v_all, k_scale_all, v_scale_all, li,
-                            length, k_grp, v_grp, mesh=spec.cp_mesh,
-                        )
-                    )
-                else:
-                    k_all, v_all = cp_stacked_append(
-                        k_all, v_all, li, length, k_grp, v_grp,
-                        mesh=spec.cp_mesh,
-                    )
             elif spec.kv_quant:
                 k_buf, v_buf, k_scale_buf, v_scale_buf = (
                     kv.layer_append_quantized(

@@ -293,6 +293,47 @@ def _pad_head_rows(w, nh: int, hd: int, dp: int):
     return padrows(w)
 
 
+def add_padded_block_weights(vision_params: dict, cfg: VisionConfig) -> dict:
+    """One-time weight prep for the 2D padded-head attention path: add
+    lane-padded copies (`wqkv_p`/`bqkv_p`/`wo_p`) of the STACKED block
+    projection weights. The traced forward consumes these directly —
+    padding inside vision_block re-derives the same tensors per block per
+    group call (weights are jit arguments, so XLA cannot hoist or
+    constant-fold the pads; measured as redundant HBM write+read traffic
+    of the padded qkv/wo weights every forward). Idempotent; returns a new
+    dict sharing every unpadded leaf. Memory cost: (dp/hd − 1) ≈ 60% extra
+    on the qkv/wo leaves only (~130 MB int8 on the 7B tower)."""
+    nh, hd = cfg.num_heads, cfg.head_dim
+    dp = -(-hd // 128) * 128
+    blocks = vision_params.get("blocks")
+    if blocks is None or dp == hd or "wqkv_p" in blocks:
+        return vision_params
+
+    def pad_cols(w):  # (..., G*nh*hd) output-column pad (quantized-aware)
+        return _pad_head_cols(w, nh, hd, dp)
+
+    def pad_rows(w):  # (depth, nh*hd, out) input-row pad, stacked
+        def padrows(a):
+            a4 = a.reshape(a.shape[0], nh, hd, *a.shape[2:])
+            a4 = jnp.pad(
+                a4,
+                [(0, 0), (0, 0), (0, dp - hd)] + [(0, 0)] * (a4.ndim - 3),
+            )
+            return a4.reshape(a.shape[0], nh * dp, *a.shape[2:])
+
+        if is_quantized(w):
+            return {"q8": padrows(w["q8"]), "sc": w["sc"]}
+        return padrows(w)
+
+    new_blocks = dict(blocks)
+    new_blocks["wqkv_p"] = jax.jit(pad_cols)(blocks["wqkv"])
+    new_blocks["bqkv_p"] = jax.jit(pad_cols)(blocks["bqkv"])
+    new_blocks["wo_p"] = jax.jit(pad_rows)(blocks["wo"])
+    out = dict(vision_params)
+    out["blocks"] = new_blocks
+    return out
+
+
 def vision_block(
     bp: dict,
     x: Array,  # (S, C) window order
@@ -347,9 +388,17 @@ def vision_block(
     )
     if use2d:
         va = _va()
-        qkv2 = qdot(
-            h, _pad_head_cols(bp["wqkv"], nh, hd, dp)
-        ).astype(x.dtype) + _pad_head_cols(bp["bqkv"], nh, hd, dp)
+        # padded projection weights: precomputed stacked copies when the
+        # engine prepped them (add_padded_block_weights — one-time, outside
+        # the trace), inline pad otherwise (eager/test callers; inside a jit
+        # this re-pads per block per call, so hot paths should prep)
+        if "wqkv_p" in bp:
+            wqkv_p, bqkv_p, wo_p = bp["wqkv_p"], bp["bqkv_p"], bp["wo_p"]
+        else:
+            wqkv_p = _pad_head_cols(bp["wqkv"], nh, hd, dp)
+            bqkv_p = _pad_head_cols(bp["bqkv"], nh, hd, dp)
+            wo_p = _pad_head_rows(bp["wo"], nh, hd, dp)
+        qkv2 = qdot(h, wqkv_p).astype(x.dtype) + bqkv_p
         q2, k2, v2 = jnp.split(qkv2, 3, axis=-1)
         cos_p = layout_arrays["cos_p"].astype(x.dtype)
         sin_p = layout_arrays["sin_p"].astype(x.dtype)
@@ -380,9 +429,7 @@ def vision_block(
                 ],
                 axis=0,
             )
-        attn_out = qdot(
-            out2, _pad_head_rows(bp["wo"], nh, hd, dp)
-        ).astype(x.dtype) + bp["bo"]
+        attn_out = qdot(out2, wo_p).astype(x.dtype) + bp["bo"]
         return _vision_mlp(bp, x + attn_out, cfg)
 
     qkv = qdot(h, bp["wqkv"]).astype(x.dtype) + bp["bqkv"]

@@ -208,7 +208,7 @@ def _flash_kernel(
     jax.jit,
     static_argnames=(
         "scale", "block_q", "block_k", "interpret", "causal", "active_cap",
-        "int8_qk",
+        "int8_qk", "nq_inner",
     ),
 )
 def flash_past_attention(
@@ -246,6 +246,10 @@ def flash_past_attention(
     # never materializes a (Hkv, capacity, D) layer view — slicing one out
     # copies the whole capacity buffer (~15 GB/token across a 7B stack at
     # 64k capacity, measured; the reason decode was 2.4x off the roofline).
+    nq_inner: int = 0,  # q blocks folded per grid step; 0 = mode default
+    # (4 bf16 / 2 int8). Static (part of the jit cache key) so sweeps that
+    # vary it re-trace instead of silently reusing a cached kernel — the
+    # QV_FLASH_NQ_INNER env read happens at trace time and is NOT keyed.
 ) -> PartialAttn:
     """Pure-past mode (causal=False): attends cache slots [0, length).
     Unified mode (causal=True): the buffer holds [past | appended group];
@@ -327,9 +331,9 @@ def flash_past_attention(
     import os as _os
 
     _default_inner = 2 if k_scale is not None else 4
-    nq_inner = min(
-        int(_os.environ.get("QV_FLASH_NQ_INNER", _default_inner)), nq
-    )
+    if not nq_inner:
+        nq_inner = int(_os.environ.get("QV_FLASH_NQ_INNER", _default_inner))
+    nq_inner = min(nq_inner, nq)
     while nq % nq_inner:
         nq_inner -= 1
     nqh = nq // nq_inner

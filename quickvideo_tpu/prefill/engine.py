@@ -135,6 +135,28 @@ class LVUEngine:
         self.cfg = model_cfg
         self.lvu = lvu_cfg
         self.dtype = dtype
+        # one-time lane-padded copies of the vision qkv/wo weights for the
+        # 2D padded-head attention path (padding inside the traced forward
+        # re-derives them per block per group call — weights are jit
+        # arguments, so XLA cannot hoist the pads)
+        import os as _os
+
+        if (
+            "vision" in params
+            and _os.environ.get("QV_VISION_2D", "1") != "0"
+            and (
+                bool(_os.environ.get("QV_PALLAS_INTERPRET"))
+                or jax.default_backend() not in ("cpu", "gpu")
+            )
+        ):
+            from quickvideo_tpu.models.qwen25_vl.vision import (
+                add_padded_block_weights,
+            )
+
+            self.params = dict(params)
+            self.params["vision"] = add_padded_block_weights(
+                params["vision"], model_cfg.vision
+            )
         # context parallelism: with an sp axis > 1 the KV cache capacity is
         # sharded across the mesh and attention over the past runs as
         # LSE-merged per-shard partials (VERDICT r1 item 5: auto-routed here,
@@ -486,25 +508,30 @@ class LVUEngine:
         capacity = self.plan_capacity(group_input_lens, 0, L - suffix_start)
         if extra_capacity:
             capacity = -(-(capacity + int(extra_capacity)) // 4096) * 4096
+        # under CP the capacity must divide by the sp axis so shards are
+        # equal — AND each shard must stay a multiple of 4096, or the flash
+        # kernel's block_k divisor loop collapses toward 1 on shard
+        # capacities with an odd factor (e.g. sp=3: 65536 -> 65538/3 =
+        # 21846 = 2*3*11*331)
+        quantum = 4096
+        if self.cp_mesh is not None:
+            quantum = 4096 * self.cp_mesh.shape["sp"]
+            capacity = -(-capacity // quantum) * quantum
         if lvu.kv_cache_capacity:
             # fixed capacity pins cache shapes across requests (one compiled
-            # program set regardless of video length, bounded by this cap)
-            if capacity > lvu.kv_cache_capacity:
+            # program set regardless of video length, bounded by this cap).
+            # Align DOWN to the quantum: the configured value is a memory
+            # budget chosen to fit HBM beside the weights, so it is never
+            # silently exceeded (rounding up by quantum-1 slots at sp=3 on
+            # the 7B would over-allocate ~12% of the cache)
+            cap_fixed = (lvu.kv_cache_capacity // quantum) * quantum
+            if capacity > cap_fixed:
                 raise ValueError(
                     f"request needs {capacity} KV slots > configured "
-                    f"kv_cache_capacity={lvu.kv_cache_capacity}"
+                    f"kv_cache_capacity={lvu.kv_cache_capacity} aligned "
+                    f"down to the {quantum}-slot quantum ({cap_fixed})"
                 )
-            # round any user-provided capacity up to the 4096 multiple the
-            # stacked flash kernel's block sizes need (see plan_capacity)
-            capacity = -(-lvu.kv_cache_capacity // 4096) * 4096
-        if self.cp_mesh is not None:
-            # capacity divisible by the sp axis so shards are equal — AND each
-            # shard still a multiple of 4096, or the flash kernel's block_k
-            # divisor loop collapses toward 1 on shard capacities with an odd
-            # factor (e.g. sp=3: 65536 -> 65538/3 = 21846 = 2*3*11*331)
-            sp = self.cp_mesh.shape["sp"]
-            shard_quantum = 4096 * sp
-            capacity = -(-capacity // shard_quantum) * shard_quantum
+            capacity = cap_fixed
         with timer.span("cache_alloc"):
             cache = kvc.init_cache(
                 cfg.text.num_hidden_layers,

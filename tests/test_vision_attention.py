@@ -151,6 +151,16 @@ def test_vision_tower_kernel_path_matches_xla(rng_np, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+    # engine weight prep: precomputed stacked padded leaves (wqkv_p/...)
+    # must give the identical tower output as the inline-pad path above
+    prepped = V.add_padded_block_weights(params, vc)
+    assert "wqkv_p" in prepped["blocks"]
+    out_p = V.vision_forward(prepped, px, layout, vc)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out), rtol=1e-6, atol=1e-6
+    )
+    # idempotent: a second prep call returns the tree unchanged
+    assert V.add_padded_block_weights(prepped, vc) is prepped
 
 
 def test_bucketed_ragged_forward_kernel_matches_xla(monkeypatch):
