@@ -182,13 +182,22 @@ def past_partial_attention(
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         impl = (
             "pallas"
-            if (on_tpu and capacity >= BLOCKWISE_THRESHOLD and not quant)
+            if (on_tpu and capacity >= BLOCKWISE_THRESHOLD)
             else "xla"
         )
-    if impl == "pallas" and not quant:
+    if impl == "pallas":
+        import os as _os
+
         from quickvideo_tpu.ops.flash_attention import flash_past_attention
 
-        return flash_past_attention(q, k_past, v_past, past_length, scale=scale)
+        # the flash kernel consumes int8 caches natively (per-token scale
+        # tiles); an explicit 'pallas' request must not silently downgrade
+        # to the XLA blockwise loop just because the cache is quantized
+        return flash_past_attention(
+            q, k_past, v_past, past_length, scale=scale,
+            k_scale=k_scale, v_scale=v_scale,
+            interpret=bool(_os.environ.get("QV_PALLAS_INTERPRET")),
+        )
     if capacity >= BLOCKWISE_THRESHOLD or quant:
         return _blockwise_partial_attention(
             q, k_past, v_past, past_length, scale,

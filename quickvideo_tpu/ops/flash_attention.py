@@ -19,6 +19,7 @@ path — tests compare the two bit-for-bit-ish (f32 tolerance).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -211,7 +212,7 @@ def _flash_kernel(
         "int8_qk", "nq_inner",
     ),
 )
-def flash_past_attention(
+def _flash_past_attention_impl(
     q: Array,  # (Hq, G, D)
     k_past: Array,  # (Hkv, capacity, D); stacked mode: (L, Hkv, capacity, D)
     v_past: Array,
@@ -265,10 +266,10 @@ def flash_past_attention(
     rep = hq // hkv
     act_dtype = q.dtype  # pre-quantize activation dtype; PV runs in it
     quant = k_scale is not None
-    if int8_qk is None:
-        import os as _os2
-
-        int8_qk = quant and _os2.environ.get("QV_INT8_QK", "1") != "0"
+    # int8_qk arrives RESOLVED (a bool) from the public wrapper: the
+    # QV_INT8_QK env default must be part of the jit cache key, not read
+    # at trace time (an in-process env flip would silently reuse the
+    # cached kernel otherwise — the same hazard nq_inner guards against)
     int8_qk = bool(int8_qk and quant)
     # pre-scale q by scale*log2(e): scores leave the MXU already in log2
     # units, saving one full-tile VPU multiply per kv block in the kernel
@@ -504,3 +505,39 @@ def flash_past_attention(
         .reshape(hq, gq)[:, :g]
     )
     return PartialAttn(out, lse)
+
+
+def flash_past_attention(
+    q: Array,
+    k_past: Array,
+    v_past: Array,
+    length: Array,
+    *,
+    scale: float,
+    block_q: int = 128,
+    block_k: int = 1024,
+    interpret: bool = False,
+    causal: bool = False,
+    k_scale: Array = None,
+    v_scale: Array = None,
+    active_cap: int = 0,
+    int8_qk: bool = None,
+    layer_idx: Array = None,
+    nq_inner: int = 0,
+) -> PartialAttn:
+    """Public entry — see _flash_past_attention_impl for the full operand
+    contract. Resolves the int8-QK default (ON for int8 caches unless
+    QV_INT8_QK=0) HERE, outside the jit, so the resolved bool is part of
+    the jit cache key: an env read inside the traced body would let an
+    in-process flip of QV_INT8_QK silently reuse the stale cached kernel
+    (the jit key would still be int8_qk=None)."""
+    if int8_qk is None:
+        int8_qk = (
+            k_scale is not None and os.environ.get("QV_INT8_QK", "1") != "0"
+        )
+    return _flash_past_attention_impl(
+        q, k_past, v_past, length, scale=scale, block_q=block_q,
+        block_k=block_k, interpret=interpret, causal=causal,
+        k_scale=k_scale, v_scale=v_scale, active_cap=active_cap,
+        int8_qk=bool(int8_qk), layer_idx=layer_idx, nq_inner=nq_inner,
+    )

@@ -75,13 +75,16 @@ def _spans_per_tile(nspan: int, span: int) -> int:
     sequence AND is sublane-aligned (tile rows % 8 == 0 — Mosaic block
     constraint). Returns 0 when no packing satisfies both (caller falls
     back to the XLA path): e.g. odd-span ragged grids."""
+    # every candidate tile obeys the 1536-row cap: the f32 score tile
+    # (tq x tq) must fit VMEM (~16 MB scoped) — without the cap the spt=1
+    # iteration would approve arbitrarily long 8-aligned spans (e.g. a
+    # 2304-row per-frame span -> 21 MB score tile -> Mosaic compile failure
+    # at runtime instead of the designed XLA fallback)
     for spt in range(max(1, 512 // span), 0, -1):
-        if nspan % spt == 0 and (spt * span) % 8 == 0:
+        if nspan % spt == 0 and (spt * span) % 8 == 0 and spt * span <= 1536:
             return spt
-    # spans longer than 512 rows (per-frame full attention). Cap the tile at
-    # 1536 rows: the f32 score tile (tq x tq) must fit VMEM (~16MB scoped).
-    if span % 8 == 0 and span <= 1536:
-        return 1
+    # spans in (512, 1536] rows (per-frame full attention) pack 2 when it
+    # helps sublane alignment
     if nspan % 2 == 0 and (2 * span) % 8 == 0 and 2 * span <= 1536:
         return 2
     return 0

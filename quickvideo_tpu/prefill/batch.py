@@ -87,6 +87,12 @@ class BatchedQAEngine:
 
         # shared geometry validation
         vid_idx = np.nonzero(ids_list[0] == cfg.video_token_id)[0]
+        if len(vid_idx) == 0:
+            raise ValueError(
+                "request 0 contains no video tokens "
+                f"(video_token_id={cfg.video_token_id}); batched QA shares "
+                "one video prefill across requests"
+            )
         ss = int(vid_idx[-1]) + 1  # suffix start, shared
         for r, ids in zip(requests, ids_list):
             if tuple(int(x) for x in r.video_grid_thw) != grid0 or [

@@ -222,13 +222,14 @@ class LVUEngine:
     def _decode_body(self, params, cache, token_id, cos, sin, spec):
         return decode_step(params, cache, token_id, cos, sin, spec)
 
-    def _group_body(
-        self, params_lang, cache, ids_full, cos_full, sin_full, offset,
+    def _group_preamble(
+        self, params_lang, ids_full, cos_full, sin_full, offset,
         vis, prompt_ids, group_idx, spec,
     ):
-        """Whole-group step in ONE compiled program: slice ids/positions at
-        `offset`, embed + vision scatter, run the decoder stack with
-        prune-and-append. Returns the updated cache."""
+        """Shared group-step preamble: slice ids/positions at `offset`,
+        embed + vision scatter, derive the per-group rng. One definition so
+        the uniform (_group_body) and per-layer-spec (_group_unrolled_body)
+        programs cannot drift."""
         in_len = spec.q_len - spec.prompt_len
         g_ids = jax.lax.dynamic_slice(ids_full, (offset,), (in_len,))
         if prompt_ids is not None:
@@ -248,6 +249,19 @@ class LVUEngine:
                 x, vis, g_ids, self.cfg.video_token_id
             )
         rng = jax.random.fold_in(self._base_rng, group_idx)
+        return x, g_cos, g_sin, rng
+
+    def _group_body(
+        self, params_lang, cache, ids_full, cos_full, sin_full, offset,
+        vis, prompt_ids, group_idx, spec,
+    ):
+        """Whole-group step in ONE compiled program: slice ids/positions at
+        `offset`, embed + vision scatter, run the decoder stack with
+        prune-and-append. Returns the updated cache."""
+        x, g_cos, g_sin, rng = self._group_preamble(
+            params_lang, ids_full, cos_full, sin_full, offset,
+            vis, prompt_ids, group_idx, spec,
+        )
         cache, _ = prefill_step(params_lang, cache, x, g_cos, g_sin, rng, spec)
         return cache
 
@@ -255,23 +269,10 @@ class LVUEngine:
         self, params_lang, cache, ids_full, cos_full, sin_full, offset,
         vis, prompt_ids, group_idx, specs,
     ):
-        spec = specs[0]
-        in_len = spec.q_len - spec.prompt_len
-        g_ids = jax.lax.dynamic_slice(ids_full, (offset,), (in_len,))
-        if prompt_ids is not None:
-            g_ids = jnp.concatenate([g_ids, prompt_ids])
-        g_cos = jax.lax.dynamic_slice(
-            cos_full, (offset, 0), (spec.q_len, cos_full.shape[1])
+        x, g_cos, g_sin, rng = self._group_preamble(
+            params_lang, ids_full, cos_full, sin_full, offset,
+            vis, prompt_ids, group_idx, specs[0],
         )
-        g_sin = jax.lax.dynamic_slice(
-            sin_full, (offset, 0), (spec.q_len, sin_full.shape[1])
-        )
-        x = embed_tokens(params_lang, g_ids)
-        if vis is not None:
-            x = qmodel.merge_vision_embeddings(
-                x, vis, g_ids, self.cfg.video_token_id
-            )
-        rng = jax.random.fold_in(self._base_rng, group_idx)
         cache, _ = prefill_step_unrolled(
             params_lang, cache, x, g_cos, g_sin, rng, specs
         )
@@ -492,6 +493,12 @@ class LVUEngine:
         # --- token geometry (reference qwen25_vl.py:464-474) ---
         vid_idx = np.nonzero(ids == cfg.video_token_id)[0]
         n_vid = len(vid_idx)
+        if n_vid == 0:
+            raise ValueError(
+                "input_ids contain no video tokens "
+                f"(video_token_id={cfg.video_token_id}); grouped video "
+                "prefill needs a tokenized video placeholder span"
+            )
         first_vid, last_vid = int(vid_idx[0]), int(vid_idx[-1])
         suffix_start = last_vid + 1
         group_tokens = []
@@ -632,11 +639,11 @@ class LVUEngine:
                         np.int32(gi), spec=base,
                     ))
                 else:
-                    cache = self._group_unrolled_jit(
+                    cache = _maybe_sync(self._group_unrolled_jit(
                         self.params["language"], cache, ids_j, cos, sin,
                         np.int32(past_len), vis, prompt_ids_j,
                         np.int32(gi), specs=self._layer_specs(base),
-                    )
+                    ))
             past_len += in_len
             if self._uniform():
                 logical_len += base.append_n
@@ -713,7 +720,9 @@ class LVUEngine:
         the reference passes generation kwargs straight through to HF
         generate, lvu/lvu.py:45-51)."""
         if top_k is not None and top_k > 0:
-            kth = jnp.sort(logits)[-top_k]
+            # clamp like HF's TopKLogitsWarper: top_k >= vocab is a common
+            # "effectively disabled" value and must not index out of bounds
+            kth = jnp.sort(logits)[-min(int(top_k), logits.shape[-1])]
             logits = jnp.where(logits < kth, -jnp.inf, logits)
         if top_p is not None and 0 < top_p < 1:
             sorted_logits = jnp.sort(logits)[::-1]
