@@ -48,19 +48,40 @@ class LVU:
                 )
 
                 self.params = quantize_model_params(self.params)
-        elif int8_weights:
-            # quantized fast-init WITHOUT materializing the bf16 tree first
-            # (7B bf16 + int8 copies would exceed a 16 GB chip)
-            from quickvideo_tpu.ops.quantization import (
-                init_params_fast_quantized,
-            )
-
-            self.params = init_params_fast_quantized(self.model_config, dtype)
         else:
-            # no checkpoint available (e.g. offline bench): deterministic
-            # fast init at the preset's true shapes — identical
-            # compute/memory profile
-            self.params = qmodel.init_params_fast(self.model_config, dtype)
+            # Not a local checkpoint dir. A name with a "/" is an HF repo id
+            # the caller expected to be real weights — refuse rather than
+            # silently generating fluent nonsense from random weights. Bare
+            # preset names (qwen25-vl-7b, ...) opt into deterministic
+            # fast-init for offline benchmarking at the true shapes.
+            name = config.model_name_or_path or ""
+            if "/" in name:
+                raise ValueError(
+                    f"model_name_or_path {name!r} is not a local directory. "
+                    "Download the checkpoint and pass its path, or pass a "
+                    "preset name (qwen25-vl-3b/7b/72b) to benchmark with "
+                    "deterministic random weights."
+                )
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "No checkpoint at %r: initializing deterministic RANDOM "
+                "weights (%s preset shapes). Generations are meaningless; "
+                "this mode exists for benchmarking only.",
+                name, self.model_config.name,
+            )
+            if int8_weights:
+                # quantized fast-init WITHOUT materializing the bf16 tree
+                # first (7B bf16 + int8 copies would exceed a 16 GB chip)
+                from quickvideo_tpu.ops.quantization import (
+                    init_params_fast_quantized,
+                )
+
+                self.params = init_params_fast_quantized(
+                    self.model_config, dtype
+                )
+            else:
+                self.params = qmodel.init_params_fast(self.model_config, dtype)
         self.tokenizer = load_tokenizer(
             config.model_name_or_path or "", self.model_config
         )

@@ -329,7 +329,13 @@ def layer_step(
             # all video keys (unsplit-sequence semantics, PARITY.md)
             cmask = (col <= row) | (row >= gv)
         pg = attn_ops._partial_attention(q, k_grp, v_grp, cmask, scale)
-        if cp:
+        if not spec.attend_past:
+            # adaptive_local_attention=False in query-based mode: the group
+            # (and its trailing prompt rows) attends only within itself,
+            # matching the non-prompt branch below; K/V still accumulate in
+            # the cache for the final generate
+            out = pg.out
+        elif cp:
             # stacked context-parallel past (takes precedence over the
             # reference-compat mask, which is a single-chip test mode)
             from quickvideo_tpu.parallel.context_parallel import (

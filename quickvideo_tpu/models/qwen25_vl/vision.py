@@ -586,14 +586,9 @@ def vision_forward(
         pixels = jnp.clip(
             jnp.stack([r, g, b], axis=1), 0.0, 255.0
         )
-        # feed the uint8-affine normalize path in float form: emulate the
-        # same scale/bias (values still in 0..255 domain)
-        from quickvideo_tpu.video.preprocess import patch_norm_scale_bias
-
-        # reuse the raw-frames patchify below by keeping (T, C, H, W)
-        pixels = pixels.astype(jnp.float32)
-        # mark for the uint8 normalize branch by NOT casting further; the
-        # 4-D branch below patchifies, then the affine runs on float values
+        # values stay in the 0..255 domain as float32; _yuv_float routes
+        # them through the uint8-affine normalize branch below (after the
+        # shared 4-D patchify)
         _yuv_float = True
     else:
         _yuv_float = False

@@ -112,11 +112,14 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
 
 
 def cache_sharding(mesh: Mesh):
-    """(layers, kv_heads, capacity, head_dim): kv heads over tp."""
+    """(layers, kv_heads, capacity, head_dim): kv heads over tp. The int8
+    scale arrays (layers, kv_heads, capacity) shard on the same head axis."""
     return KVCache(
         k=NamedSharding(mesh, P(None, "tp", None, None)),
         v=NamedSharding(mesh, P(None, "tp", None, None)),
         length=NamedSharding(mesh, P(None)),
+        k_scale=NamedSharding(mesh, P(None, "tp", None)),
+        v_scale=NamedSharding(mesh, P(None, "tp", None)),
     )
 
 
@@ -126,6 +129,14 @@ def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
         k=jax.device_put(cache.k, s.k),
         v=jax.device_put(cache.v, s.v),
         length=jax.device_put(cache.length, s.length),
+        k_scale=(
+            None if cache.k_scale is None
+            else jax.device_put(cache.k_scale, s.k_scale)
+        ),
+        v_scale=(
+            None if cache.v_scale is None
+            else jax.device_put(cache.v_scale, s.v_scale)
+        ),
     )
 
 

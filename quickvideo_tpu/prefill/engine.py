@@ -164,6 +164,19 @@ class LVUEngine:
         self.cp_mesh = None
         if mesh is not None and mesh.shape.get("sp", 1) > 1:
             self.cp_mesh = mesh
+        # tensor parallelism: shard the KV cache's kv-head axis over tp so
+        # appends of tp-sharded K/V rows stay local instead of all-gathering
+        # into a replicated multi-GB buffer (cache_sharding's design,
+        # parallel/sharding.py). CP takes precedence (capacity axis); tp
+        # must divide the kv-head count or the cache stays replicated.
+        self.tp_cache_mesh = None
+        if (
+            mesh is not None
+            and self.cp_mesh is None
+            and mesh.shape.get("tp", 1) > 1
+            and model_cfg.text.num_key_value_heads % mesh.shape["tp"] == 0
+        ):
+            self.tp_cache_mesh = mesh
         self._prefill_jit = jax.jit(
             prefill_step, static_argnames=("spec",), donate_argnames=("cache",)
         )
@@ -563,6 +576,10 @@ class LVUEngine:
                     repl["k_scale"] = jax.device_put(cache.k_scale, sh_sc)
                     repl["v_scale"] = jax.device_put(cache.v_scale, sh_sc)
                 cache = cache.replace(**repl)
+            elif self.tp_cache_mesh is not None:
+                from quickvideo_tpu.parallel.sharding import shard_cache
+
+                cache = shard_cache(cache, self.tp_cache_mesh)
 
         prompt_ids = ids[suffix_start:]
         prompt_len = len(prompt_ids) if lvu.query_based else 0

@@ -211,7 +211,11 @@ class VideoReader:
         """-> (T, C, H, W) uint8 (RGB) or (T, H*W*3/2) (YUV420), resized
         in-decoder."""
         self._apply_output()
-        idx = np.asarray(sorted(int(i) for i in indices), np.int64)
+        req = np.asarray([int(i) for i in indices], np.int64)
+        # decode in presentation order (the native planner requires sorted,
+        # deduplicated indices), then map rows back to REQUEST order — the
+        # deepcodec/decord get_batch contract this surface mirrors
+        idx, inverse = np.unique(req, return_inverse=True)
         out = np.empty((len(idx), *self._frame_shape()), np.uint8)
         r = self._lib.qd_get_batch(
             self._h,
@@ -224,6 +228,8 @@ class VideoReader:
                 f"QuickDecode get_batch failed: "
                 f"{self._lib.qd_last_error(self._h).decode()}"
             )
+        if len(idx) != len(req) or np.any(idx != req):
+            out = out[inverse]
         return out
 
     def worker_stats(self) -> list:

@@ -58,9 +58,14 @@ def backend_priority() -> List[str]:
     return names
 
 
-def open_reader(path: str, num_threads: Optional[int] = None):
+def _resolve_threads(num_threads: Optional[int]) -> int:
     if num_threads is None:
-        num_threads = int(os.environ.get("QUICKCODEC_CORES", "8"))
+        return int(os.environ.get("QUICKCODEC_CORES", "8"))
+    return num_threads
+
+
+def open_reader(path: str, num_threads: Optional[int] = None):
+    num_threads = _resolve_threads(num_threads)
     errors = []
     for name in backend_priority():
         try:
@@ -87,25 +92,46 @@ def plan_from_reader(reader, lvu: LVUConfig) -> pp.VideoPlan:
 
 def decode_video_batch(
     path: str, lvu: LVUConfig
-) -> Tuple[np.ndarray, pp.VideoPlan]:
+) -> Tuple[np.ndarray, pp.VideoPlan, Optional[Tuple[int, int]]]:
     """Sync decode of all sampled frames with in-decoder resize ->
-    (frames TCHW uint8, plan). The qwen25_lvu engine path."""
-    name, reader = open_reader(path, lvu.decode_threads)
-    plan = plan_from_reader(reader, lvu)
-    native_hw = None
-    if lvu.resize_on_device and hasattr(reader, "source_height"):
-        # decode at native size; the vision program resamples on device
-        native_hw = (reader.source_height, reader.source_width)
-    else:
-        reader.height = plan.resized_height
-        reader.width = plan.resized_width
-        if hasattr(reader, "interpolation"):
-            reader.interpolation = "LANCZOS"
-    if lvu.decode_output.lower() == "yuv420" and hasattr(reader, "output_format"):
-        reader.output_format = "YUV420"
-    frames = reader.get_batch(plan.indices.tolist())
-    reader.close()
-    return frames, plan, native_hw
+    (frames TCHW uint8, plan, native_hw). The qwen25_lvu engine path.
+
+    The fallback chain covers the WHOLE decode, not just construction: a
+    backend that opens a file but fails during get_batch (corrupt tail,
+    unsupported feature mid-stream) falls through to the next backend, the
+    reference's on-exception behavior (qwen25_lvu.py:344-348)."""
+    num_threads = _resolve_threads(lvu.decode_threads)
+    errors = []
+    for name in backend_priority():
+        reader = None
+        try:
+            reader = _BACKENDS[name](path, num_threads)
+            plan = plan_from_reader(reader, lvu)
+            native_hw = None
+            if lvu.resize_on_device and hasattr(reader, "source_height"):
+                # decode at native size; the vision program resamples on
+                # device
+                native_hw = (reader.source_height, reader.source_width)
+            else:
+                reader.height = plan.resized_height
+                reader.width = plan.resized_width
+                if hasattr(reader, "interpolation"):
+                    reader.interpolation = "LANCZOS"
+            if lvu.decode_output.lower() == "yuv420" and hasattr(
+                reader, "output_format"
+            ):
+                reader.output_format = "YUV420"
+            frames = reader.get_batch(plan.indices.tolist())
+            reader.close()
+            return frames, plan, native_hw
+        except Exception as e:  # noqa: BLE001 — fallback chain by design
+            errors.append(f"{name}: {e}")
+            if reader is not None:
+                try:
+                    reader.close()
+                except Exception:  # noqa: BLE001 — already failing
+                    pass
+    raise IOError(f"all video backends failed for {path}: {errors}")
 
 
 def build_prefill_inputs_from_frames(

@@ -68,12 +68,26 @@ class AsyncPixelGroups:
         self._q: queue.Queue = queue.Queue(maxsize=lvu.prefetch_depth)
         self._to_device = lvu.prefetch_to_device
         self._exc: Optional[BaseException] = None
+        self._closed = False
         self._thread = threading.Thread(target=self._produce, daemon=True)
         self._thread.start()
+
+    def _put(self, item) -> bool:
+        """Bounded put that aborts when close() was requested (a full queue
+        with a departed consumer must not pin the producer forever)."""
+        while not self._closed:
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _produce(self):
         try:
             for gi, cnt in enumerate(self.plan.group_frame_counts):
+                if self._closed:
+                    return
                 self.reader.frame_iter = cnt
                 t0 = time.perf_counter()
                 block = next(self.reader)  # blocking on native decode
@@ -95,9 +109,14 @@ class AsyncPixelGroups:
 
                     block = jax.device_put(block)
                 self.timer.add("processing", time.perf_counter() - t0)
-                self._q.put(block)
-            self._q.put(_SENTINEL)
+                if not self._put(block):
+                    return
+            self._put(_SENTINEL)
         except BaseException as e:  # noqa: BLE001 — re-raised on consumer side
+            if self._closed:
+                # teardown race, not a decode error: close() tore the reader
+                # down while this thread was mid-iteration
+                return
             self._exc = e
             # best-effort fast wakeup; the consumer also polls self._exc on a
             # timeout so a full queue here cannot turn the error into a hang
@@ -123,4 +142,26 @@ class AsyncPixelGroups:
             yield item
 
     def close(self):
+        """Stop the producer, THEN close the native reader. Closing the
+        handle first would free it under a producer blocked inside
+        qd_next_block (use-after-free); instead: signal stop, drain the
+        queue so a blocked put wakes, and join — the producer exits after
+        its in-flight native call returns."""
+        self._closed = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=60.0)
+        if self._thread.is_alive():
+            # native decode is wedged; leak the handle rather than free it
+            # under a live native call
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "AsyncPixelGroups.close(): producer did not exit within "
+                "60s; leaking the native reader handle"
+            )
+            return
         self.reader.close()

@@ -347,6 +347,55 @@ class TestNonAdaptiveLocalAttention:
         )
         assert res.cache_length == res2.cache_length
 
+    def test_query_based_local_attention_honored(self):
+        """Regression: layer_step's query-based branch (prompt_len > 0) must
+        honor attend_past=False — with a non-empty past, local-only output
+        equals the empty-past output and differs from the attend-past one."""
+        import dataclasses
+
+        from quickvideo_tpu.models.qwen25_vl import language as lang
+        from quickvideo_tpu.models.qwen25_vl.language import StepSpec
+        from quickvideo_tpu.ops import kv_cache as kvc
+
+        T = CFG.text
+        key = jax.random.PRNGKey(0)
+        lparams = lang.init_language_params(T, key, dtype=jnp.float32)
+        lp = jax.tree.map(lambda a: a[0], lparams["layers"])
+        q_len, prompt_len, past = 12, 4, 8
+        x = jax.random.normal(
+            jax.random.PRNGKey(1), (q_len, T.hidden_size), jnp.float32
+        )
+        cos = jnp.ones((q_len, T.head_dim), jnp.float32)
+        sin = jnp.zeros((q_len, T.head_dim), jnp.float32)
+        cache = kvc.init_cache(
+            T.num_hidden_layers, T.num_key_value_heads, 64, T.head_dim,
+            dtype=jnp.float32,
+        )
+        k_all = jax.random.normal(
+            jax.random.PRNGKey(2), cache.k.shape, jnp.float32
+        )
+        v_all = jax.random.normal(
+            jax.random.PRNGKey(3), cache.v.shape, jnp.float32
+        )
+        spec_on = StepSpec(
+            cfg=T, q_len=q_len, keep_k=0, prompt_len=prompt_len,
+            predict_type="query_attention_weights", attn_impl="xla",
+        )
+        spec_off = dataclasses.replace(spec_on, attend_past=False)
+        rng = jax.random.PRNGKey(4)
+
+        def run(spec, length):
+            out = lang.layer_step(
+                lp, x, cos, sin, k_all, v_all, jnp.int32(length), rng, spec
+            )
+            return np.asarray(out[0])
+
+        out_on = run(spec_on, past)
+        out_off = run(spec_off, past)
+        out_empty = run(spec_on, 0)
+        assert not np.allclose(out_on, out_off)
+        np.testing.assert_allclose(out_off, out_empty, rtol=1e-5, atol=1e-5)
+
     def test_local_equals_adaptive_for_single_group(self, params):
         """With one group there is no past — both modes identical."""
         ids, pixels, _, _ = build_request(groups_t=(4,))

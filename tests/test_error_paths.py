@@ -95,6 +95,36 @@ def test_mesh_config_validation():
     assert cfg.num_devices == 4
 
 
+def test_hf_repo_id_without_local_checkpoint_rejected():
+    """A repo-id path ('Org/Model') with no local checkpoint must raise, not
+    silently fall back to random weights that generate fluent nonsense."""
+    from quickvideo_tpu.api import LVU
+
+    with pytest.raises(ValueError, match="not a local directory"):
+        LVU(LVUConfig(model_name_or_path="Qwen/Qwen2.5-VL-7B-Instruct"))
+
+
+def test_stream_close_stops_producer_before_reader(tmp_path):
+    """close() mid-stream: the producer thread must be joined BEFORE the
+    native reader handle is freed (a producer blocked inside qd_next_block
+    on a freed handle is UB), and close() must not hang on a full queue."""
+    if not qd.is_available():
+        pytest.skip("native decoder not built")
+    from quickvideo_tpu.video.stream import AsyncPixelGroups
+
+    path = str(tmp_path / "close_race.mp4")
+    qd.encode_test_video(path, width=160, height=128, nframes=64, fps=8, gop=8)
+    lvu = LVUConfig(
+        model_name_or_path="tiny", num_frames=32, video_group_size=4,
+        prefetch_depth=1,  # tiny queue: producer blocks on put mid-video
+    )
+    stream = AsyncPixelGroups(path, lvu)
+    next(iter(stream))  # producer is live and mid-pipeline
+    stream.close()
+    assert not stream._thread.is_alive()
+    assert stream.reader._h is None  # handle really was closed, post-join
+
+
 def test_stream_producer_error_survives_full_queue():
     """ADVICE r1: a producer exception with a full bounded queue must reach
     the consumer as a raised error, not a hang — the consumer polls _exc on

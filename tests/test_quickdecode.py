@@ -67,6 +67,19 @@ class TestVideoReader:
         assert batch.shape == (1, 3, 128, 160)
         assert abs(rgb_to_frame_index(batch[0]) - 5) <= 2
 
+    def test_get_batch_request_order(self, fixture_video):
+        """get_batch returns frames in REQUEST order (deepcodec/decord
+        contract), including duplicates — decode happens in presentation
+        order internally, rows are mapped back."""
+        vr = qd.VideoReader(fixture_video, num_threads=2)
+        idx = [50, 3, 99, 3, 27]
+        batch = vr.get_batch(idx)
+        assert batch.shape[0] == len(idx)
+        for j, i in enumerate(idx):
+            got = rgb_to_frame_index(batch[j])
+            assert abs(got - i) <= 2, f"row {j}: wanted frame {i}, got ~{got}"
+        np.testing.assert_array_equal(batch[1], batch[3])
+
     def test_thread_counts_agree(self, fixture_video):
         idx = list(range(0, 120, 7))
         ref = None

@@ -57,6 +57,27 @@ def test_tp_sharded_matches_unsharded():
     assert int(cache_s.length[0]) == keep
 
 
+def test_shard_cache_preserves_int8_scales():
+    """shard_cache of a quantized cache must carry k_scale/v_scale (dropping
+    them silently flips cache.quantized and corrupts int8 attention)."""
+    mesh = make_mesh(MeshConfig(dp=1, tp=2, sp=1), jax.devices()[:2])
+    cache = kvc.init_cache(
+        T.num_hidden_layers, T.num_key_value_heads, 256, T.head_dim,
+        dtype=jnp.float32, quantized=True,
+    )
+    sc = shard_cache(cache, mesh)
+    assert sc.quantized
+    assert sc.k_scale.shape == cache.k_scale.shape
+    assert sc.v_scale.shape == cache.v_scale.shape
+    # kv-head axis sharded over tp for values and scales alike
+    assert sc.k.sharding.spec == jax.sharding.PartitionSpec(
+        None, "tp", None, None
+    )
+    assert sc.k_scale.sharding.spec == jax.sharding.PartitionSpec(
+        None, "tp", None
+    )
+
+
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 
