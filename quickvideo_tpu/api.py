@@ -132,3 +132,12 @@ class LVU:
         return ChatSession(
             self, video_path, reserve_turns=reserve_turns, **video_kwargs
         )
+
+    def resume_chat(self, path: str):
+        """Resume a `ChatSession.save()`d session: the pruned video KV cache
+        loads from disk, so the first follow-up costs an incremental ask
+        (<1 s) instead of a full decode + video prefill. The live config
+        must match the saved session's pruning/dtype fields exactly."""
+        from quickvideo_tpu.chat import ChatSession
+
+        return ChatSession.load(self, path)

@@ -24,12 +24,53 @@ Usage:
 
 from __future__ import annotations
 
+import json
 from typing import List, Optional
 
 import numpy as np
 
 from quickvideo_tpu.tokenization import special_ids
 from quickvideo_tpu.utils.timing import SpanTimer
+
+SESSION_FORMAT_VERSION = 1
+
+
+def _session_fingerprint(lvu) -> dict:
+    """Config fields a saved session's KV depends on. A resume under a
+    different value of ANY of these would silently change semantics (the
+    cached KV was pruned/quantized/positioned under the saved values)."""
+    c = lvu.config
+    return {
+        "model": c.model_name_or_path,
+        "model_type": c.model_type,
+        "predict_type": c.top_k_predict_type,
+        "top_p": c.top_p,
+        "top_k": c.top_k,
+        "group": c.video_group_size,
+        "dtype": c.dtype,
+        "param_dtype": c.param_dtype,
+        "kv_dtype": c.kv_cache_dtype,
+        "decay": (c.top_k_decay_type, c.top_k_decay_factor),
+        "prune_start": c.prefill_prune_starting_layer,
+    }
+
+
+def _pack_array(a) -> "tuple[np.ndarray, str]":
+    """numpy-serializable view + dtype tag (bf16 has no portable npy repr)."""
+    import jax.numpy as jnp
+
+    a = np.asarray(a)
+    if a.dtype == jnp.bfloat16:
+        return a.view(np.uint16), "bfloat16"
+    return a, str(a.dtype)
+
+
+def _unpack_array(a: np.ndarray, tag: str) -> np.ndarray:
+    import jax.numpy as jnp
+
+    if tag == "bfloat16":
+        return a.view(jnp.bfloat16)
+    return a.astype(np.dtype(tag), copy=False)
 
 
 class ChatSession:
@@ -229,3 +270,132 @@ class ChatSession:
             "timings": dict(timer.totals()),
         })
         return text
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Serialize the session — pruned video KV cache and all turn state —
+        to one .npz so a LATER PROCESS resumes follow-ups at incremental
+        cost (LVU.resume_chat). The reference persists only decoded frames
+        (save_video_cache, reference lvu/models/qwen25_lvu.py:552-592); a
+        resumed frame cache still pays the full prefill every session. Only
+        populated cache slots are written: an hour-long rho=0.5 int8 session
+        is ~1.5 GB on disk (7B), a 1024-frame one ~500 MB."""
+        if self._cache is None:
+            raise RuntimeError(
+                "nothing to save: ask at least one question first"
+            )
+        cache = self._cache
+        length = np.asarray(cache.length)
+        hi = int(length.max())
+        k, k_dtype = _pack_array(cache.k[:, :, :hi])
+        v, v_dtype = _pack_array(cache.v[:, :, :hi])
+        arrays = {
+            "k": k,
+            "v": v,
+            "length": length,
+            "ids": self._ids,
+            "tail": np.asarray(self._tail, np.int64),
+            "pos_prefix": np.asarray(self._pos_prefix),
+        }
+        if cache.quantized:
+            arrays["k_scale"] = np.asarray(cache.k_scale[:, :, :hi])
+            arrays["v_scale"] = np.asarray(cache.v_scale[:, :, :hi])
+        meta = {
+            "version": SESSION_FORMAT_VERSION,
+            "fingerprint": _session_fingerprint(self.lvu),
+            "k_dtype": k_dtype,
+            "v_dtype": v_dtype,
+            "capacity": int(cache.k.shape[2]),
+            "cache_len": int(self._cache_len),
+            "delta": int(self._delta),
+            "ss0": int(self._ss0),
+            "reserve": int(self._reserve),
+            "video_path": self.video_path,
+            "turns": [
+                {k2: v2 for k2, v2 in t.items() if k2 != "timings"}
+                for t in self.turns
+            ],
+        }
+        with open(path, "wb") as f:
+            np.savez(f, meta=json.dumps(meta), **arrays)
+
+    @classmethod
+    def load(cls, lvu, path: str) -> "ChatSession":
+        """Rebuild a saved session under `lvu`. The live config must match
+        the saved session's KV-semantics fields exactly (fingerprint check):
+        the cached KV was pruned and positioned under those values."""
+        import jax.numpy as jnp
+
+        from quickvideo_tpu.ops.kv_cache import KVCache
+
+        data = np.load(path, allow_pickle=False)
+        meta = json.loads(str(data["meta"]))
+        if meta["version"] != SESSION_FORMAT_VERSION:
+            raise ValueError(
+                f"session file version {meta['version']} != "
+                f"{SESSION_FORMAT_VERSION}"
+            )
+        want = _session_fingerprint(lvu)
+        got = meta["fingerprint"]
+        # JSON round-trips tuples as lists; normalize before comparing
+        norm = lambda d: json.loads(json.dumps(d))  # noqa: E731
+        if norm(want) != norm(got):
+            diff = {
+                k: (got.get(k), norm(want)[k])
+                for k in norm(want)
+                if got.get(k) != norm(want)[k]
+            }
+            raise ValueError(
+                f"saved session's config does not match this LVU's "
+                f"(saved, current): {diff}"
+            )
+        if getattr(lvu.engine, "cp_mesh", None) is not None:
+            raise NotImplementedError(
+                "resuming a session into a context-parallel engine is not "
+                "supported; resume single-chip or tp-only"
+            )
+        session = cls(lvu, meta["video_path"])
+        session._reserve = meta["reserve"]
+        k = _unpack_array(data["k"], meta["k_dtype"])
+        v = _unpack_array(data["v"], meta["v_dtype"])
+        L, H, hi, D = k.shape
+        capacity = meta["capacity"]
+        quantized = "k_scale" in data
+
+        def grow(a, fill_dtype):
+            full = np.zeros(a.shape[:2] + (capacity,) + a.shape[3:],
+                            dtype=fill_dtype)
+            full[:, :, :hi] = a
+            return jnp.asarray(full)
+
+        cache = KVCache(
+            k=grow(k, k.dtype),
+            v=grow(v, v.dtype),
+            length=jnp.asarray(data["length"], jnp.int32),
+            k_scale=(
+                grow(data["k_scale"][..., None], np.float32)[..., 0]
+                if quantized else None
+            ),
+            v_scale=(
+                grow(data["v_scale"][..., None], np.float32)[..., 0]
+                if quantized else None
+            ),
+        )
+        if getattr(lvu.engine, "tp_cache_mesh", None) is not None:
+            from quickvideo_tpu.parallel.sharding import shard_cache
+
+            cache = shard_cache(cache, lvu.engine.tp_cache_mesh)
+        else:
+            import jax
+
+            cache = jax.device_put(cache)
+        session._cache = cache
+        session._cache_len = meta["cache_len"]
+        session._delta = meta["delta"]
+        session._ss0 = meta["ss0"]
+        session._ids = np.asarray(data["ids"], np.int64)
+        session._tail = [int(t) for t in data["tail"]]
+        session._pos_prefix = np.asarray(data["pos_prefix"])
+        session.turns = list(meta["turns"])
+        return session

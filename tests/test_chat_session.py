@@ -83,6 +83,80 @@ def test_follow_up_is_incremental(clip):
     assert session._cache_len > len1
 
 
+def test_save_resume_matches_uninterrupted(clip, tmp_path):
+    """A session saved after turn 1 and resumed in a FRESH LVU must answer
+    turn 2 with exactly the tokens the uninterrupted session produces."""
+    lvu = make_lvu()
+    session = lvu.start_chat(clip, reserve_turns=4)
+    session.ask("Describe the video.", max_new_tokens=6)
+    a2 = session.ask("What else?", max_new_tokens=6)
+    t2 = session.turns[1]["tokens"]
+
+    lvu_b = make_lvu()
+    session_b = lvu_b.start_chat(clip, reserve_turns=4)
+    session_b.ask("Describe the video.", max_new_tokens=6)
+    path = str(tmp_path / "session.npz")
+    session_b.save(path)
+
+    lvu_c = make_lvu()
+    resumed = lvu_c.resume_chat(path)
+    assert len(resumed.turns) == 1
+    a2_resumed = resumed.ask("What else?", max_new_tokens=6)
+    assert resumed.turns[-1]["tokens"] == t2
+    assert a2_resumed == a2
+    # the resumed ask is incremental: no decode/vision spans
+    timings = resumed.turns[-1]["timings"]
+    assert "frame_fetch" not in timings and "vision" not in timings
+
+
+def test_save_resume_int8_cache(clip, tmp_path):
+    """int8 KV sessions round-trip values AND scales."""
+    def make():
+        return LVU(LVUConfig(
+            model_name_or_path="tiny", model_type="qwen25_lvu",
+            video_group_size=4, top_p=0.5, num_frames=8,
+            max_decode_tokens=16, dtype="float32",
+            kv_cache_dtype="int8",
+        ))
+
+    lvu = make()
+    session = lvu.start_chat(clip, reserve_turns=4)
+    session.ask("Describe.", max_new_tokens=4)
+    a2 = session.ask("More?", max_new_tokens=4)
+
+    lvu_b = make()
+    sb = lvu_b.start_chat(clip, reserve_turns=4)
+    sb.ask("Describe.", max_new_tokens=4)
+    path = str(tmp_path / "s8.npz")
+    sb.save(path)
+    resumed = make().resume_chat(path)
+    assert resumed._cache.quantized
+    assert resumed.ask("More?", max_new_tokens=4) == a2
+
+
+def test_resume_fingerprint_mismatch_raises(clip, tmp_path):
+    lvu = make_lvu()
+    session = lvu.start_chat(clip, reserve_turns=2)
+    session.ask("Describe.", max_new_tokens=4)
+    path = str(tmp_path / "s.npz")
+    session.save(path)
+
+    other = LVU(LVUConfig(
+        model_name_or_path="tiny", model_type="qwen25_lvu",
+        video_group_size=4, top_p=0.25,  # different pruning ratio
+        num_frames=8, max_decode_tokens=16, dtype="float32",
+    ))
+    with pytest.raises(ValueError, match="does not match"):
+        other.resume_chat(path)
+
+
+def test_save_before_first_ask_raises(clip):
+    lvu = make_lvu()
+    session = lvu.start_chat(clip)
+    with pytest.raises(RuntimeError, match="ask at least one"):
+        session.save("/tmp/never.npz")
+
+
 def test_reserve_exhaustion_raises(clip):
     lvu = make_lvu()
     session = lvu.start_chat(clip, reserve_turns=0)
