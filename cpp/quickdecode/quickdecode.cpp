@@ -242,6 +242,11 @@ bool build_index(const std::string& path, StreamInfo* info, std::string* err) {
 
   std::vector<std::pair<int64_t, uint8_t>> samples;  // (ts, key)
   int n_entries = avformat_index_get_entries_count(st);
+  // AVIndexEntry timestamps are DECODE-order (dts): only usable as frame
+  // identities when the stream has no B-frame reordering (video_delay==0);
+  // otherwise a full packet scan collects true presentation pts per frame
+  // (demux-only — no decoding — so still linear and IO-bound)
+  if (st->codecpar->video_delay > 0) n_entries = 0;
   if (n_entries > 0) {
     samples.reserve(n_entries);
     for (int i = 0; i < n_entries; i++) {
@@ -289,6 +294,18 @@ int64_t keyframe_at_or_before(const StreamInfo& si, int64_t target) {
 
 struct Reader;
 
+// While decoding a GOP prefix toward a wanted frame, packets whose own
+// presentation timestamp is NOT a wanted frame run under AVDISCARD_NONREF:
+// the decoder drops them only if nothing else references them (B-frames in
+// typical movie GOPs), so reference chains — and every wanted frame — are
+// untouched by construction. GOP skipping bounds WHICH frames are decoded;
+// this bounds HOW MUCH of each retained prefix does full motion-comp/IDCT
+// work. Reference movies are B-heavy; QD_SKIP_NONREF=0 opts out.
+static bool skip_nonref_enabled() {
+  const char* e = getenv("QD_SKIP_NONREF");
+  return !e || e[0] != '0';
+}
+
 // Decode frames [from_key .. last_wanted] in one sequential pass; for each
 // ordinal in `wanted` (sorted subset of that range) call sink(ordinal,
 // frame).
@@ -318,6 +335,12 @@ bool decode_pass(DecodeCtx& ctx, const StreamInfo& si, int64_t from_key,
   bool have_held = false;
   int64_t ordinal = from_key - 1;  // incremented on each output frame
   size_t widx = 0;
+  // non-ref skipping needs PTS-verified ordinals (a counter desyncs the
+  // moment a frame is dropped inside the decoder); armed after the first
+  // output frame whose PTS maps exactly into the stream index
+  const bool allow_skip = skip_nonref_enabled();
+  bool pts_ok = false;
+  ctx.dec->skip_frame = AVDISCARD_DEFAULT;
   bool done = false, draining = false;
   while (!done) {
     if (!draining) {
@@ -330,6 +353,22 @@ bool decode_pass(DecodeCtx& ctx, const StreamInfo& si, int64_t from_key,
           av_packet_unref(pkt);
           continue;
         }
+        // per-packet skip decision from the packet's OWN presentation
+        // position: only frames that are not wanted run under NONREF, and
+        // the decoder drops those only when nothing references them.
+        // Armed once output pts-mapping is verified (pts_ok) — dropped
+        // frames make the ordinal counter fallback unusable, so skipping
+        // must never start before pts-exact delivery is established.
+        ctx.dec->skip_frame = AVDISCARD_DEFAULT;
+        if (allow_skip && pts_ok && pkt->pts != AV_NOPTS_VALUE) {
+          auto it = std::lower_bound(si.frame_ts.begin(), si.frame_ts.end(),
+                                     pkt->pts);
+          if (it != si.frame_ts.end() && *it == pkt->pts) {
+            int64_t pord = it - si.frame_ts.begin();
+            if (!std::binary_search(wanted.begin(), wanted.end(), pord))
+              ctx.dec->skip_frame = AVDISCARD_NONREF;
+          }
+        }
         avcodec_send_packet(ctx.dec, pkt);
         av_packet_unref(pkt);
       }
@@ -340,6 +379,23 @@ bool decode_pass(DecodeCtx& ctx, const StreamInfo& si, int64_t from_key,
       if (r == AVERROR_EOF) { done = true; break; }
       if (r < 0) { done = true; break; }
       ordinal++;
+      // presentation-exact ordinal from the frame's timestamp (the stream
+      // index holds every frame's pts in presentation order); the counter
+      // above is the fallback for streams without usable timestamps
+      int64_t fpts = frame->best_effort_timestamp;
+      if (fpts == AV_NOPTS_VALUE) fpts = frame->pts;
+      if (fpts != AV_NOPTS_VALUE) {
+        auto it = std::lower_bound(si.frame_ts.begin(), si.frame_ts.end(),
+                                   fpts);
+        if (it != si.frame_ts.end() && *it == fpts) {
+          ordinal = it - si.frame_ts.begin();
+          pts_ok = true;
+        } else {
+          pts_ok = false;
+        }
+      } else {
+        pts_ok = false;
+      }
       ctx.stat_coded++;
       while (widx < wanted.size() && wanted[widx] < ordinal) widx++;
       if (widx < wanted.size() && wanted[widx] == ordinal) {
@@ -823,7 +879,8 @@ int qd_worker_stats(void* h, int64_t* out, int max_rows) {
 // ---------------------------------------------------------------------------
 
 static int qd_encode_impl(const char* path, int width, int height,
-                          int nframes, int fps, int gop, int textured) {
+                          int nframes, int fps, int gop, int textured,
+                          int bframes = 0) {
   avformat_network_deinit();
   AVFormatContext* fmt = nullptr;
   if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0)
@@ -837,11 +894,12 @@ static int qd_encode_impl(const char* path, int width, int height,
   enc->pix_fmt = AV_PIX_FMT_YUV420P;
   enc->time_base = {1, fps};
   enc->gop_size = gop;
-  enc->max_b_frames = 0;
+  enc->max_b_frames = bframes;
   // signal low_delay in the VOL header: without it the mpeg4 decoder keeps a
   // one-frame reorder buffer and (in this FFmpeg build) drops the final
-  // frame at flush
-  enc->flags |= AV_CODEC_FLAG_LOW_DELAY;
+  // frame at flush. Incompatible with B-frames (they need the reorder
+  // buffer), so B-frame fixtures rely on the held-frame tail clamp instead.
+  if (bframes == 0) enc->flags |= AV_CODEC_FLAG_LOW_DELAY;
   enc->strict_std_compliance = FF_COMPLIANCE_UNOFFICIAL;
   enc->bit_rate = (int64_t)width * height * fps / 2;
   if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
@@ -928,6 +986,15 @@ int qd_encode_test_video(const char* path, int width, int height, int nframes,
 int qd_encode_textured_video(const char* path, int width, int height,
                              int nframes, int fps, int gop) {
   return qd_encode_impl(path, width, height, nframes, fps, gop, 1);
+}
+
+// Full-control fixture encoder: `bframes` > 0 emits B-frames (BluRay-like
+// GOP structure — the content the non-ref prefix skipping exists for).
+int qd_encode_test_video_ex(const char* path, int width, int height,
+                            int nframes, int fps, int gop, int textured,
+                            int bframes) {
+  return qd_encode_impl(path, width, height, nframes, fps, gop, textured,
+                        bframes);
 }
 
 }  // extern "C"

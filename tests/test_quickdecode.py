@@ -80,6 +80,80 @@ class TestVideoReader:
             assert abs(got - i) <= 2, f"row {j}: wanted frame {i}, got ~{got}"
         np.testing.assert_array_equal(batch[1], batch[3])
 
+    def test_bframe_stream_exact_and_nonref_skip(self, tmp_path):
+        """B-frame streams (BluRay-like GOPs): delivery stays presentation-
+        exact via PTS ordinal mapping, and prefix non-reference frames are
+        SKIPPED inside the decoder when not wanted (QD_SKIP_NONREF,
+        default on) — same bytes out, ~half the coded frames."""
+        import os
+
+        path = str(tmp_path / "bframes.mp4")
+        qd.encode_test_video(
+            path, width=160, height=128, nframes=192, fps=24, gop=24,
+            bframes=2,
+        )
+
+        def run(env_off):
+            if env_off:
+                os.environ["QD_SKIP_NONREF"] = "0"
+            try:
+                vr = qd.VideoReader(path, num_threads=2)
+                idx = sorted(set(list(range(0, 192, 5)) + [7, 13, 22]))
+                batch = vr.get_batch(idx)
+                coded = sum(
+                    s["coded_frames"] for s in vr.worker_stats()
+                )
+                vr.close()
+                return idx, batch, coded
+            finally:
+                os.environ.pop("QD_SKIP_NONREF", None)
+
+        idx, b_on, coded_on = run(env_off=False)
+        _, b_off, coded_off = run(env_off=True)
+        for j, i in enumerate(idx):
+            got = rgb_to_frame_index(b_on[j])
+            assert abs(got - i) <= 2, f"row {j}: wanted {i}, got ~{got}"
+        np.testing.assert_array_equal(b_on, b_off)
+        # ~every 5th frame wanted, 2 of 3 frames are non-ref Bs: the skip
+        # must remove a large fraction of the prefix decode work
+        assert coded_on < 0.7 * coded_off, (coded_on, coded_off)
+
+    def test_bframe_dense_decode_untouched(self, tmp_path):
+        """When every frame is wanted nothing may be skipped."""
+        path = str(tmp_path / "bdense.mp4")
+        qd.encode_test_video(
+            path, width=160, height=128, nframes=72, fps=24, gop=24,
+            bframes=2,
+        )
+        vr = qd.VideoReader(path, num_threads=1)
+        batch = vr.get_batch(list(range(72)))
+        coded = sum(s["coded_frames"] for s in vr.worker_stats())
+        vr.close()
+        for i in range(72):
+            got = rgb_to_frame_index(batch[i])
+            assert abs(got - i) <= 2, (i, got)
+        assert coded >= 72
+
+    def test_bframe_interleaved_stream(self, tmp_path):
+        """The streaming (interleaved) path delivers B-frame content in
+        order through the same PTS-mapped decode."""
+        path = str(tmp_path / "bstream.mp4")
+        qd.encode_test_video(
+            path, width=160, height=128, nframes=96, fps=24, gop=24,
+            bframes=2,
+        )
+        vr = qd.InterleavedVideoReader(path, num_threads=2, num_intervals=4)
+        idx = list(range(0, 96, 3))
+        vr.process(idx)
+        vr.frame_iter = 8
+        got = []
+        for block in vr:
+            got.extend(rgb_to_frame_index(f) for f in block)
+        vr.close()
+        assert len(got) == len(idx)
+        for want, g in zip(idx, got):
+            assert abs(g - want) <= 2, (want, g)
+
     def test_thread_counts_agree(self, fixture_video):
         idx = list(range(0, 120, 7))
         ref = None
