@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-turn chat REPL: the video prefills once and "
                         "every follow-up reuses the resident KV cache "
                         "(~0.5 s/answer; quickvideo_tpu.chat.ChatSession)")
+    p.add_argument("--session_file", default=None,
+                   help="with --interactive: resume the chat session from "
+                        "this .npz if it exists (skips decode AND the video "
+                        "prefill) and save it back on exit")
     return p
 
 
@@ -94,9 +98,15 @@ def main(argv=None):
     )
     lvu = LVU(cfg)
     if args.interactive:
+        import os
         import time
 
-        session = lvu.start_chat(video)
+        if args.session_file and os.path.exists(args.session_file):
+            session = lvu.resume_chat(args.session_file)
+            print(f"[chat] resumed session from {args.session_file} "
+                  f"({len(session.turns)} prior turns)")
+        else:
+            session = lvu.start_chat(video)
         queued = list(args.question or [])
         print("[chat] interactive session — empty line or Ctrl-D to exit")
         while True:
@@ -119,6 +129,9 @@ def main(argv=None):
                 }))
             else:
                 print(f"A ({dt:.1f}s): {answer}")
+        if args.session_file and session.turns:
+            session.save(args.session_file)
+            print(f"[chat] session saved to {args.session_file}")
         return 0
     questions = args.question or ["Describe this video."]
     for q in questions:

@@ -72,3 +72,41 @@ def test_interactive_chat_mode(tmp_path, capsys):
     assert rows[1]["question"] == "What else?"
     # follow-up must be much faster than the prefill turn
     assert rows[1]["turn_s"] < rows[0]["turn_s"]
+
+
+def test_interactive_session_file_roundtrip(tmp_path, capsys):
+    """--session_file saves the chat session on exit and resumes from it on
+    the next invocation (follow-ups skip decode AND the video prefill)."""
+    import io
+    import json as _json
+    import sys as _sys
+
+    from quickvideo_tpu.lvu_cli import main
+    from quickvideo_tpu.video import quickdecode as qd
+
+    video = str(tmp_path / "clip.mp4")
+    qd.encode_test_video(video, 112, 112, nframes=32, fps=8, gop=8)
+    sess = str(tmp_path / "sess.npz")
+    base = [
+        "--video_path", video, "--model_name_or_path", "tiny",
+        "--model_type", "qwen25_lvu", "--dtype", "float32",
+        "--num_frames", "8", "--video_group_size", "4",
+        "--interactive", "--json", "--max_new_tokens", "4",
+        "--session_file", sess,
+    ]
+    old = _sys.stdin
+    _sys.stdin = io.StringIO("")
+    try:
+        assert main(base + ["--question", "Describe the clip."]) == 0
+        first = capsys.readouterr().out
+        assert main(base + ["--question", "What else?"]) == 0
+        second = capsys.readouterr().out
+    finally:
+        _sys.stdin = old
+    assert "session saved" in first
+    assert "resumed session" in second
+    rows = [
+        _json.loads(line) for line in second.splitlines()
+        if line.startswith("{")
+    ]
+    assert rows and rows[0]["question"] == "What else?"
