@@ -154,6 +154,35 @@ class TestVideoReader:
         for want, g in zip(idx, got):
             assert abs(g - want) <= 2, (want, g)
 
+    def test_truncated_file_fails_cleanly(self, tmp_path):
+        """A truncated mp4 (moov atom lost) must raise a clean IOError at
+        open — never crash — so the reader fallback chain can take over."""
+        src = str(tmp_path / "whole.mp4")
+        qd.encode_test_video(src, 160, 128, nframes=48, fps=12, gop=12)
+        cut = str(tmp_path / "cut.mp4")
+        data = open(src, "rb").read()
+        open(cut, "wb").write(data[: len(data) // 2])
+        with pytest.raises(IOError, match="cannot open"):
+            qd.VideoReader(cut, num_threads=1)
+
+    def test_corrupt_payload_decodes_gracefully(self, tmp_path):
+        """Bitstream damage inside the media payload must not crash or
+        wedge: FFmpeg error-concealment yields frames (garbled content is
+        acceptable; shape/count contract holds)."""
+        src = str(tmp_path / "tex.mp4")
+        qd.encode_textured_video(src, width=320, height=240, nframes=96,
+                                 fps=12, gop=12)
+        data = bytearray(open(src, "rb").read())
+        i = bytes(data).find(b"mdat")
+        start = i + 8 + len(data) // 3
+        data[start:start + 16384] = b"\0" * 16384
+        bad = str(tmp_path / "bad.mp4")
+        open(bad, "wb").write(bytes(data))
+        vr = qd.VideoReader(bad, num_threads=2)
+        batch = vr.get_batch(list(range(0, 96, 8)))
+        vr.close()
+        assert batch.shape == (12, 3, 240, 320)
+
     def test_thread_counts_agree(self, fixture_video):
         idx = list(range(0, 120, 7))
         ref = None
