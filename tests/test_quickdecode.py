@@ -118,7 +118,34 @@ class TestVideoReader:
         # must remove a large fraction of the prefix decode work
         assert coded_on < 0.7 * coded_off, (coded_on, coded_off)
 
-    def test_bframe_dense_decode_untouched(self, tmp_path):
+    def test_bframe_skip_parity_fuzz(self, tmp_path):
+        """Property: for ANY sampling pattern, decode with non-ref skipping
+        equals decode without it, byte for byte."""
+        import os
+
+        rng = np.random.default_rng(7)
+        path = str(tmp_path / "bfuzz.mp4")
+        qd.encode_test_video(
+            path, width=160, height=128, nframes=120, fps=24, gop=16,
+            bframes=2,
+        )
+
+        def batch(idx, skip_on):
+            os.environ["QD_SKIP_NONREF"] = "1" if skip_on else "0"
+            try:
+                vr = qd.VideoReader(path, num_threads=2)
+                out = vr.get_batch(idx)
+                vr.close()
+                return out
+            finally:
+                os.environ.pop("QD_SKIP_NONREF", None)
+
+        for trial in range(8):
+            n = int(rng.integers(1, 24))
+            idx = sorted(rng.choice(120, size=n, replace=False).tolist())
+            b_on = batch(idx, True)
+            b_off = batch(idx, False)
+            np.testing.assert_array_equal(b_on, b_off, err_msg=str(idx))
         """When every frame is wanted nothing may be skipped."""
         path = str(tmp_path / "bdense.mp4")
         qd.encode_test_video(
