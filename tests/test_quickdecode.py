@@ -146,6 +146,8 @@ class TestVideoReader:
             b_on = batch(idx, True)
             b_off = batch(idx, False)
             np.testing.assert_array_equal(b_on, b_off, err_msg=str(idx))
+
+    def test_bframe_dense_decode_untouched(self, tmp_path):
         """When every frame is wanted nothing may be skipped."""
         path = str(tmp_path / "bdense.mp4")
         qd.encode_test_video(
