@@ -1,0 +1,642 @@
+"""Production HTTP serving front-end over one LVU engine.
+
+The reference ships offline entrypoints only — a demo `main`
+(reference lvu/lvu.py:99-115) and multi-process eval launching
+(reference README.md:398-412); serving long-video QA in production is left
+to the user. This module closes that gap TPU-natively:
+
+* **One worker thread owns the device.** The engine's compiled programs
+  mutate a resident KV cache, so device work must serialize; HTTP handler
+  threads only enqueue jobs and wait. No locks around JAX state anywhere.
+* **Same-video micro-batching.** When the worker picks up a `generate`
+  job it drains every queued request with the same (video, decode settings,
+  generation settings) into one `BatchedQAEngine.generate_batch` call: the
+  video decodes and prefills ONCE and each extra question costs a ~32-token
+  bucket prefill + decode (quickvideo_tpu/prefill/batch.py — the length-
+  reset fork makes the per-question fork O(num_layers) bytes). Under a
+  burst of questions about one video, throughput approaches the batched-QA
+  rate (4.7x/question at 4 questions/video measured on v5e) with zero
+  client-side coordination.
+* **Resident chat sessions with disk spill.** `POST /v1/sessions` pins a
+  ChatSession's pruned video KV on the chip so follow-ups cost <1 s
+  (quickvideo_tpu/chat.py). HBM holds few caches, so beyond
+  `max_resident_sessions` the least-recently-used session spills to disk
+  via ChatSession.save and transparently resumes on its next ask — KV
+  paging between HBM and host storage.
+* **OpenAI-compatible adapter.** `POST /v1/chat/completions` accepts
+  `video_url` content parts and returns a `chat.completion` object, so
+  existing OpenAI-client code points at this server unchanged.
+
+stdlib only (http.server + json): no web-framework dependency to version-
+match on a TPU host image.
+
+Endpoints:
+    GET  /healthz                 liveness
+    GET  /v1/models               model card
+    GET  /v1/stats                queue depth, batch histogram, timings
+    POST /v1/generate             {video, question, ...} -> {answer}
+    POST /v1/sessions             {video, ...} -> {session_id}
+    POST /v1/sessions/<id>/ask    {question, ...} -> {answer}
+    DELETE /v1/sessions/<id>
+    POST /v1/chat/completions     OpenAI chat shape with video_url parts
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+import time
+import uuid
+from collections import OrderedDict
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+from urllib.parse import urlparse
+
+
+@dataclass
+class ServerConfig:
+    host: str = "127.0.0.1"
+    port: int = 8000
+    max_batch: int = 8
+    max_resident_sessions: int = 1
+    spill_dir: Optional[str] = None  # default: <tmp>/qv_sessions
+    request_timeout_s: float = 600.0
+    default_max_new_tokens: int = 128
+
+
+class RequestError(ValueError):
+    """Client-side error -> HTTP 400."""
+
+
+@dataclass
+class _Job:
+    kind: str                      # generate | session_new | ask | close | chat
+    payload: dict
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[dict] = None
+    error: Optional[BaseException] = None
+
+
+def _gen_key(p: dict):
+    """Jobs batch together only when every knob that generate_batch applies
+    batch-wide is identical (same sampling, same token budget) and the video
+    geometry is shared (same path + decode settings)."""
+    return (
+        p["video"],
+        tuple(sorted(p.get("video_kwargs", {}).items())),
+        p["max_new_tokens"],
+        p["greedy"],
+        p["temperature"],
+        p["top_p"],
+        p["top_k"],
+    )
+
+
+class LVUServer:
+    """Request scheduler + session manager over one LVU instance."""
+
+    def __init__(self, lvu, cfg: Optional[ServerConfig] = None):
+        self.lvu = lvu
+        self.cfg = cfg or ServerConfig()
+        self.spill_dir = self.cfg.spill_dir or os.path.join(
+            os.environ.get("TMPDIR", "/tmp"), "qv_sessions"
+        )
+        self._q: "queue.Queue[_Job]" = queue.Queue()
+        self._sessions: "OrderedDict[str, object]" = OrderedDict()  # resident
+        self._spilled: Dict[str, str] = {}  # sid -> npz path
+        self._batched = None
+        try:
+            from quickvideo_tpu.prefill.batch import BatchedQAEngine
+
+            self._batched = BatchedQAEngine(lvu.engine)
+        except ValueError:
+            # config rejects batched mode (query-based predictors):
+            # generate jobs fall back to sequential single-sample calls
+            pass
+        self.stats = {
+            "requests": 0,
+            "errors": 0,
+            "batches": {},        # batch size -> count
+            "spills": 0,
+            "resumes": 0,
+            "last_e2e_s": None,
+        }
+        self._paused = threading.Event()
+        self._paused.set()  # set == running
+        self._stop = False
+        self._worker = threading.Thread(
+            target=self._work_loop, name="lvu-worker", daemon=True
+        )
+        self._worker.start()
+
+    # ---- client-facing (any thread) -------------------------------------
+
+    def submit(self, kind: str, payload: dict) -> dict:
+        job = _Job(kind, payload)
+        self._q.put(job)
+        if not job.done.wait(self.cfg.request_timeout_s):
+            raise TimeoutError(f"request timed out after "
+                               f"{self.cfg.request_timeout_s:.0f}s")
+        if job.error is not None:
+            raise job.error
+        return job.result
+
+    def pause(self):
+        """Hold the worker before its next job (drain point; also lets
+        tests queue a burst deterministically)."""
+        self._paused.clear()
+
+    def resume(self):
+        self._paused.set()
+
+    def shutdown(self):
+        self._stop = True
+        self._paused.set()
+        self._q.put(_Job("noop", {}))
+        self._worker.join(timeout=10)
+
+    # ---- worker (single thread owns ALL device work) ---------------------
+
+    def _work_loop(self):
+        pending: List[_Job] = []
+        while True:
+            job = pending.pop(0) if pending else self._q.get()
+            self._paused.wait()
+            if self._stop:
+                for j in pending:
+                    j.error = RuntimeError("server shut down")
+                    j.done.set()
+                job.error = RuntimeError("server shut down")
+                job.done.set()
+                return
+            if job.kind == "noop":
+                job.done.set()
+                continue
+            batch = [job]
+            if job.kind == "generate":
+                # opportunistic drain: batch every queued compatible
+                # generate request with this one; anything else keeps its
+                # arrival order via the local pending list
+                key = _gen_key(job.payload)
+                while len(batch) < self.cfg.max_batch:
+                    try:
+                        nxt = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                    if (nxt.kind == "generate"
+                            and _gen_key(nxt.payload) == key):
+                        batch.append(nxt)
+                    else:
+                        pending.append(nxt)
+            t0 = time.monotonic()
+            try:
+                self._dispatch(batch)
+                self.stats["last_e2e_s"] = round(time.monotonic() - t0, 3)
+            except BaseException as e:  # noqa: BLE001 - reported per-job
+                self.stats["errors"] += len(batch)
+                for j in batch:
+                    j.error = e
+                    j.done.set()
+
+    def _dispatch(self, batch: List[_Job]):
+        kind = batch[0].kind
+        self.stats["requests"] += len(batch)
+        if kind == "generate":
+            self._do_generate(batch)
+            return
+        (job,) = batch
+        handler = {
+            "session_new": self._do_session_new,
+            "ask": self._do_ask,
+            "close": self._do_close,
+            "chat": self._do_chat,
+        }.get(kind)
+        if handler is None:
+            raise RequestError(f"unknown job kind {kind!r}")
+        job.result = handler(job.payload)
+        job.done.set()
+
+    # ---- generate (batched) ----------------------------------------------
+
+    def _do_generate(self, batch: List[_Job]):
+        p0 = batch[0].payload
+        size = len(batch)
+        self.stats["batches"][size] = self.stats["batches"].get(size, 0) + 1
+        if self._batched is None or size == 1:
+            # single request (or batched mode unavailable): the engine's
+            # plain path, still on this worker thread
+            for j in batch:
+                p = j.payload
+                texts = self.lvu.generate(
+                    p["question"], p["video"],
+                    max_new_tokens=p["max_new_tokens"],
+                    do_sample=not p["greedy"],
+                    temperature=p["temperature"],
+                    top_p=p["top_p"], top_k=p["top_k"],
+                    **p.get("video_kwargs", {}),
+                )
+                j.result = {"answer": texts[0]}
+                j.done.set()
+            return
+
+        from quickvideo_tpu.engines.qwen25 import (
+            _config_with_video_kwargs,
+            _fetch_frames,
+        )
+        from quickvideo_tpu.tokenization import build_chat_ids
+        from quickvideo_tpu.utils.timing import SpanTimer
+        from quickvideo_tpu.video import reader as vreader
+
+        lvu = self.lvu
+        timer = SpanTimer()
+        # decode + H2D once for the whole batch (identical video settings
+        # by _gen_key), then one shared prefill + per-question forks
+        vcfg = _config_with_video_kwargs(
+            lvu, dict(p0.get("video_kwargs", {})), {}
+        )
+        frames, plan, native_hw = _fetch_frames(lvu, p0["video"], timer, vcfg)
+        n_video_tokens = sum(plan.tokens_per_group)
+        reqs = []
+        for j in batch:
+            ids = build_chat_ids(
+                lvu.tokenizer, lvu.model_config,
+                j.payload["question"], n_video_tokens,
+            )
+            reqs.append(vreader.build_prefill_inputs_from_frames(
+                frames, plan, ids, native_hw=native_hw
+            ))
+        token_lists = self._batched.generate_batch(
+            reqs,
+            max_new_tokens=p0["max_new_tokens"],
+            eos_token_ids=[lvu.tokenizer.eos_token_id],
+            greedy=p0["greedy"],
+            temperature=p0["temperature"],
+            top_p=p0["top_p"],
+            top_k=p0["top_k"],
+        )
+        for j, toks in zip(batch, token_lists):
+            j.result = {"answer": self._decode([int(t) for t in toks])}
+            j.done.set()
+
+    def _decode(self, tokens: List[int]) -> str:
+        # exactly the single-sample driver's decode (engines/qwen25.py
+        # _generate): batched and unbatched answers stay byte-identical
+        tok = self.lvu.tokenizer
+        eos = [tok.eos_token_id]
+        return tok.decode([t for t in tokens if t not in eos])
+
+    # ---- sessions ----------------------------------------------------------
+
+    def _touch(self, sid: str):
+        self._sessions.move_to_end(sid)
+
+    def _evict_to_fit(self):
+        while len(self._sessions) > self.cfg.max_resident_sessions:
+            old_sid, sess = self._sessions.popitem(last=False)
+            os.makedirs(self.spill_dir, exist_ok=True)
+            path = os.path.join(self.spill_dir, f"{old_sid}.npz")
+            if getattr(sess, "_cache", None) is None:
+                # no ask yet: nothing on device to spill; recreate lazily
+                self._spilled[old_sid] = "unmaterialized:" + sess.video_path
+                continue
+            sess.save(path)
+            self._spilled[old_sid] = path
+            self.stats["spills"] += 1
+
+    def _resident(self, sid: str):
+        if sid in self._sessions:
+            self._touch(sid)
+            return self._sessions[sid]
+        where = self._spilled.pop(sid, None)
+        if where is None:
+            raise RequestError(f"unknown session {sid!r}")
+        if where.startswith("unmaterialized:"):
+            sess = self.lvu.start_chat(where.split(":", 1)[1])
+        else:
+            sess = self.lvu.resume_chat(where)
+            self.stats["resumes"] += 1
+        self._sessions[sid] = sess
+        self._evict_to_fit()
+        return sess
+
+    def _do_session_new(self, p: dict) -> dict:
+        video = p["video"]
+        if not os.path.exists(video):
+            raise RequestError(f"video not found: {video}")
+        sid = uuid.uuid4().hex[:16]
+        self._sessions[sid] = self.lvu.start_chat(
+            video, **p.get("video_kwargs", {})
+        )
+        self._evict_to_fit()
+        return {"session_id": sid}
+
+    def _do_ask(self, p: dict) -> dict:
+        sess = self._resident(p["session_id"])
+        answer = sess.ask(
+            p["question"], max_new_tokens=p["max_new_tokens"],
+            do_sample=not p["greedy"], temperature=p["temperature"],
+            top_p=p["top_p"], top_k=p["top_k"],
+        )
+        return {"answer": answer}
+
+    def _do_close(self, p: dict) -> dict:
+        sid = p["session_id"]
+        found = self._sessions.pop(sid, None) is not None
+        where = self._spilled.pop(sid, None)
+        if where and not where.startswith("unmaterialized:"):
+            try:
+                os.unlink(where)
+            except OSError:
+                pass
+        if not found and where is None:
+            raise RequestError(f"unknown session {sid!r}")
+        return {"closed": sid}
+
+    # ---- OpenAI chat adapter ------------------------------------------------
+
+    def _do_chat(self, p: dict) -> dict:
+        texts = self.lvu.chat(
+            p["messages"],
+            max_new_tokens=p["max_new_tokens"],
+            do_sample=not p["greedy"],
+            temperature=p["temperature"],
+            top_p=p["top_p"], top_k=p["top_k"],
+        )
+        return {"answer": texts[0]}
+
+
+# ---- OpenAI message translation ------------------------------------------
+
+
+def _video_path_from_url(url: str) -> str:
+    u = urlparse(url)
+    if u.scheme in ("", "file"):
+        return u.path or url
+    raise RequestError(
+        f"only local/file:// video URLs are served here, got {url!r}"
+    )
+
+
+def openai_to_reference_messages(messages: list) -> list:
+    """OpenAI content parts -> the reference-style messages the chat drivers
+    consume (reference lvu/models/qwen25_lvu.py message schema: parts with
+    type 'video'/'text', optional fps/max_frames keys on the video part)."""
+    out = []
+    for m in messages:
+        content = m.get("content")
+        if isinstance(content, str):
+            out.append({"role": m["role"], "content": content})
+            continue
+        parts = []
+        for part in content or []:
+            t = part.get("type")
+            if t == "video_url":
+                vp = dict(part.get("video_url") or {})
+                url = vp.pop("url", "")
+                parts.append(
+                    {"type": "video",
+                     "video": _video_path_from_url(url), **vp}
+                )
+            elif t in ("video", "text"):
+                parts.append(part)
+            elif t == "image_url":
+                raise RequestError("image parts are not supported; send a "
+                                   "video_url part")
+            else:
+                raise RequestError(f"unsupported content part type {t!r}")
+        out.append({"role": m["role"], "content": parts})
+    return out
+
+
+# ---- HTTP layer ------------------------------------------------------------
+
+
+def _gen_payload(body: dict, server: LVUServer) -> dict:
+    vkw = {}
+    for k in ("fps", "num_frames", "nframes"):
+        if k in body:
+            vkw[k] = body[k]
+    return {
+        "video": body.get("video"),
+        "question": body.get("question"),
+        "video_kwargs": vkw,
+        "max_new_tokens": int(
+            body.get("max_new_tokens",
+                     server.cfg.default_max_new_tokens)
+        ),
+        "greedy": not body.get("do_sample", False),
+        "temperature": float(body.get("temperature", 1.0)),
+        "top_p": body.get("top_p"),
+        "top_k": body.get("top_k"),
+    }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "quickvideo-tpu"
+    protocol_version = "HTTP/1.1"
+
+    # set by make_http_server
+    lvu_server: LVUServer = None
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if os.environ.get("QV_SERVE_VERBOSE"):
+            super().log_message(fmt, *args)
+
+    def _json(self, code: int, obj: dict):
+        data = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        raw = self.rfile.read(n) if n else b"{}"
+        try:
+            body = json.loads(raw or b"{}")
+        except json.JSONDecodeError as e:
+            raise RequestError(f"invalid JSON body: {e}") from e
+        if not isinstance(body, dict):
+            raise RequestError("JSON body must be an object")
+        return body
+
+    def _route(self, method: str):
+        s = self.lvu_server
+        path = self.path.split("?", 1)[0].rstrip("/")
+        try:
+            if method == "GET":
+                if path == "/healthz":
+                    return self._json(200, {"status": "ok"})
+                if path == "/v1/models":
+                    lvu = s.lvu
+                    return self._json(200, {
+                        "object": "list",
+                        "data": [{
+                            "id": lvu.config.model_name_or_path,
+                            "object": "model",
+                            "model_type": lvu.config.model_type,
+                            "param_dtype": lvu.config.param_dtype,
+                        }],
+                    })
+                if path == "/v1/stats":
+                    st = dict(s.stats)
+                    st["queue_depth"] = s._q.qsize()
+                    st["resident_sessions"] = len(s._sessions)
+                    st["spilled_sessions"] = len(s._spilled)
+                    return self._json(200, st)
+                return self._json(404, {"error": f"no route {path}"})
+
+            if method == "DELETE":
+                if path.startswith("/v1/sessions/"):
+                    sid = path.split("/")[3]
+                    return self._json(
+                        200, s.submit("close", {"session_id": sid})
+                    )
+                return self._json(404, {"error": f"no route {path}"})
+
+            # POST
+            body = self._body()
+            if path == "/v1/generate":
+                p = _gen_payload(body, s)
+                if not p["video"] or p["question"] is None:
+                    raise RequestError("'video' and 'question' are required")
+                if not os.path.exists(p["video"]):
+                    raise RequestError(f"video not found: {p['video']}")
+                return self._json(200, s.submit("generate", p))
+            if path == "/v1/sessions":
+                if not body.get("video"):
+                    raise RequestError("'video' is required")
+                p = _gen_payload(body, s)
+                return self._json(200, s.submit("session_new", {
+                    "video": body["video"],
+                    "video_kwargs": p["video_kwargs"],
+                }))
+            if path.startswith("/v1/sessions/") and path.endswith("/ask"):
+                sid = path.split("/")[3]
+                p = _gen_payload(body, s)
+                if p["question"] is None:
+                    raise RequestError("'question' is required")
+                p["session_id"] = sid
+                return self._json(200, s.submit("ask", p))
+            if path == "/v1/chat/completions":
+                msgs = body.get("messages")
+                if not msgs:
+                    raise RequestError("'messages' is required")
+                p = _gen_payload(body, s)
+                p["max_new_tokens"] = int(
+                    body.get("max_tokens",
+                             body.get("max_new_tokens",
+                                      s.cfg.default_max_new_tokens))
+                )
+                p["messages"] = openai_to_reference_messages(msgs)
+                out = s.submit("chat", p)
+                return self._json(200, {
+                    "id": "chatcmpl-" + uuid.uuid4().hex[:24],
+                    "object": "chat.completion",
+                    "model": s.lvu.config.model_name_or_path,
+                    "choices": [{
+                        "index": 0,
+                        "message": {"role": "assistant",
+                                    "content": out["answer"]},
+                        "finish_reason": "stop",
+                    }],
+                })
+            return self._json(404, {"error": f"no route {path}"})
+        except RequestError as e:
+            return self._json(400, {"error": str(e)})
+        except TimeoutError as e:
+            return self._json(504, {"error": str(e)})
+        except Exception as e:  # noqa: BLE001 - boundary: report, don't die
+            return self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    def do_GET(self):
+        self._route("GET")
+
+    def do_POST(self):
+        self._route("POST")
+
+    def do_DELETE(self):
+        self._route("DELETE")
+
+
+def make_http_server(lvu, cfg: Optional[ServerConfig] = None):
+    """Build (ThreadingHTTPServer, LVUServer). Caller runs serve_forever()
+    (or spins it in a thread — tests do)."""
+    cfg = cfg or ServerConfig()
+    lvu_server = LVUServer(lvu, cfg)
+    handler = type("BoundHandler", (_Handler,), {"lvu_server": lvu_server})
+    httpd = ThreadingHTTPServer((cfg.host, cfg.port), handler)
+    return httpd, lvu_server
+
+
+def main(argv: Optional[List[str]] = None):
+    import argparse
+
+    from quickvideo_tpu.api import LVU
+    from quickvideo_tpu.config import LVUConfig
+
+    ap = argparse.ArgumentParser(
+        description="quickvideo-tpu serving front-end"
+    )
+    ap.add_argument("--model", default="qwen25-vl-7b")
+    ap.add_argument("--model_type", default="qwen25_lvu")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--num_frames", type=int, default=1024)
+    ap.add_argument("--fps", type=float, default=None)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--video_group_size", type=int, default=32)
+    ap.add_argument("--top_p", type=float, default=0.5,
+                    help="KV retention ratio (pruning), not sampling")
+    ap.add_argument("--param_dtype", default="int8",
+                    choices=["bfloat16", "int8"])
+    ap.add_argument("--kv_cache_dtype", default="bfloat16",
+                    choices=["bfloat16", "int8"])
+    ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument("--max_resident_sessions", type=int, default=1)
+    ap.add_argument("--spill_dir", default=None)
+    ap.add_argument("--max_new_tokens", type=int, default=128)
+    ap.add_argument("--platform", default=None,
+                    choices=["cpu", "tpu", "axon"],
+                    help="force a jax backend (the container's "
+                         "sitecustomize initializes the TPU tunnel even "
+                         "under JAX_PLATFORMS=cpu; this applies "
+                         "jax.config.update early enough to win)")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    lvu = LVU(LVUConfig(
+        model_name_or_path=args.model,
+        model_type=args.model_type,
+        num_frames=args.num_frames,
+        fps=args.fps,
+        dtype=args.dtype,
+        video_group_size=args.video_group_size,
+        top_p=args.top_p,
+        param_dtype=args.param_dtype,
+        kv_cache_dtype=args.kv_cache_dtype,
+        max_decode_tokens=args.max_new_tokens,
+    ))
+    cfg = ServerConfig(
+        host=args.host, port=args.port, max_batch=args.max_batch,
+        max_resident_sessions=args.max_resident_sessions,
+        spill_dir=args.spill_dir,
+        default_max_new_tokens=args.max_new_tokens,
+    )
+    httpd, _ = make_http_server(lvu, cfg)
+    print(f"serving {args.model} ({args.model_type}) on "
+          f"http://{cfg.host}:{httpd.server_address[1]}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
