@@ -1,0 +1,342 @@
+"""Pipeline parallelism over the language stack (GPipe-style, TPU-native).
+
+No reference counterpart: the reference's only multi-GPU use is eval data
+parallelism via `accelerate launch` (reference README.md:398-412). This
+module exists for model scales where one chip (or one tp group) cannot hold
+the weights — e.g. Qwen2.5-VL-72B beyond tp=8 — by splitting the LAYER axis
+over a `pp` mesh axis: stage s owns layers [s*L/S, (s+1)*L/S) AND that slab
+of the KV cache, so weights and cache both scale 1/S per chip.
+
+Grouped video prefill is a natural pipeline workload: the engine already
+feeds the stack one 32-frame group at a time (prefill/engine.py group
+loop), and groups are sequential only through the per-layer KV cache — which
+lives entirely inside its own stage. The schedule is therefore a SKEWED
+SOFTWARE PIPELINE over group ticks:
+
+    tick t: stage s processes group (t - s); all S stages busy once t >= S-1
+            boundary activations hop one stage per tick via lax.ppermute
+
+One `tick()` dispatch keeps every chip busy on a DIFFERENT group (bubble
+only for the first/last S-1 ticks — with 32+ groups per video and pp<=8 the
+bubble is <20%), the activation hop is (q_len, C) over ICI per tick, and
+each stage's cache appends/pruning are purely local (per-layer `length`
+counters shard with the slab).
+
+The prompt/suffix chunk and decode steps are inherently sequential over
+stages (one live token stream): `chunk()` runs S sub-steps inside one
+shard_map; at sub-step j only stage j's devices take the compute branch of a
+`lax.cond` (others skip: no weight streaming, no FLOPs), and the boundary
+activation broadcasts via a masked psum. Decode latency is thus one full
+weight pass + S small collectives — the same HBM bound as single-chip.
+
+Composition: pp composes with dp (outer axis, independent replicas). tp/sp
+composition inside a stage requires nested manual collectives and is not
+implemented — the engine's tp/sp paths (parallel/sharding.py,
+parallel/context_parallel.py) remain the scaling answer within a stage.
+
+Parity: tests/test_pipeline_parallel.py drives this against the
+single-device prefill_step path on a virtual CPU mesh — per-layer lengths
+and int8 payloads exactly equal, cache contents and output hidden states
+equal within 1e-5, for pp in {2, 4}, with pruning and int8 KV.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from quickvideo_tpu.models.qwen25_vl.language import StepSpec, layer_step
+from quickvideo_tpu.ops import kv_cache as kvc
+
+
+def make_pp_mesh(n_stages: int, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) < n_stages:
+        raise ValueError(f"pp={n_stages} needs {n_stages} devices, have "
+                         f"{len(devices)}")
+    import numpy as np
+
+    return Mesh(np.array(devices[:n_stages]), axis_names=("pp",))
+
+
+def _slab(tree, n_stages: int):
+    """Stacked (L, ...) param/cache leaves -> (S, L/S, ...) stage slabs."""
+    def r(a):
+        L = a.shape[0]
+        assert L % n_stages == 0, (L, n_stages)
+        return a.reshape(n_stages, L // n_stages, *a.shape[1:])
+
+    return jax.tree.map(r, tree)
+
+
+def _stage_scan(lp_slab, xh, cos, sin, k, v, ks, vs, lengths, rng, spec,
+                stage, layers_per_stage):
+    """This stage's layers over one token block — prefill_step's scan body
+    (models/qwen25_vl/language.py:585-602) on a LOCAL (L/S, ...) slab.
+    `li` passed to layer_step is slab-relative (it indexes the local cache
+    stack); the rng fold uses the GLOBAL layer index so random predictors
+    keep the exact single-device sampling sequence."""
+
+    def body(carry, xs):
+        xh_, li, k_, v_, ks_, vs_ = carry
+        lp, length = xs
+        lrng = jax.random.fold_in(rng, stage * layers_per_stage + li)
+        xh_, k_, v_, ks_, vs_, _ = layer_step(
+            lp, xh_, cos, sin, k_, v_, length, lrng, spec, li=li,
+            k_scale_all=ks_, v_scale_all=vs_,
+        )
+        return (xh_, li + 1, k_, v_, ks_, vs_), None
+
+    (y, _, k, v, ks, vs), _ = lax.scan(
+        body, (xh, jnp.int32(0), k, v, ks, vs), (lp_slab, lengths)
+    )
+    return y, k, v, ks, vs
+
+
+class PipelinedStack:
+    """The language stack sharded into pp stages, with tick/chunk drivers.
+
+    Owns the slabbed params and the slabbed KV cache. `run_groups` performs
+    the skewed-pipeline video prefill; `chunk` runs one sequential
+    all-stage pass (prompt prefill / one decode step); `gather_cache`
+    reassembles a standard (L, ...) KVCache for inspection or handoff.
+    """
+
+    def __init__(self, mesh: Mesh, cfg, params_layers, capacity: int,
+                 dtype=jnp.float32, quantized: bool = False,
+                 rng: Optional[jax.Array] = None):
+        self.mesh = mesh
+        self.S = mesh.shape["pp"]
+        self.cfg = cfg
+        L = cfg.num_hidden_layers
+        if L % self.S:
+            raise ValueError(f"num_hidden_layers={L} not divisible by "
+                             f"pp={self.S}")
+        self.Lps = L // self.S
+        self.capacity = capacity
+        self.quantized = quantized
+        sh = NamedSharding(mesh, P("pp"))
+        self.params = jax.device_put(_slab(params_layers, self.S), sh)
+        cache = kvc.init_cache(
+            L, cfg.num_key_value_heads, capacity, cfg.head_dim,
+            dtype=dtype, quantized=quantized,
+        )
+        self.k = jax.device_put(_slab(cache.k, self.S), sh)
+        self.v = jax.device_put(_slab(cache.v, self.S), sh)
+        self.ks = (jax.device_put(_slab(cache.k_scale, self.S), sh)
+                   if quantized else None)
+        self.vs = (jax.device_put(_slab(cache.v_scale, self.S), sh)
+                   if quantized else None)
+        self.lengths = jax.device_put(_slab(cache.length, self.S), sh)
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._bufs = None  # (xh, cos, sin, valid) pipeline registers
+        self._tick_jit = {}
+        self._chunk_jit = {}
+
+    # -- helpers ------------------------------------------------------------
+
+    def _zero4(self):
+        """int8 mode passes real scale arrays; bf16 passes () placeholders
+        (shard_map needs concrete operands, same trick as
+        context_parallel.py:220-224)."""
+        z = jnp.zeros(())
+        return (self.ks if self.ks is not None else z,
+                self.vs if self.vs is not None else z)
+
+    def _cache_specs(self):
+        pp = P("pp")
+        sc = pp if self.quantized else P()
+        return pp, pp, sc, sc
+
+    # -- skewed pipeline over video groups ----------------------------------
+
+    def _make_tick(self, spec: StepSpec, q_len: int, hd: int):
+        S, Lps = self.S, self.Lps
+        quant = self.quantized
+        rep = P()
+        kspec, vspec, kssp, vssp = self._cache_specs()
+
+        def tick(params, k, v, ks, vs, lengths, xh_buf, cos_buf, sin_buf,
+                 valid, fresh_x, fresh_cos, fresh_sin, fresh_valid, rng):
+            # local blocks carry a leading stage axis of size 1
+            lp = jax.tree.map(lambda a: a[0], params)
+            stage = lax.axis_index("pp")
+            is0 = (stage == 0)
+            # tick t, stage s works on group (t - s): stage 0 takes THIS
+            # tick's fresh group; stage s>0 takes the activation its
+            # predecessor shifted in at the END of the previous tick
+            xh_c = jnp.where(is0, fresh_x, xh_buf[0])
+            cos_c = jnp.where(is0, fresh_cos, cos_buf[0])
+            sin_c = jnp.where(is0, fresh_sin, sin_buf[0])
+            val_c = jnp.where(is0, fresh_valid, valid[0])
+            y, k0, v0, ks0, vs0 = _stage_scan(
+                lp, xh_c, cos_c, sin_c,
+                k[0], v[0],
+                ks[0] if quant else None, vs[0] if quant else None,
+                lengths[0], rng, spec, stage, Lps,
+            )
+            # junk groups (pipeline fill/drain) still WRITE at the current
+            # length, but the length only advances for valid ones — the next
+            # valid group overwrites the junk rows (the same garbage-above-
+            # length contract as the batched-QA length-reset fork)
+            adv = jnp.where(val_c > 0, jnp.int32(spec.append_n), 0)
+            new_len = lengths[0] + adv
+            # hop boundary activations (and their rotary tables + validity)
+            # one stage forward for the next tick
+            perm = [(i, i + 1) for i in range(S - 1)]
+            xh_n = lax.ppermute(y, "pp", perm)
+            cos_n = lax.ppermute(cos_c, "pp", perm)
+            sin_n = lax.ppermute(sin_c, "pp", perm)
+            val_n = lax.ppermute(val_c, "pp", perm)
+            out = (k0[None], v0[None],
+                   ks0[None] if quant else ks,
+                   vs0[None] if quant else vs,
+                   new_len[None], xh_n[None], cos_n[None], sin_n[None],
+                   val_n[None])
+            return out
+
+        pp = P("pp")
+        in_specs = (pp, kspec, vspec, kssp, vssp, pp,
+                    pp, pp, pp, pp, rep, rep, rep, rep, rep)
+        out_specs = (kspec, vspec, kssp, vssp, pp, pp, pp, pp, pp)
+        # donate cache + pipeline registers (NOT the () scale placeholders
+        # of bf16 mode, which are re-fed every tick)
+        return jax.jit(jax.shard_map(
+            tick, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        ), donate_argnums=(1, 2, 5, 6, 7, 8, 9) + ((3, 4) if quant else ()))
+
+    def run_groups(self, group_embeds: List[jax.Array],
+                   group_cos: List[jax.Array], group_sin: List[jax.Array],
+                   spec: StepSpec) -> None:
+        """Push all video groups through the pipeline: len(groups) + S - 1
+        ticks, one dispatch each (the engine's dispatch-per-group pattern).
+        All groups must share q_len (uniform specs — decay/cascade schedules
+        take the engine's unrolled path, which pp does not serve)."""
+        S = self.S
+        G = len(group_embeds)
+        q_len = int(group_embeds[0].shape[0])
+        hd = int(group_cos[0].shape[-1])
+        C = int(group_embeds[0].shape[-1])
+        key = (spec, q_len)
+        if key not in self._tick_jit:
+            self._tick_jit[key] = self._make_tick(spec, q_len, hd)
+        tick = self._tick_jit[key]
+
+        sh = NamedSharding(self.mesh, P("pp"))
+        dt = group_embeds[0].dtype
+        cdt = group_cos[0].dtype
+        xh_buf = jax.device_put(jnp.zeros((S, q_len, C), dt), sh)
+        cos_buf = jax.device_put(jnp.zeros((S, q_len, hd), cdt), sh)
+        sin_buf = jax.device_put(jnp.zeros((S, q_len, hd), cdt), sh)
+        valid = jax.device_put(jnp.zeros((S,), jnp.int32), sh)
+        zero_x = jnp.zeros((q_len, C), dt)
+        zero_t = jnp.zeros((q_len, hd), cdt)
+        ks, vs = self._zero4()
+        for t in range(G + S - 1):
+            live = t < G
+            fx = group_embeds[t] if live else zero_x
+            fc = group_cos[t] if live else zero_t
+            fs = group_sin[t] if live else zero_t
+            (self.k, self.v, k_s, v_s, self.lengths,
+             xh_buf, cos_buf, sin_buf, valid) = tick(
+                self.params, self.k, self.v, ks, vs, self.lengths,
+                xh_buf, cos_buf, sin_buf, valid,
+                fx, fc, fs, jnp.int32(1 if live else 0), self.rng,
+            )
+            if self.quantized:
+                self.ks, self.vs = k_s, v_s
+                ks, vs = k_s, v_s
+
+    # -- sequential all-stage pass (prompt prefill / decode step) -----------
+
+    def _make_chunk(self, spec: StepSpec):
+        S, Lps = self.S, self.Lps
+        quant = self.quantized
+        kspec, vspec, kssp, vssp = self._cache_specs()
+
+        def chunk(params, k, v, ks, vs, lengths, xh, cos, sin, rng):
+            lp = jax.tree.map(lambda a: a[0], params)
+            stage = lax.axis_index("pp")
+            k0, v0 = k[0], v[0]
+            ks0 = ks[0] if quant else None
+            vs0 = vs[0] if quant else None
+            ln0 = lengths[0]
+            for sidx in range(S):  # static unroll: one live stage per step
+                def run(ops):
+                    xh_, k_, v_, ks_, vs_, ln_ = ops
+                    y, k_, v_, ks_, vs_ = _stage_scan(
+                        lp, xh_, cos, sin, k_, v_,
+                        ks_ if quant else None, vs_ if quant else None,
+                        ln_, rng, spec, stage, Lps,
+                    )
+                    if not quant:
+                        ks_, vs_ = ops[3], ops[4]
+                    return y, k_, v_, ks_, vs_, ln_ + spec.append_n
+
+                def skip(ops):
+                    return ops
+
+                sc_k = ks0 if quant else jnp.zeros(())
+                sc_v = vs0 if quant else jnp.zeros(())
+                # only stage sidx streams its weights this sub-step; the
+                # rest take the identity branch (decode stays HBM-bound at
+                # ONE full weight pass per token, not S)
+                y, k0, v0, sc_k, sc_v, ln0 = lax.cond(
+                    stage == sidx, run, skip,
+                    (xh, k0, v0, sc_k, sc_v, ln0),
+                )
+                if quant:
+                    ks0, vs0 = sc_k, sc_v
+                # broadcast the live stage's output to everyone
+                xh = lax.psum(
+                    jnp.where(stage == sidx, y, jnp.zeros_like(y)), "pp"
+                )
+            return (xh, k0[None], v0[None],
+                    ks0[None] if quant else ks,
+                    vs0[None] if quant else vs, ln0[None])
+
+        pp = P("pp")
+        rep = P()
+        in_specs = (pp, kspec, vspec, kssp, vssp, pp, rep, rep, rep, rep)
+        out_specs = (rep, kspec, vspec, kssp, vssp, pp)
+        return jax.jit(jax.shard_map(
+            chunk, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        ), donate_argnums=(1, 2, 5) + ((3, 4) if quant else ()))
+
+    def chunk(self, xh: jax.Array, cos: jax.Array, sin: jax.Array,
+              spec: StepSpec) -> jax.Array:
+        """One full pass of all stages over a replicated token block;
+        appends spec.append_n rows per layer. Returns final hidden states."""
+        key = (spec, int(xh.shape[0]))
+        if key not in self._chunk_jit:
+            self._chunk_jit[key] = self._make_chunk(spec)
+        ks, vs = self._zero4()
+        (y, self.k, self.v, k_s, v_s, self.lengths) = self._chunk_jit[key](
+            self.params, self.k, self.v, ks, vs, self.lengths,
+            xh, cos, sin, self.rng,
+        )
+        if self.quantized:
+            self.ks, self.vs = k_s, v_s
+        return y
+
+    # -- reassembly ----------------------------------------------------------
+
+    def gather_cache(self) -> kvc.KVCache:
+        """Slabs -> standard (L, ...) KVCache (device-replicated)."""
+        def un(a):
+            return a.reshape(-1, *a.shape[2:])
+
+        return kvc.KVCache(
+            k=un(jax.device_get(self.k)),
+            v=un(jax.device_get(self.v)),
+            length=jax.device_get(self.lengths).reshape(-1),
+            k_scale=un(jax.device_get(self.ks)) if self.quantized else None,
+            v_scale=un(jax.device_get(self.vs)) if self.quantized else None,
+        )
