@@ -69,21 +69,54 @@ class AsyncPixelGroups:
         self._to_device = lvu.prefetch_to_device
         self._exc: Optional[BaseException] = None
         self._closed = False
-        self._thread = threading.Thread(target=self._produce, daemon=True)
-        self._thread.start()
+        self._threads = []
+        if self._to_device:
+            # two-stage producer: native decode and the H2D transfer are
+            # both serial per block, so running them in ONE thread makes the
+            # producer chain their SUM (measured on the tunnel-attached
+            # host: 26 s decode + 22 s upload for a 1080p 1024-frame strict
+            # run, against ~13 s of device compute). A bounded hand-off
+            # queue pipelines them: decode of block i+1 overlaps the upload
+            # of block i, so the chain costs max(decode, upload).
+            self._rawq: queue.Queue = queue.Queue(maxsize=lvu.prefetch_depth)
+            self._threads.append(
+                threading.Thread(target=self._produce_decode, daemon=True)
+            )
+            self._threads.append(
+                threading.Thread(target=self._produce_upload, daemon=True)
+            )
+        else:
+            self._rawq = self._q
+            self._threads.append(
+                threading.Thread(target=self._produce_decode, daemon=True)
+            )
+        for t in self._threads:
+            t.start()
 
-    def _put(self, item) -> bool:
+    def _put(self, q: queue.Queue, item) -> bool:
         """Bounded put that aborts when close() was requested (a full queue
         with a departed consumer must not pin the producer forever)."""
         while not self._closed:
             try:
-                self._q.put(item, timeout=0.1)
+                q.put(item, timeout=0.1)
                 return True
             except queue.Full:
                 continue
         return False
 
-    def _produce(self):
+    def _fail(self, e: BaseException):
+        self._exc = e
+        # best-effort fast wakeup; the consumer also polls self._exc on a
+        # timeout so a full queue here cannot turn the error into a hang
+        # (the reference's AsyncPixelIterator likewise polls its exception
+        # field each loop, qwen25_lvu_interleaved.py:289-316)
+        for q in (self._rawq, self._q):
+            try:
+                q.put_nowait(_SENTINEL)
+            except queue.Full:
+                pass
+
+    def _produce_decode(self):
         try:
             for gi, cnt in enumerate(self.plan.group_frame_counts):
                 if self._closed:
@@ -92,40 +125,48 @@ class AsyncPixelGroups:
                 t0 = time.perf_counter()
                 block = next(self.reader)  # blocking on native decode
                 self.timer.add("frame_fetch", time.perf_counter() - t0)
-                t0 = time.perf_counter()
                 if block.shape[0] != cnt:
                     raise IOError(
                         f"group {gi}: expected {cnt} frames, got {block.shape[0]}"
                     )
-                # raw uint8 frames go straight to the device; patchify +
-                # normalize happen inside the vision program. The H2D
-                # transfer happens HERE, in the producer thread, so it
-                # overlaps the consumer's dispatch + device compute — over
-                # the remote transport a blocking per-group jnp.asarray in
-                # the prefill loop serializes ~170 KB/frame against compute
-                # (hour-long: 610 MB -> the whole vision span).
-                if self._to_device:
-                    import jax
-
-                    block = jax.device_put(block)
-                self.timer.add("processing", time.perf_counter() - t0)
-                if not self._put(block):
+                if not self._put(self._rawq, block):
                     return
-            self._put(_SENTINEL)
+            self._put(self._rawq, _SENTINEL)
         except BaseException as e:  # noqa: BLE001 — re-raised on consumer side
             if self._closed:
                 # teardown race, not a decode error: close() tore the reader
                 # down while this thread was mid-iteration
                 return
-            self._exc = e
-            # best-effort fast wakeup; the consumer also polls self._exc on a
-            # timeout so a full queue here cannot turn the error into a hang
-            # (the reference's AsyncPixelIterator likewise polls its exception
-            # field each loop, qwen25_lvu_interleaved.py:289-316)
-            try:
-                self._q.put_nowait(_SENTINEL)
-            except queue.Full:
-                pass
+            self._fail(e)
+
+    def _produce_upload(self):
+        """Second pipeline stage: raw uint8 frames go straight to the
+        device; patchify + normalize happen inside the vision program. The
+        H2D transfer happens HERE, in its own thread, so it overlaps both
+        the decode of the next block and the consumer's dispatch + device
+        compute — over the remote transport a blocking per-group
+        jnp.asarray in the prefill loop serializes ~170 KB/frame against
+        compute (hour-long: 610 MB -> the whole vision span)."""
+        import jax
+
+        try:
+            while not self._closed:
+                try:
+                    block = self._rawq.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+                if block is _SENTINEL:
+                    self._put(self._q, _SENTINEL)
+                    return
+                t0 = time.perf_counter()
+                block = jax.device_put(block)
+                self.timer.add("processing", time.perf_counter() - t0)
+                if not self._put(self._q, block):
+                    return
+        except BaseException as e:  # noqa: BLE001
+            if self._closed:
+                return
+            self._fail(e)
 
     def __iter__(self) -> Iterator[np.ndarray]:
         while True:
@@ -148,13 +189,15 @@ class AsyncPixelGroups:
         queue so a blocked put wakes, and join — the producer exits after
         its in-flight native call returns."""
         self._closed = True
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
-        self._thread.join(timeout=60.0)
-        if self._thread.is_alive():
+        for q in (self._q, self._rawq):
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+        for t in self._threads:
+            t.join(timeout=60.0)
+        if any(t.is_alive() for t in self._threads):
             # native decode is wedged; leak the handle rather than free it
             # under a live native call
             import logging

@@ -121,7 +121,7 @@ def test_stream_close_stops_producer_before_reader(tmp_path):
     stream = AsyncPixelGroups(path, lvu)
     next(iter(stream))  # producer is live and mid-pipeline
     stream.close()
-    assert not stream._thread.is_alive()
+    assert not any(t.is_alive() for t in stream._threads)
     assert stream.reader._h is None  # handle really was closed, post-join
 
 
