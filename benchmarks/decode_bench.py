@@ -7,10 +7,13 @@
   duration  — video length scaling at fixed threads
               (video_length_timings.py:30-129)
 
-The reference benches deepcodec vs torchcodec vs decord; those decoders are
-not in this environment, so arms are QuickDecode batch vs QuickDecode
+The reference benches deepcodec vs torchcodec vs decord; decord/torchcodec
+are not in this environment, so arms are QuickDecode batch vs QuickDecode
 single-thread (the sequential baseline the 2-3x claim is against,
-reference README.md:48-50) vs QuickDecode interleaved streaming.
+reference README.md:48-50) vs QuickDecode interleaved streaming — plus an
+independent third-party arm: OpenCV VideoCapture (FFmpeg-backed, sequential
+grab/retrieve + LANCZOS4 resize), playing the role decord plays in the
+reference protocol (reference timing.py:30-42).
 
 Usage: python benchmarks/decode_bench.py [threads|sparsity|duration] \
            [--video PATH] [--runs 5]
@@ -63,6 +66,40 @@ def run_interleaved(path, threads, indices, out_hw=(448, 448), intervals=64):
     dt = time.perf_counter() - t0
     vr.close()
     assert n == len(indices)
+    return dt
+
+
+def run_opencv(path, indices, out_hw=(448, 448)):
+    """Independent baseline: OpenCV VideoCapture (FFmpeg), sequential scan.
+
+    grab() decodes-without-converting the frames between samples (the same
+    skip pattern decord's sequential reader uses); sampled frames get
+    retrieve() + LANCZOS4 resize, matching the reference arms' 448x448
+    resized output (reference timing.py:83-99).
+    """
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    want = set(indices)
+    last = max(indices)
+    t0 = time.perf_counter()
+    got = 0
+    i = 0
+    while i <= last:
+        if i in want:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            cv2.resize(frame, (out_hw[1], out_hw[0]),
+                       interpolation=cv2.INTER_LANCZOS4)
+            got += 1
+        else:
+            if not cap.grab():
+                break
+        i += 1
+    dt = time.perf_counter() - t0
+    cap.release()
+    assert got == len(indices), (got, len(indices))
     return dt
 
 
@@ -128,6 +165,9 @@ def main():
         row = {"arm": "sequential_baseline", "threads": 1, "frames": len(idx)}
         row.update(bench(run_batch, args.runs, video, 1, idx))
         results.append(row)
+        row = {"arm": "opencv_sequential", "threads": 1, "frames": len(idx)}
+        row.update(bench(run_opencv, args.runs, video, idx))
+        results.append(row)
     elif args.mode == "sparsity":
         video = args.video or make_fixture(args.seconds)
         vr = qd.VideoReader(video, num_threads=1)
@@ -139,6 +179,10 @@ def main():
             row = {"arm": "quickdecode_batch", "interval_s": interval_s,
                    "frames": len(idx), "threads": 16}
             row.update(bench(run_batch, args.runs, video, 16, idx))
+            results.append(row)
+            row = {"arm": "opencv_sequential", "interval_s": interval_s,
+                   "frames": len(idx), "threads": 1}
+            row.update(bench(run_opencv, args.runs, video, idx))
             results.append(row)
     else:  # duration — to the reference's 1-hour axis
         # (video_length_timings.py:30-52). One 3600 s textured 1080p fixture;

@@ -619,17 +619,21 @@ class LVUEngine:
                     native_hw=inputs.native_hw,
                 ))
             q_len = in_len + prompt_len
-            # bound each group's flash k-grid to the next power-of-two
-            # bucket above its known occupancy: empty capacity tail steps
-            # cost ~2-3 us each even with their DMA elided, ~1.3 s across a
-            # 32-group run at 64k capacity (early groups have tiny
-            # occupancy but full-size grids). Power-of-two buckets keep the
-            # extra compiles to log2(capacity/8192) one-time programs.
+            # bound each group's flash k-grid to an occupancy bucket:
+            # empty capacity tail steps cost ~2-3 us each even with their
+            # DMA elided, ~1.3 s across a 32-group run at 64k capacity
+            # (early groups have tiny occupancy but full-size grids).
+            # LINEAR buckets at capacity/8 granularity (min 8192, kept a
+            # block_k multiple): power-of-two buckets made every group past
+            # half-capacity attend over the FULL cache — at the strict 7B
+            # 1024f shape that is 15 of 32 groups at eff_cap 65536 against
+            # true occupancy 33-43k, ~2.2 s of pure wasted flash. Linear
+            # buckets bound the waste to <=capacity/8 slots per group for
+            # the same one-time compile count (<=8 variants).
             capacity = int(cache.k.shape[2])
             needed = logical_len + q_len
-            acap = 8192
-            while acap < needed:
-                acap *= 2
+            gran = max(8192, capacity // 8)
+            acap = max(8192, -(-needed // gran) * gran)
             base = StepSpec(
                 cfg=cfg.text,
                 q_len=q_len,
