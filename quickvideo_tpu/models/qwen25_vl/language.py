@@ -435,7 +435,21 @@ def layer_step(
             # (measured ~6 us/step * 37 blocks * n_layers = ~8 ms/token at
             # 37k occupancy); 4x larger k blocks cut the step count 4x and
             # the tiny q tile keeps the f32 score tile small
-            bk = 4096 if spec.q_len == 1 else 1024
+            # prefill blocks by cache dtype, from the v5e sweep at the 7B
+            # strict group shape (q=3520, valid 22k, acap 32k;
+            # benchmarks/flash_block_sweep.py): bf16 best is
+            # (bq=256, bk=1024, nqi=2) 7.33 ms / 83% MFU — same VMEM tile
+            # rows as the old (128,1024,nqi=4) 8.13 ms but half the causal
+            # boundary blocks; bk=2048 regresses bf16 (13.93). int8 inverts
+            # on bk — (128,2048,nqi=2) 8.90 beats (128,1024,2) 9.45: halved
+            # k bytes fit the larger block and the scale tiles amortize
+            # over more columns.
+            if spec.q_len == 1:
+                bq, bk, nqi = 128, 4096, 0
+            elif spec.kv_quant:
+                bq, bk, nqi = 128, 2048, 2
+            else:
+                bq, bk, nqi = 256, 1024, 2
             # spec.active_cap bounds the kernel's k-grid statically; the
             # stack stays the operand (layer_idx indexes it) so nothing is
             # sliced or copied and in-place cache donation is preserved.
@@ -443,11 +457,16 @@ def layer_step(
             # smaller than the values (~1 MB, ~0.3 ms/token total)
             pa = flash_past_attention(
                 q, k_all, v_all, length, scale=scale,
-                causal=True, block_k=bk, active_cap=spec.active_cap,
+                causal=True, block_q=bq, block_k=bk, nq_inner=nqi,
+                active_cap=spec.active_cap,
                 layer_idx=li,
                 interpret=bool(_os.environ.get("QV_PALLAS_INTERPRET")),
                 k_scale=_idx(k_scale_all) if spec.kv_quant else None,
                 v_scale=_idx(v_scale_all) if spec.kv_quant else None,
+                # emit in the activation dtype: the cast below is then a
+                # no-op and the kernel's output store + unfold relayout
+                # move half the bytes (f32 kept on merge/parity paths)
+                out_dtype=q.dtype,
             )
             out = pa.out
             group_probs = None

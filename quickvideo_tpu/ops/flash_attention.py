@@ -195,7 +195,13 @@ def _flash_kernel(
     def _finalize():
         s = s_scr[:, 0]
         m = m_scr[:, 0]
-        o_ref[0] = acc_scr[:] / jnp.maximum(s, 1e-30)[:, None]
+        # o_ref's dtype is the caller's out_dtype (f32 by default; the
+        # engine's hot path passes the activation dtype — the very next op
+        # casts to it anyway, and a bf16 store halves the kernel-output
+        # HBM write plus the (hq, g, d) unfold relayout that follows)
+        o_ref[0] = (
+            acc_scr[:] / jnp.maximum(s, 1e-30)[:, None]
+        ).astype(o_ref.dtype)
         # m/s live in log2 space; the PartialAttn contract is natural-log lse
         lse = jnp.where(
             s > 0,
@@ -209,7 +215,7 @@ def _flash_kernel(
     jax.jit,
     static_argnames=(
         "scale", "block_q", "block_k", "interpret", "causal", "active_cap",
-        "int8_qk", "nq_inner",
+        "int8_qk", "nq_inner", "out_dtype",
     ),
 )
 def _flash_past_attention_impl(
@@ -251,6 +257,11 @@ def _flash_past_attention_impl(
     # (4 bf16 / 2 int8). Static (part of the jit cache key) so sweeps that
     # vary it re-trace instead of silently reusing a cached kernel — the
     # QV_FLASH_NQ_INNER env read happens at trace time and is NOT keyed.
+    out_dtype=jnp.float32,  # dtype of the emitted attention output. f32
+    # preserves the exact pre-change numerics for the merge/parity paths;
+    # the engine's hot unified path passes the activation dtype (the caller
+    # casts there immediately anyway — one identical rounding, half the
+    # output-store + unfold-relayout HBM traffic).
 ) -> PartialAttn:
     """Pure-past mode (causal=False): attends cache slots [0, length).
     Unified mode (causal=True): the buffer holds [past | appended group];
@@ -470,7 +481,7 @@ def _flash_past_attention_impl(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((hkv, nq * rbq, d), jnp.float32),
+            jax.ShapeDtypeStruct((hkv, nq * rbq, d), out_dtype),
             jax.ShapeDtypeStruct((hkv, nq * rbq, 128), jnp.float32),
         ],
         # Mosaic's default scoped-VMEM budget is 16 MB; at rep=7 (the 7B's
@@ -524,6 +535,7 @@ def flash_past_attention(
     int8_qk: bool = None,
     layer_idx: Array = None,
     nq_inner: int = 0,
+    out_dtype=jnp.float32,
 ) -> PartialAttn:
     """Public entry — see _flash_past_attention_impl for the full operand
     contract. Resolves the int8-QK default (ON for int8 caches unless
@@ -540,4 +552,5 @@ def flash_past_attention(
         block_k=block_k, interpret=interpret, causal=causal,
         k_scale=k_scale, v_scale=v_scale, active_cap=active_cap,
         int8_qk=bool(int8_qk), layer_idx=layer_idx, nq_inner=nq_inner,
+        out_dtype=out_dtype,
     )
