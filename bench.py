@@ -101,7 +101,11 @@ def main():
         kv_cache_capacity=1 << int(os.environ.get("BENCH_CAP_LOG2", "16")),
         decode_output=os.environ.get("BENCH_DECODE_OUTPUT", "yuv420"),
         kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "bfloat16"),
-        align_resize_to_window=os.environ.get("BENCH_ALIGN", "1") == "1",
+        # Headline protocol is the reference-EXACT resize (round-3 verdict
+    # item 1): smart_resize output matches reference pixel geometry, no
+    # window-alignment resolution trade. BENCH_ALIGN=1 opts into the
+    # aligned variant (recorded as a labeled secondary row).
+    align_resize_to_window=os.environ.get("BENCH_ALIGN", "0") == "1",
         resize_on_device=os.environ.get("BENCH_RESIZE_DEVICE", "0") == "1",
         decode_threads=int(os.environ.get("QUICKCODEC_CORES", "16")),
         prefetch_to_device=os.environ.get("BENCH_PREFETCH_DEV", "1") == "1",
@@ -183,7 +187,7 @@ def main():
             f"e2e decode+prefill through first token, {N_FRAMES}-frame video, "
             f"interleaved engine, group {GROUP_SIZE}, key-norm rho=0.5, "
             f"{MODEL} bf16-compute/{PARAM_DTYPE}-weights, "
-            f"{'window-aligned' if os.environ.get('BENCH_ALIGN', '1') == '1' else 'reference-exact'} resize "
+            f"{'window-aligned' if os.environ.get('BENCH_ALIGN', '0') == '1' else 'reference-exact'} resize "
             f"(reference demo protocol README.md:352-357, same 7B model "
             f"class; token count in meta)"
         ),

@@ -122,11 +122,16 @@ def main():
         )
         np.asarray(cache.length[:1])  # warm
         cache = fresh()
+        # length must be reset to the bucket's representative occupancy each
+        # rep: chained steps otherwise grow it by keep_k per rep, violating
+        # the StepSpec active_cap contract near the acap ceiling (silently
+        # truncated attention) and overrunning capacity in the top bucket.
+        occ_vec = jnp.full((t.num_hidden_layers,), occ, jnp.int32)
         t0 = time.perf_counter()
         for r in range(REPS):
             cache = eng._group_jit(
-                params["language"], cache, ids_j, cos, sin, np.int32(0),
-                vis, None, np.int32(r), spec=spec,
+                params["language"], cache.replace(length=occ_vec), ids_j,
+                cos, sin, np.int32(0), vis, None, np.int32(r), spec=spec,
             )
         np.asarray(cache.length[:1])
         ms = (time.perf_counter() - t0) / REPS * 1e3

@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--video", default=None)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--group", type=int, default=32)
+    # bframes>0 synthesizes a BluRay-like GOP structure (I/P/B): the decoder's
+    # non-reference-frame skipping (round 3) only has work to drop on B-frame
+    # content, which is what real movies are.
+    ap.add_argument("--bframes", type=int, default=0)
     ap.add_argument("--decode-only", action="store_true")
     args = ap.parse_args()
 
@@ -48,9 +52,10 @@ def main():
     if args.video:
         video = args.video
     else:
+        suffix = f"_b{args.bframes}" if args.bframes else ""
         video = os.path.join(
             tempfile.gettempdir(),
-            f"movie_tex_{args.seconds}s_{args.fps}fps_1080p.mp4",
+            f"movie_tex_{args.seconds}s_{args.fps}fps_1080p{suffix}.mp4",
         )
         if not os.path.exists(video):
             log(f"synthesizing {args.seconds}s 1080p textured movie "
@@ -59,6 +64,7 @@ def main():
             qd.encode_textured_video(
                 video, width=1920, height=1080,
                 nframes=args.seconds * args.fps, fps=args.fps, gop=48,
+                bframes=args.bframes,
             )
             log(f"fixture ready in {time.time()-t0:.0f}s "
                 f"({os.path.getsize(video)/1e6:.0f} MB)")
@@ -141,6 +147,7 @@ def main():
     print(json.dumps({
         "metric": (
             f"hour-long 1080p e2e through first token ({args.seconds}s movie,"
+            f" bframes={args.bframes},"
             f" 1 fps, {args.model} {args.param_dtype}-weights, interleaved,"
             f" rho=0.5, int8 KV)"
         ),

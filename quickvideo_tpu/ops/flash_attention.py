@@ -43,7 +43,8 @@ def _flash_kernel(
     q_ref,  # (1, nq_inner*rep*BQ, D) — nq_inner q blocks per grid step
     k_ref,  # (1, BK, D); stacked-cache mode: (1, 1, BK, D)
     v_ref,  # same shape as k_ref
-    o_ref,  # (1, nq_inner*rep*BQ, D) f32
+    o_ref,  # (1, nq_inner*rep*BQ, D), dtype = caller out_dtype (f32 default;
+            # bf16 on the engine hot path)
     lse_ref,  # (1, nq_inner*rep*BQ, 128) f32 (lse broadcast over lanes; TPU
               # block shapes need the minor dim divisible by 128)
     m_scr,  # VMEM (nq_inner*rep*BQ, 1) f32
