@@ -75,31 +75,20 @@ def run_opencv(path, indices, out_hw=(448, 448)):
     grab() decodes-without-converting the frames between samples (the same
     skip pattern decord's sequential reader uses); sampled frames get
     retrieve() + LANCZOS4 resize, matching the reference arms' 448x448
-    resized output (reference timing.py:83-99).
+    resized output (reference timing.py:83-99). Runs through the SHIPPED
+    fallback backend (video/cv2_reader.py — the registered degradation path
+    behind quickdecode), so this arm benches the product code.
     """
-    import cv2
+    from quickvideo_tpu.video.cv2_reader import Cv2VideoReader
 
-    cap = cv2.VideoCapture(path)
-    want = set(indices)
-    last = max(indices)
+    vr = Cv2VideoReader(path)
+    vr.height, vr.width = out_hw
+    vr.interpolation = "LANCZOS"
     t0 = time.perf_counter()
-    got = 0
-    i = 0
-    while i <= last:
-        if i in want:
-            ok, frame = cap.read()
-            if not ok:
-                break
-            cv2.resize(frame, (out_hw[1], out_hw[0]),
-                       interpolation=cv2.INTER_LANCZOS4)
-            got += 1
-        else:
-            if not cap.grab():
-                break
-        i += 1
+    batch = vr.get_batch(indices)
     dt = time.perf_counter() - t0
-    cap.release()
-    assert got == len(indices), (got, len(indices))
+    vr.close()
+    assert batch.shape[0] == len(indices)
     return dt
 
 

@@ -92,7 +92,18 @@ class LVU:
             from quickvideo_tpu.parallel import make_mesh, shard_params
 
             self.mesh = make_mesh(config.mesh)
-            self.params = shard_params(self.params, self.mesh)
+            if config.mesh.pp > 1:
+                # pp places the language layer stack itself (one slab per
+                # stage, parallel/pipeline.py PipelinedStack); replicating
+                # the full weights here first would defeat pp's memory
+                # scaling at the model sizes pp exists for
+                if config.mesh.tp > 1 or config.mesh.sp > 1:
+                    raise ValueError(
+                        "pp does not compose with tp/sp inside a stage yet "
+                        f"(mesh={config.mesh})"
+                    )
+            else:
+                self.params = shard_params(self.params, self.mesh)
         self.engine = LVUEngine(
             self.params, self.model_config, config, dtype, mesh=self.mesh
         )

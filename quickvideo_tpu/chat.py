@@ -87,6 +87,12 @@ class ChatSession:
                 "do_top_k_for_query (the pruned cache would depend on the "
                 "first question); use a norm-based predictor"
             )
+        if getattr(lvu.engine, "pp_mesh", None) is not None:
+            raise ValueError(
+                "chat sessions do not support pipeline parallelism yet "
+                "(the session holds a KVCache value; pp keeps the cache "
+                "slabbed inside the PipelinedStack)"
+            )
         self.lvu = lvu
         self.video_path = video_path
         self.video_kwargs = video_kwargs

@@ -59,20 +59,24 @@ class MeshConfig:
 
     Axes:
       dp: data parallel (independent requests / eval sharding)
+      pp: pipeline parallel (layer slabs over stages; skewed pipeline over
+          video groups — parallel/pipeline.py. Engine path requires
+          tp == sp == 1: tp/sp inside a stage is not composed yet)
       tp: tensor parallel (attention heads / MLP columns over ICI)
       sp: sequence parallel (group token axis for very large groups)
     """
 
     dp: int = 1
+    pp: int = 1
     tp: int = 1
     sp: int = 1
 
     @property
     def num_devices(self) -> int:
-        return self.dp * self.tp * self.sp
+        return self.dp * self.pp * self.tp * self.sp
 
     def axis_names(self):
-        return ("dp", "tp", "sp")
+        return ("dp", "pp", "tp", "sp")
 
 
 @dataclass

@@ -27,9 +27,11 @@ def init_lvu_model(lvu, config):
 
 
 def _question_from_messages(messages) -> tuple:
-    """Extract (video_path, question, video_kwargs) from reference-style
-    messages."""
+    """Extract (video_path, question, video_kwargs, image_items) from
+    reference-style messages. Image items keep message order (their
+    placeholder expansion and embedding scatter must line up)."""
     video_path, question, vkw = None, "", {}
+    images = []
     for m in messages:
         if m.get("role") != "user":
             continue
@@ -43,9 +45,62 @@ def _question_from_messages(messages) -> tuple:
                 vkw = {
                     k: v for k, v in item.items() if k not in ("type", "video")
                 }
+            elif item.get("type") == "image":
+                images.append(item)
             elif item.get("type") == "text":
                 question = item.get("text", "")
-    return video_path, question, vkw
+    return video_path, question, vkw, images
+
+
+def _load_image(obj) -> np.ndarray:
+    """Image item payload -> (H, W, 3) uint8 RGB. Accepts a numpy array
+    (HWC or CHW) or a file path (the reference accepts paths/URLs/PIL via
+    qwen_vl_utils fetch_image; offline we take paths and arrays)."""
+    if isinstance(obj, np.ndarray):
+        a = obj
+        if a.ndim == 3 and a.shape[0] == 3 and a.shape[-1] != 3:
+            a = a.transpose(1, 2, 0)
+        if a.ndim != 3 or a.shape[-1] != 3:
+            raise ValueError(f"image array must be HWC/CHW RGB, got {a.shape}")
+        return np.ascontiguousarray(a, np.uint8)
+    from PIL import Image
+
+    with Image.open(obj) as im:
+        return np.asarray(im.convert("RGB"), np.uint8)
+
+
+def _prepare_images(model_cfg, image_items):
+    """Load + smart-resize each image to its model grid.
+
+    Returns (pixels, grids, token_counts): per image a (1, 3, H, W) uint8
+    frame (the vision tower repeats it across the temporal patch, matching
+    HF's single-image handling), its (1, h, w) patch grid, and the merged
+    token count for the chat-template expansion."""
+    ps = model_cfg.vision.patch_size
+    ms = model_cfg.vision.spatial_merge_size
+    pixels, grids, counts = [], [], []
+    for item in image_items:
+        img = _load_image(item["image"])
+        h, w = img.shape[:2]
+        if "resized_height" in item and "resized_width" in item:
+            rh, rw = pp.smart_resize(
+                int(item["resized_height"]), int(item["resized_width"]),
+                factor=ps * ms,
+            )
+        else:
+            rh, rw = pp.smart_resize(
+                h, w, factor=ps * ms,
+                min_pixels=int(item.get("min_pixels", pp.MIN_PIXELS)),
+                max_pixels=int(item.get("max_pixels", pp.MAX_PIXELS)),
+            )
+        frame = img.transpose(2, 0, 1)[None]  # (1, 3, H, W)
+        if (rh, rw) != (h, w):
+            frame = pp.resize_frames_bicubic(frame, rh, rw)
+        grid = (1, rh // ps, rw // ps)
+        pixels.append(np.ascontiguousarray(frame, np.uint8))
+        grids.append(grid)
+        counts.append(grid[1] // ms * (grid[2] // ms))
+    return pixels, np.asarray(grids, np.int64), counts
 
 
 def _config_with_video_kwargs(lvu, vkw: dict, generation_kwargs: dict):
@@ -82,20 +137,42 @@ def run_sync(lvu, question: str, video_path: str, **generation_kwargs):
 
 def chat_sync(lvu, messages, **generation_kwargs) -> List[str]:
     """Decode-everything-then-prefill driver (reference qwen25_lvu flow,
-    SURVEY.md section 3.2)."""
-    video_path, question, vkw = _question_from_messages(messages)
+    SURVEY.md section 3.2). Image items (alone or alongside the video) ride
+    the prefix/suffix prefill — reference image support comes from stock
+    qwen_vl_utils.process_vision_info (lvu/models/qwen25_lvu.py:565)."""
+    video_path, question, vkw, image_items = _question_from_messages(messages)
     cfg = _config_with_video_kwargs(lvu, vkw, generation_kwargs)
     timer = SpanTimer()
+    img_px, img_grids, img_counts = (None, None, ())
+    if image_items:
+        with timer.span("processing"):
+            img_px, img_grids, img_counts = _prepare_images(
+                lvu.model_config, image_items
+            )
+    if video_path is None:
+        # image-only request: the whole sequence runs as one prefill pass
+        ids = build_chat_ids_from_messages(
+            lvu.tokenizer, lvu.model_config, messages, 0,
+            image_token_counts=img_counts,
+        )
+        inputs = PrefillInputs(
+            input_ids=ids, video_grid_thw=None, pixel_groups=[],
+            group_grids=[], image_grid_thw=img_grids, image_pixels=img_px,
+        )
+        return _generate(lvu, inputs, timer, generation_kwargs)
     with timer.span("frame_fetch"):
         frames, plan, native_hw = _fetch_frames(lvu, video_path, timer, cfg)
     n_video_tokens = sum(plan.tokens_per_group)
     ids = build_chat_ids_from_messages(
-        lvu.tokenizer, lvu.model_config, messages, n_video_tokens
+        lvu.tokenizer, lvu.model_config, messages, n_video_tokens,
+        image_token_counts=img_counts,
     )
     with timer.span("processing"):
         inputs = vreader.build_prefill_inputs_from_frames(
             frames, plan, ids, native_hw=native_hw
         )
+        inputs.image_grid_thw = img_grids
+        inputs.image_pixels = img_px
     return _generate(lvu, inputs, timer, generation_kwargs)
 
 
@@ -144,14 +221,24 @@ def chat_interleaved(lvu, messages, **generation_kwargs) -> List[str]:
     SURVEY.md section 3.3)."""
     from quickvideo_tpu.video.stream import AsyncPixelGroups
 
-    video_path, question, vkw = _question_from_messages(messages)
+    video_path, question, vkw, image_items = _question_from_messages(messages)
     cfg = _config_with_video_kwargs(lvu, vkw, generation_kwargs)
+    if video_path is None:
+        # nothing to stream — image-only requests share the sync path
+        return chat_sync(lvu, messages, **generation_kwargs)
     timer = SpanTimer()
+    img_px, img_grids, img_counts = (None, None, ())
+    if image_items:
+        with timer.span("processing"):
+            img_px, img_grids, img_counts = _prepare_images(
+                lvu.model_config, image_items
+            )
     stream = AsyncPixelGroups(video_path, cfg, timer=timer)
     plan = stream.plan
     n_video_tokens = sum(plan.tokens_per_group)
     ids = build_chat_ids_from_messages(
-        lvu.tokenizer, lvu.model_config, messages, n_video_tokens
+        lvu.tokenizer, lvu.model_config, messages, n_video_tokens,
+        image_token_counts=img_counts,
     )
     inputs = PrefillInputs(
         input_ids=ids,
@@ -160,6 +247,8 @@ def chat_interleaved(lvu, messages, **generation_kwargs) -> List[str]:
         group_grids=plan.group_grids,
         second_per_grid_ts=plan.second_per_grid_ts,
         native_hw=stream.native_hw,
+        image_grid_thw=img_grids,
+        image_pixels=img_px,
     )
     try:
         return _generate(lvu, inputs, timer, generation_kwargs)

@@ -149,8 +149,12 @@ def forward_full_sequence(
     pixels: Optional[Array] = None,  # (S, patch_input_dim)
     video_grid_thw: Optional[np.ndarray] = None,
     second_per_grid_ts: Optional[Sequence[float]] = None,
+    image_pixels: Optional[Sequence[Array]] = None,  # per image
+    image_grid_thw: Optional[np.ndarray] = None,  # (n_img, 3)
 ) -> Array:
-    """Ungrouped full forward -> logits (L, V). Parity-test target vs HF."""
+    """Ungrouped full forward -> logits (L, V). Parity-test target vs HF.
+    Image embeddings scatter into `<|image_pad|>` slots in image order (HF
+    masked_scatter semantics), independently of the video scatter."""
     ids = jnp.asarray(np.asarray(input_ids), jnp.int32)
     x = embed_tokens(params["language"], ids)
     if pixels is not None:
@@ -158,8 +162,16 @@ def forward_full_sequence(
             params, cfg, pixels, tuple(int(v) for v in video_grid_thw[0])
         )
         x = merge_vision_embeddings(x, vis, ids, cfg.video_token_id)
+    if image_pixels is not None:
+        embs = [
+            encode_video_group(params, cfg, p, tuple(int(v) for v in g))
+            for p, g in zip(image_pixels, np.asarray(image_grid_thw))
+        ]
+        img = embs[0] if len(embs) == 1 else jnp.concatenate(embs, axis=0)
+        x = merge_vision_embeddings(x, img, ids, cfg.image_token_id)
     positions, _ = rope_index_for(
         cfg, np.asarray(input_ids), video_grid_thw=video_grid_thw,
+        image_grid_thw=image_grid_thw,
         second_per_grid_ts=second_per_grid_ts,
     )
     cos, sin = mrope_tables(cfg, positions)

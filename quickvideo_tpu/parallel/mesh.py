@@ -3,6 +3,8 @@
 Axes (quickvideo_tpu.config.MeshConfig):
   dp — data parallel: independent requests (eval sharding; the reference's
        only multi-device use is accelerate-launched eval DP, README.md:405)
+  pp — pipeline parallel: layer slabs over stages, skewed pipeline over video
+       groups (parallel/pipeline.py; engine path requires tp == sp == 1)
   tp — tensor parallel: attention heads / MLP columns over ICI
   sp — sequence parallel: group token axis for very large prefill groups
        (SURVEY.md section 5.7 TPU equivalent)
@@ -26,7 +28,7 @@ def make_mesh(cfg: MeshConfig, devices: Optional[Sequence] = None) -> Mesh:
         raise ValueError(
             f"mesh {cfg} needs {need} devices, have {len(devices)}"
         )
-    arr = np.array(devices[:need]).reshape(cfg.dp, cfg.tp, cfg.sp)
+    arr = np.array(devices[:need]).reshape(cfg.dp, cfg.pp, cfg.tp, cfg.sp)
     return Mesh(arr, axis_names=cfg.axis_names())
 
 

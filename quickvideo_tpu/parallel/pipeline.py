@@ -211,47 +211,75 @@ class PipelinedStack:
             check_vma=False,
         ), donate_argnums=(1, 2, 5, 6, 7, 8, 9) + ((3, 4) if quant else ()))
 
+    def start_stream(self, spec: StepSpec, q_len: int, hidden_size: int,
+                     head_dim: int, dtype, table_dtype) -> None:
+        """Open a skewed-pipeline stream: allocate the pipeline registers and
+        compile the tick for (spec, q_len). Groups then arrive one at a time
+        via push_group (the engine streams them off the decode pipeline);
+        end_stream drains the S-1 in-flight groups. All pushed groups share
+        q_len/spec (uniform specs — decay/cascade schedules take the engine's
+        unrolled path, which pp does not serve)."""
+        assert self._bufs is None, "stream already open"
+        S = self.S
+        key = (spec, q_len)
+        if key not in self._tick_jit:
+            self._tick_jit[key] = self._make_tick(spec, q_len, head_dim)
+        sh = NamedSharding(self.mesh, P("pp"))
+        xh_buf = jax.device_put(jnp.zeros((S, q_len, hidden_size), dtype), sh)
+        cos_buf = jax.device_put(jnp.zeros((S, q_len, head_dim), table_dtype),
+                                 sh)
+        sin_buf = jax.device_put(jnp.zeros((S, q_len, head_dim), table_dtype),
+                                 sh)
+        valid = jax.device_put(jnp.zeros((S,), jnp.int32), sh)
+        zero_x = jnp.zeros((q_len, hidden_size), dtype)
+        zero_t = jnp.zeros((q_len, head_dim), table_dtype)
+        self._bufs = [self._tick_jit[key], xh_buf, cos_buf, sin_buf, valid,
+                      zero_x, zero_t]
+
+    @property
+    def stream_open(self) -> bool:
+        return self._bufs is not None
+
+    def _tick(self, fx, fc, fs, live: bool) -> None:
+        tick, xh_buf, cos_buf, sin_buf, valid, zero_x, zero_t = self._bufs
+        ks, vs = self._zero4()
+        (self.k, self.v, k_s, v_s, self.lengths,
+         xh_buf, cos_buf, sin_buf, valid) = tick(
+            self.params, self.k, self.v, ks, vs, self.lengths,
+            xh_buf, cos_buf, sin_buf, valid,
+            fx, fc, fs, jnp.int32(1 if live else 0), self.rng,
+        )
+        if self.quantized:
+            self.ks, self.vs = k_s, v_s
+        self._bufs = [tick, xh_buf, cos_buf, sin_buf, valid, zero_x, zero_t]
+
+    def push_group(self, x: jax.Array, cos: jax.Array,
+                   sin: jax.Array) -> None:
+        """Feed one group into stage 0 (one tick: every stage advances its
+        own in-flight group)."""
+        self._tick(x, cos, sin, live=True)
+
+    def end_stream(self) -> None:
+        """Drain the pipeline: S-1 junk ticks flush the in-flight groups
+        (their cache writes land but only valid groups advance lengths)."""
+        _, _, _, _, _, zero_x, zero_t = self._bufs
+        for _ in range(self.S - 1):
+            self._tick(zero_x, zero_t, zero_t, live=False)
+        self._bufs = None
+
     def run_groups(self, group_embeds: List[jax.Array],
                    group_cos: List[jax.Array], group_sin: List[jax.Array],
                    spec: StepSpec) -> None:
         """Push all video groups through the pipeline: len(groups) + S - 1
-        ticks, one dispatch each (the engine's dispatch-per-group pattern).
-        All groups must share q_len (uniform specs — decay/cascade schedules
-        take the engine's unrolled path, which pp does not serve)."""
-        S = self.S
-        G = len(group_embeds)
+        ticks, one dispatch each (the engine's dispatch-per-group pattern)."""
         q_len = int(group_embeds[0].shape[0])
         hd = int(group_cos[0].shape[-1])
         C = int(group_embeds[0].shape[-1])
-        key = (spec, q_len)
-        if key not in self._tick_jit:
-            self._tick_jit[key] = self._make_tick(spec, q_len, hd)
-        tick = self._tick_jit[key]
-
-        sh = NamedSharding(self.mesh, P("pp"))
-        dt = group_embeds[0].dtype
-        cdt = group_cos[0].dtype
-        xh_buf = jax.device_put(jnp.zeros((S, q_len, C), dt), sh)
-        cos_buf = jax.device_put(jnp.zeros((S, q_len, hd), cdt), sh)
-        sin_buf = jax.device_put(jnp.zeros((S, q_len, hd), cdt), sh)
-        valid = jax.device_put(jnp.zeros((S,), jnp.int32), sh)
-        zero_x = jnp.zeros((q_len, C), dt)
-        zero_t = jnp.zeros((q_len, hd), cdt)
-        ks, vs = self._zero4()
-        for t in range(G + S - 1):
-            live = t < G
-            fx = group_embeds[t] if live else zero_x
-            fc = group_cos[t] if live else zero_t
-            fs = group_sin[t] if live else zero_t
-            (self.k, self.v, k_s, v_s, self.lengths,
-             xh_buf, cos_buf, sin_buf, valid) = tick(
-                self.params, self.k, self.v, ks, vs, self.lengths,
-                xh_buf, cos_buf, sin_buf, valid,
-                fx, fc, fs, jnp.int32(1 if live else 0), self.rng,
-            )
-            if self.quantized:
-                self.ks, self.vs = k_s, v_s
-                ks, vs = k_s, v_s
+        self.start_stream(spec, q_len, C, hd, group_embeds[0].dtype,
+                          group_cos[0].dtype)
+        for x, c, s in zip(group_embeds, group_cos, group_sin):
+            self.push_group(x, c, s)
+        self.end_stream()
 
     # -- sequential all-stage pass (prompt prefill / decode step) -----------
 

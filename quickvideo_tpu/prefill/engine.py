@@ -58,7 +58,8 @@ class PrefillInputs:
     """
 
     input_ids: np.ndarray  # (L,) full packed sequence
-    video_grid_thw: Tuple[int, int, int]  # full-video grid
+    video_grid_thw: Optional[Tuple[int, int, int]]  # full-video grid; None
+    # for image-only / text-only requests (no video placeholder span)
     pixel_groups: Iterable[np.ndarray]  # per group: (S_g, patch_input_dim)
     group_grids: Sequence[Tuple[int, int, int]]  # per group (t_g, h, w)
     second_per_grid_ts: float = 1.0
@@ -66,6 +67,13 @@ class PrefillInputs:
     native_hw: Optional[Tuple[int, int]] = None  # frames arrive at this
     # decoder-native (H, W); the vision program Lanczos-resamples to the
     # model grid on device (lvu.resize_on_device)
+    # --- image inputs (reference inherits them from stock qwen_vl_utils,
+    # lvu/models/qwen25_lvu.py:565; rope.get_rope_index already mixes
+    # image+video grids) ---
+    image_grid_thw: Optional[np.ndarray] = None  # (n_img, 3) rows (1, h, w)
+    image_pixels: Optional[Sequence[np.ndarray]] = None  # per image: a
+    # (1, 3, H, W) uint8 frame at the image's resized grid (the vision
+    # program repeats it across the temporal patch, matching HF)
 
 
 @dataclass
@@ -177,6 +185,33 @@ class LVUEngine:
             and model_cfg.text.num_key_value_heads % mesh.shape["tp"] == 0
         ):
             self.tp_cache_mesh = mesh
+        # pipeline parallelism: layer slabs over a pp axis. Each request
+        # builds a PipelinedStack (it owns the slabbed cache); video groups
+        # ride the skewed pipeline, prefix/suffix/decode run as sequential
+        # all-stage chunk passes (parallel/pipeline.py). Random predictors
+        # draw from a different (equally valid) rng stream than the
+        # single-device path: the stack folds one rng by global layer index
+        # instead of per-group (deterministic predictors are bit-matched —
+        # tests/test_pipeline_parallel.py).
+        self.pp_mesh = None
+        if mesh is not None and mesh.shape.get("pp", 1) > 1:
+            if mesh.shape.get("tp", 1) > 1 or mesh.shape.get("sp", 1) > 1:
+                raise ValueError(
+                    "pp does not compose with tp/sp inside a stage yet "
+                    f"(mesh shape {dict(mesh.shape)})"
+                )
+            if model_cfg.text.num_hidden_layers % mesh.shape["pp"]:
+                raise ValueError(
+                    f"num_hidden_layers={model_cfg.text.num_hidden_layers} "
+                    f"not divisible by pp={mesh.shape['pp']}"
+                )
+            self.pp_mesh = mesh
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            # chunk/tick operands must be committed to the pp mesh's device
+            # set (embeds/tables may come off programs placed on a different
+            # set, e.g. the dryrun's dp x tp x sp mesh)
+            self._pp_rep = NamedSharding(mesh, PartitionSpec())
         self._prefill_jit = jax.jit(
             prefill_step, static_argnames=("spec",), donate_argnames=("cache",)
         )
@@ -215,6 +250,13 @@ class LVUEngine:
             self._final_prefill_body, static_argnames=("spec",),
             donate_argnames=("cache",),
         )
+        # pp path building blocks: the group preamble (slice+embed+scatter)
+        # as its own program feeding the pipeline tick, and a logits head
+        # over the chunk pass's output hidden states
+        self._preamble_jit = jax.jit(
+            self._group_preamble, static_argnames=("spec",)
+        )
+        self._logits_jit = jax.jit(compute_logits, static_argnames=("cfg",))
         self._rng = jax.random.key(lvu_cfg.seed)
         self._base_rng = jax.random.key(lvu_cfg.seed + 1)
 
@@ -237,12 +279,14 @@ class LVUEngine:
 
     def _group_preamble(
         self, params_lang, ids_full, cos_full, sin_full, offset,
-        vis, prompt_ids, group_idx, spec,
+        vis, prompt_ids, group_idx, spec, img=None,
     ):
         """Shared group-step preamble: slice ids/positions at `offset`,
         embed + vision scatter, derive the per-group rng. One definition so
         the uniform (_group_body) and per-layer-spec (_group_unrolled_body)
-        programs cannot drift."""
+        programs cannot drift. `img` carries image-tower embeddings for the
+        image tokens inside this block (only group 0 — the prefix absorber —
+        can contain them)."""
         in_len = spec.q_len - spec.prompt_len
         g_ids = jax.lax.dynamic_slice(ids_full, (offset,), (in_len,))
         if prompt_ids is not None:
@@ -261,30 +305,34 @@ class LVUEngine:
             x = qmodel.merge_vision_embeddings(
                 x, vis, g_ids, self.cfg.video_token_id
             )
+        if img is not None:
+            x = qmodel.merge_vision_embeddings(
+                x, img, g_ids, self.cfg.image_token_id
+            )
         rng = jax.random.fold_in(self._base_rng, group_idx)
         return x, g_cos, g_sin, rng
 
     def _group_body(
         self, params_lang, cache, ids_full, cos_full, sin_full, offset,
-        vis, prompt_ids, group_idx, spec,
+        vis, prompt_ids, group_idx, spec, img=None,
     ):
         """Whole-group step in ONE compiled program: slice ids/positions at
         `offset`, embed + vision scatter, run the decoder stack with
         prune-and-append. Returns the updated cache."""
         x, g_cos, g_sin, rng = self._group_preamble(
             params_lang, ids_full, cos_full, sin_full, offset,
-            vis, prompt_ids, group_idx, spec,
+            vis, prompt_ids, group_idx, spec, img=img,
         )
         cache, _ = prefill_step(params_lang, cache, x, g_cos, g_sin, rng, spec)
         return cache
 
     def _group_unrolled_body(
         self, params_lang, cache, ids_full, cos_full, sin_full, offset,
-        vis, prompt_ids, group_idx, specs,
+        vis, prompt_ids, group_idx, specs, img=None,
     ):
         x, g_cos, g_sin, rng = self._group_preamble(
             params_lang, ids_full, cos_full, sin_full, offset,
-            vis, prompt_ids, group_idx, specs[0],
+            vis, prompt_ids, group_idx, specs[0], img=img,
         )
         cache, _ = prefill_step_unrolled(
             params_lang, cache, x, g_cos, g_sin, rng, specs
@@ -293,11 +341,17 @@ class LVUEngine:
 
     def _final_prefill_body(
         self, params_lang, cache, ids_pad, cos_full, sin_full, offset,
-        valid, spec,
+        valid, spec, img=None,
     ):
         """Padded-bucket suffix prefill + logits of the last VALID row, in
-        one program (exact suffix shapes would recompile per question)."""
+        one program (exact suffix shapes would recompile per question).
+        `img` carries image-tower embeddings for image tokens in the suffix
+        (pad rows beyond `valid` are zeros, never image ids)."""
         x = embed_tokens(params_lang, ids_pad)
+        if img is not None:
+            x = qmodel.merge_vision_embeddings(
+                x, img, ids_pad, self.cfg.image_token_id
+            )
         g_cos = jax.lax.dynamic_slice(
             cos_full, (offset, 0), (spec.q_len, cos_full.shape[1])
         )
@@ -471,11 +525,21 @@ class LVUEngine:
         ids = np.asarray(inputs.input_ids)
         L = len(ids)
 
+        img_grids = None
+        if inputs.image_grid_thw is not None and len(inputs.image_grid_thw):
+            img_grids = np.asarray(inputs.image_grid_thw).reshape(-1, 3)
         with timer.span("rope"):
             positions, delta = qmodel.rope_index_for(
                 cfg, ids,
-                video_grid_thw=np.array([inputs.video_grid_thw]),
-                second_per_grid_ts=[inputs.second_per_grid_ts],
+                video_grid_thw=(
+                    np.array([inputs.video_grid_thw])
+                    if inputs.video_grid_thw is not None else None
+                ),
+                image_grid_thw=img_grids,
+                second_per_grid_ts=(
+                    [inputs.second_per_grid_ts]
+                    if inputs.video_grid_thw is not None else None
+                ),
             )
             # precompute decode positions too: text continuation from
             # max_pos+1 == L + delta (reference rope_deltas semantics)
@@ -507,23 +571,81 @@ class LVUEngine:
         vid_idx = np.nonzero(ids == cfg.video_token_id)[0]
         n_vid = len(vid_idx)
         if n_vid == 0:
-            raise ValueError(
-                "input_ids contain no video tokens "
-                f"(video_token_id={cfg.video_token_id}); grouped video "
-                "prefill needs a tokenized video placeholder span"
+            if img_grids is None:
+                raise ValueError(
+                    "input_ids contain no video tokens "
+                    f"(video_token_id={cfg.video_token_id}) and no images; "
+                    "grouped video prefill needs a vision placeholder span"
+                )
+            # image-only request: no video groups — the whole sequence runs
+            # through the final-prefill pass (image scatter included)
+            suffix_start = 0
+            group_tokens = []
+            group_input_lens = []
+        else:
+            first_vid, last_vid = int(vid_idx[0]), int(vid_idx[-1])
+            suffix_start = last_vid + 1
+            group_tokens = []
+            for t_g, h, w in inputs.group_grids:
+                merged = t_g * (h // cfg.vision.spatial_merge_size) * (
+                    w // cfg.vision.spatial_merge_size
+                )
+                group_tokens.append(merged)
+            assert sum(group_tokens) == n_vid, (sum(group_tokens), n_vid)
+            # group 0 absorbs the pre-video prompt tokens
+            group_input_lens = list(group_tokens)
+            group_input_lens[0] += first_vid
+
+        # --- image encode (reference qwen25_lvu.py:565 via qwen_vl_utils;
+        # images sit in the prefix — scattered inside group 0 — or the
+        # suffix — scattered in the final prefill) ---
+        img_prefix = img_suffix = None
+        if img_grids is not None:
+            if self.pp_mesh is not None:
+                raise NotImplementedError(
+                    "image inputs under pipeline parallelism are not wired "
+                    "yet (the pp chunk pass lacks the image scatter)"
+                )
+            pix_list = inputs.image_pixels or []
+            if len(pix_list) != len(img_grids):
+                raise ValueError(
+                    f"{len(img_grids)} image grids but {len(pix_list)} "
+                    "image pixel arrays"
+                )
+            embs = []
+            with timer.span("vision"):
+                for g, pix in zip(img_grids, pix_list):
+                    gtup = tuple(int(v) for v in g)
+                    p = jnp.asarray(pix)
+                    if p.dtype != jnp.uint8:
+                        p = p.astype(self.dtype)
+                    embs.append(self._vision_jit(
+                        self.params, cfg, p, gtup,
+                        self._layout_arrays(gtup), native_hw=None,
+                    ))
+            img_embeds = (
+                jnp.concatenate(embs, axis=0) if len(embs) > 1 else embs[0]
             )
-        first_vid, last_vid = int(vid_idx[0]), int(vid_idx[-1])
-        suffix_start = last_vid + 1
-        group_tokens = []
-        for t_g, h, w in inputs.group_grids:
-            merged = t_g * (h // cfg.vision.spatial_merge_size) * (
-                w // cfg.vision.spatial_merge_size
+            n_img_prefix = int(
+                np.sum(ids[:suffix_start] == cfg.image_token_id)
             )
-            group_tokens.append(merged)
-        assert sum(group_tokens) == n_vid, (sum(group_tokens), n_vid)
-        # group 0 absorbs the pre-video prompt tokens
-        group_input_lens = list(group_tokens)
-        group_input_lens[0] += first_vid
+            n_img_total = int(np.sum(ids == cfg.image_token_id))
+            if int(img_embeds.shape[0]) != n_img_total:
+                raise ValueError(
+                    f"image grids produce {int(img_embeds.shape[0])} tokens "
+                    f"but input_ids contain {n_img_total} image placeholders"
+                )
+            if lvu.query_based and n_img_total > n_img_prefix:
+                raise NotImplementedError(
+                    "query-based predictors with images AFTER the video are "
+                    "not supported (the per-group prompt tail would need "
+                    "the image scatter)"
+                )
+            img_prefix = img_embeds[:n_img_prefix] if n_img_prefix else None
+            img_suffix = (
+                img_embeds[n_img_prefix:]
+                if n_img_total > n_img_prefix else None
+            )
 
         capacity = self.plan_capacity(group_input_lens, 0, L - suffix_start)
         if extra_capacity:
@@ -552,16 +674,37 @@ class LVUEngine:
                     f"down to the {quantum}-slot quantum ({cap_fixed})"
                 )
             capacity = cap_fixed
+        pp_stack = None
         with timer.span("cache_alloc"):
-            cache = kvc.init_cache(
-                cfg.text.num_hidden_layers,
-                cfg.text.num_key_value_heads,
-                capacity,
-                cfg.text.head_dim,
-                dtype=self.dtype,
-                quantized=(lvu.kv_cache_dtype == "int8"),
-            )
-            if self.cp_mesh is not None:
+            if self.pp_mesh is not None:
+                from quickvideo_tpu.parallel.pipeline import PipelinedStack
+
+                if not self._uniform():
+                    raise ValueError(
+                        "pipeline parallelism does not support decay/"
+                        "cascade schedules (per-layer shape changes need "
+                        "the unrolled path; run with pp=1)"
+                    )
+                pp_stack = PipelinedStack(
+                    self.pp_mesh, cfg.text,
+                    self.params["language"]["layers"], capacity,
+                    dtype=self.dtype,
+                    quantized=(lvu.kv_cache_dtype == "int8"),
+                    rng=self._base_rng,
+                )
+                cache = None
+            else:
+                cache = kvc.init_cache(
+                    cfg.text.num_hidden_layers,
+                    cfg.text.num_key_value_heads,
+                    capacity,
+                    cfg.text.head_dim,
+                    dtype=self.dtype,
+                    quantized=(lvu.kv_cache_dtype == "int8"),
+                )
+            if cache is None:
+                pass
+            elif self.cp_mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 sh = NamedSharding(self.cp_mesh, P(None, None, "sp", None))
@@ -597,6 +740,7 @@ class LVUEngine:
         prompt_ids_j = (
             jnp.asarray(prompt_ids, jnp.int32) if prompt_len else None
         )
+        pp_stream_key = None
         pixel_iter = inputs.pixel_groups
         if lvu.use_tqdm:
             # reference progress-bar contract (qwen25_vl.py:477-478)
@@ -630,7 +774,8 @@ class LVUEngine:
             # true occupancy 33-43k, ~2.2 s of pure wasted flash. Linear
             # buckets bound the waste to <=capacity/8 slots per group for
             # the same one-time compile count (<=8 variants).
-            capacity = int(cache.k.shape[2])
+            if cache is not None:
+                capacity = int(cache.k.shape[2])
             needed = logical_len + q_len
             gran = max(8192, capacity // 8)
             acap = max(8192, -(-needed // gran) * gran)
@@ -653,17 +798,51 @@ class LVUEngine:
             # one dispatch per group: slice + embed + scatter + full stack
             # (per-op dispatch over the device transport costs 100s of ms)
             with timer.span("prefill"):
-                if self._uniform():
+                if pp_stack is not None:
+                    # pipeline path: the preamble program produces this
+                    # group's embeds + rotary windows; group 0 (it absorbs
+                    # the pre-video prompt, so its q_len is unique) and any
+                    # ragged group run as sequential all-stage chunk passes;
+                    # uniform groups ride the skewed pipeline. active_cap
+                    # buckets are disabled — in-flight groups share ONE tick
+                    # program, and a per-group cap would retrace it.
+                    spec_pp = dataclasses.replace(base, active_cap=0)
+                    x, g_cos, g_sin, _ = self._preamble_jit(
+                        self.params["language"], ids_j, cos, sin,
+                        np.int32(past_len), vis, prompt_ids_j,
+                        np.int32(gi), spec=spec_pp,
+                    )
+                    x, g_cos, g_sin = (
+                        jax.device_put(a, self._pp_rep)
+                        for a in (x, g_cos, g_sin)
+                    )
+                    key = (spec_pp, q_len)
+                    if gi == 0:
+                        pp_stack.chunk(x, g_cos, g_sin, spec_pp)
+                    else:
+                        if pp_stack.stream_open and key != pp_stream_key:
+                            pp_stack.end_stream()
+                        if not pp_stack.stream_open:
+                            pp_stack.start_stream(
+                                spec_pp, q_len, int(x.shape[-1]),
+                                int(g_cos.shape[-1]), x.dtype, g_cos.dtype,
+                            )
+                            pp_stream_key = key
+                        pp_stack.push_group(x, g_cos, g_sin)
+                    _maybe_sync(pp_stack.lengths)
+                elif self._uniform():
                     cache = _maybe_sync(self._group_jit(
                         self.params["language"], cache, ids_j, cos, sin,
                         np.int32(past_len), vis, prompt_ids_j,
                         np.int32(gi), spec=base,
+                        img=img_prefix if gi == 0 else None,
                     ))
                 else:
                     cache = _maybe_sync(self._group_unrolled_jit(
                         self.params["language"], cache, ids_j, cos, sin,
                         np.int32(past_len), vis, prompt_ids_j,
                         np.int32(gi), specs=self._layer_specs(base),
+                        img=img_prefix if gi == 0 else None,
                     ))
             past_len += in_len
             if self._uniform():
@@ -679,6 +858,9 @@ class LVUEngine:
                     for li in range(n_layers)
                 )
         assert past_len == suffix_start, (past_len, suffix_start)
+        if pp_stack is not None and pp_stack.stream_open:
+            with timer.span("prefill"):
+                pp_stack.end_stream()  # drain the S-1 in-flight groups
 
         state = {
             "cos": cos,
@@ -694,6 +876,12 @@ class LVUEngine:
             # overshoot (fixed 32-size) and the device counter includes the
             # never-attended tail
             "cache_len": logical_len,
+            # pp mode: the slabbed cache lives inside the stack; `cache` is
+            # None and generate routes through _generate_from_stack
+            "pp_stack": pp_stack,
+            # image-tower embeddings for image tokens in the suffix — the
+            # final prefill scatters them (prefix images went into group 0)
+            "img_suffix": img_suffix,
         }
         return cache, state
 
@@ -755,10 +943,108 @@ class LVUEngine:
             logits = jnp.where(logits < cutoff, -jnp.inf, logits)
         return logits
 
+    def _generate_from_stack(
+        self, stack, state, max_new_tokens, eos_token_ids, greedy,
+        temperature, timer, top_p=None, top_k=None,
+    ):
+        """Suffix prefill + decode against a PipelinedStack (pp mode).
+
+        Every pass is a sequential all-stage chunk (one live stage per
+        sub-step — parallel/pipeline.py chunk): the suffix prompt at its
+        exact length (recompiles per distinct question length; pp targets
+        multi-chip serving where that one-time cost amortizes), then
+        per-token decode with host-side argmax/sampling. sample_on_device
+        is ignored under pp (the in-graph chunk samplers operate on a
+        KVCache value, not a stack)."""
+        cfg = self.cfg
+        lvu = self.lvu
+        ids = state["ids"]
+        cos, sin = state["cos"], state["sin"]
+        ss, L = state["suffix_start"], state["L"]
+        max_new = min(
+            max_new_tokens or lvu.max_decode_tokens, lvu.max_decode_tokens
+        )
+        n_layers = cfg.text.num_hidden_layers
+        suffix_len = L - ss
+        keep_k = 0
+        if lvu.do_top_k_for_query:
+            keep_k = resolve_effective_top_k(lvu, 0, n_layers, suffix_len)
+        with timer.span("final_prefill"):
+            spec = StepSpec(
+                cfg=cfg.text, q_len=suffix_len, keep_k=keep_k,
+                predict_type=lvu.top_k_predict_type,
+                needs_probs=(
+                    (lvu.needs_attn_stats or lvu.query_based)
+                    if keep_k > 0 else False
+                ),
+                attn_impl=lvu.attention_impl,
+                kv_quant=(lvu.kv_cache_dtype == "int8"),
+            )
+            x = self._embed_scatter_jit(
+                self.params["language"]["embed"],
+                jnp.asarray(ids[ss:], jnp.int32), None,
+            )
+            x, c_s, s_s = (
+                jax.device_put(a, self._pp_rep)
+                for a in (x, cos[ss:L], sin[ss:L])
+            )
+            h = stack.chunk(x, c_s, s_s, spec)
+            # one hidden row hops meshes host-side: params may live on a
+            # different device set than the pp stack (cheap: (C,) floats)
+            logits = self._logits_jit(
+                self.params["language"], np.asarray(h[-1]), cfg.text
+            )
+
+        out_tokens: List[int] = []
+        dspec = StepSpec(
+            cfg=cfg.text, q_len=1, keep_k=0, causal=False,
+            attn_impl=lvu.attention_impl,
+            kv_quant=(lvu.kv_cache_dtype == "int8"),
+        )
+        with timer.span("decode"):
+            for step in range(max_new):
+                if greedy:
+                    nxt = int(jnp.argmax(logits))
+                else:
+                    self._rng, rng = jax.random.split(self._rng)
+                    flt = self._filter_logits(logits, top_p, top_k)
+                    nxt = int(
+                        jax.random.categorical(rng, flt / temperature)
+                    )
+                out_tokens.append(nxt)
+                if nxt in eos_token_ids or step == max_new - 1:
+                    break
+                pos_idx = L + step  # decode tables start at row L
+                x = self._embed_scatter_jit(
+                    self.params["language"]["embed"],
+                    jnp.asarray([nxt], jnp.int32), None,
+                )
+                x, c_s, s_s = (
+                    jax.device_put(a, self._pp_rep)
+                    for a in (
+                        x, cos[pos_idx : pos_idx + 1],
+                        sin[pos_idx : pos_idx + 1],
+                    )
+                )
+                h = stack.chunk(x, c_s, s_s, dspec)
+                logits = self._logits_jit(
+                    self.params["language"], np.asarray(h[-1]), cfg.text
+                )
+        suffix_advance = keep_k if keep_k > 0 else suffix_len
+        logical = state["cache_len"] + suffix_advance + max(
+            0, len(out_tokens) - 1
+        )
+        return np.asarray(out_tokens, np.int64), None, logical
+
     def _generate_from_cache(
         self, cache, state, max_new_tokens, eos_token_ids, greedy,
         temperature, timer, top_p=None, top_k=None,
     ):
+        if state.get("pp_stack") is not None:
+            return self._generate_from_stack(
+                state["pp_stack"], state, max_new_tokens, eos_token_ids,
+                greedy, temperature, timer, top_p=top_p, top_k=top_k,
+            )
         cfg = self.cfg
         lvu = self.lvu
         ids = state["ids"]
@@ -775,8 +1061,15 @@ class LVUEngine:
         keep_k = 0
         if lvu.do_top_k_for_query:
             keep_k = resolve_effective_top_k(lvu, 0, n_layers, suffix_len)
+        img_suffix = state.get("img_suffix")
         with timer.span("final_prefill"):
             if keep_k > 0:
+                if img_suffix is not None:
+                    raise NotImplementedError(
+                        "do_top_k_for_query with images in the suffix is "
+                        "not supported (the pruned-suffix path lacks the "
+                        "image scatter)"
+                    )
                 # exact shape when the suffix itself is pruned (rare path)
                 spec = StepSpec(
                     cfg=cfg.text, q_len=suffix_len, keep_k=keep_k,
@@ -826,7 +1119,7 @@ class LVUEngine:
                     jnp.asarray(ids_pad, jnp.int32),
                     cos[ss : ss + bucket], sin[ss : ss + bucket],
                     np.int32(0), np.int32(suffix_len),
-                    spec=spec,
+                    spec=spec, img=img_suffix,
                 )
 
         out_tokens: List[int] = []

@@ -65,10 +65,24 @@ class ServerConfig:
     spill_dir: Optional[str] = None  # default: <tmp>/qv_sessions
     request_timeout_s: float = 600.0
     default_max_new_tokens: int = 128
+    # abuse/overload guards (round-4 serving polish): oversized request
+    # bodies are rejected before being read (HTTP 413) and requests beyond
+    # the queue bound are shed immediately (HTTP 503) instead of piling up
+    # behind a long video prefill until they all time out at 504
+    max_body_bytes: int = 8 << 20
+    max_queue_depth: int = 64
 
 
 class RequestError(ValueError):
     """Client-side error -> HTTP 400."""
+
+
+class BodyTooLargeError(RequestError):
+    """Request body over ServerConfig.max_body_bytes -> HTTP 413."""
+
+
+class OverloadedError(RuntimeError):
+    """Work queue at max_queue_depth -> HTTP 503 (load shedding)."""
 
 
 @dataclass
@@ -126,6 +140,8 @@ class LVUServer:
         }
         self._paused = threading.Event()
         self._paused.set()  # set == running
+        self._admitted = 0  # submitted-and-unfinished request count
+        self._admit_lock = threading.Lock()
         self._stop = False
         self._worker = threading.Thread(
             target=self._work_loop, name="lvu-worker", daemon=True
@@ -135,11 +151,28 @@ class LVUServer:
     # ---- client-facing (any thread) -------------------------------------
 
     def submit(self, kind: str, payload: dict) -> dict:
-        job = _Job(kind, payload)
-        self._q.put(job)
-        if not job.done.wait(self.cfg.request_timeout_s):
-            raise TimeoutError(f"request timed out after "
-                               f"{self.cfg.request_timeout_s:.0f}s")
+        # shed at admission: a bounded in-flight count keeps tail latency
+        # honest (the client retries against another replica instead of
+        # waiting out a 504 behind max_queue_depth video prefills). Counts
+        # admitted-and-unfinished jobs, not queue size — the worker moves
+        # jobs off the queue into its pending batch before running them.
+        with self._admit_lock:
+            if self._admitted >= self.cfg.max_queue_depth:
+                self.stats["shed"] = self.stats.get("shed", 0) + 1
+                raise OverloadedError(
+                    f"queue at max_queue_depth={self.cfg.max_queue_depth}; "
+                    "retry later"
+                )
+            self._admitted += 1
+        try:
+            job = _Job(kind, payload)
+            self._q.put(job)
+            if not job.done.wait(self.cfg.request_timeout_s):
+                raise TimeoutError(f"request timed out after "
+                                   f"{self.cfg.request_timeout_s:.0f}s")
+        finally:
+            with self._admit_lock:
+                self._admitted -= 1
         if job.error is not None:
             raise job.error
         return job.result
@@ -455,6 +488,14 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _body(self) -> dict:
         n = int(self.headers.get("Content-Length") or 0)
+        limit = self.lvu_server.cfg.max_body_bytes
+        if n > limit:
+            # close the connection rather than reading an oversized body —
+            # draining it would be the resource exhaustion we're preventing
+            self.close_connection = True
+            raise BodyTooLargeError(
+                f"request body {n} bytes exceeds max_body_bytes={limit}"
+            )
         raw = self.rfile.read(n) if n else b"{}"
         try:
             body = json.loads(raw or b"{}")
@@ -546,8 +587,12 @@ class _Handler(BaseHTTPRequestHandler):
                     }],
                 })
             return self._json(404, {"error": f"no route {path}"})
+        except BodyTooLargeError as e:
+            return self._json(413, {"error": str(e)})
         except RequestError as e:
             return self._json(400, {"error": str(e)})
+        except OverloadedError as e:
+            return self._json(503, {"error": str(e)})
         except TimeoutError as e:
             return self._json(504, {"error": str(e)})
         except Exception as e:  # noqa: BLE001 - boundary: report, don't die

@@ -117,16 +117,24 @@ def build_chat_ids_from_messages(
     cfg: ModelConfig,
     messages,
     n_video_tokens: int,
+    image_token_counts: Sequence[int] = (),
 ) -> np.ndarray:
     """Full multi-turn chat template (reference chat_lvu_model feeds the
     complete message list through apply_chat_template,
     lvu/models/qwen25_lvu.py:538-548): every system/user/assistant turn is
     rendered as `<|im_start|>role\\n...<|im_end|>\\n`, the single video item
-    expands to `<|vision_start|><|video_pad|>*N<|vision_end|>`, and the
-    generation prompt `<|im_start|>assistant\\n` is appended."""
+    expands to `<|vision_start|><|video_pad|>*N<|vision_end|>`, each image
+    item to `<|vision_start|><|image_pad|>*N_i<|vision_end|>` (the reference
+    inherits image support from stock qwen_vl_utils.process_vision_info,
+    lvu/models/qwen25_lvu.py:565), and the generation prompt
+    `<|im_start|>assistant\\n` is appended.
+
+    `image_token_counts[i]` = merged token count of the i-th image item in
+    message order ((h/merge)*(w/merge) of its grid)."""
     im_start, im_end, newline = special_ids(cfg)
     ids: List[int] = []
     n_videos = 0
+    n_images = 0
     if not messages or messages[0].get("role") != "system":
         ids += (
             [im_start]
@@ -152,6 +160,19 @@ def build_chat_ids_from_messages(
                     ids += [cfg.vision_start_token_id]
                     ids += [cfg.video_token_id] * n_video_tokens
                     ids += [cfg.vision_end_token_id]
+                elif t == "image":
+                    if n_images >= len(image_token_counts):
+                        raise ValueError(
+                            f"image item #{n_images} has no entry in "
+                            f"image_token_counts ({len(image_token_counts)} "
+                            "given)"
+                        )
+                    ids += [cfg.vision_start_token_id]
+                    ids += [cfg.image_token_id] * int(
+                        image_token_counts[n_images]
+                    )
+                    ids += [cfg.vision_end_token_id]
+                    n_images += 1
                 elif t == "text":
                     ids += tokenizer.encode_text(item.get("text", ""))
                 else:

@@ -43,6 +43,23 @@ register_backend(
 )
 
 
+def _cv2_factory(path, threads):
+    from quickvideo_tpu.video.cv2_reader import Cv2VideoReader
+
+    return Cv2VideoReader(path, num_threads=threads)
+
+
+# the decord/torchvision-equivalent degradation path (reference
+# qwen25_lvu.py:215-265): sequential OpenCV decode when the native engine is
+# disabled/unavailable or fails mid-request. find_spec probes availability
+# without paying the cv2 import at module-import time (the factory imports
+# lazily on first fallback use).
+import importlib.util as _ilu
+
+if _ilu.find_spec("cv2") is not None:
+    register_backend("opencv", _cv2_factory)
+
+
 def backend_priority() -> List[str]:
     forced = os.environ.get("FORCE_QWENVL_VIDEO_READER")
     if forced:

@@ -208,6 +208,76 @@ def test_error_paths(served, video):
         assert e.code == 400
 
 
+def test_oversized_body_rejected_413(lvu, tmp_path):
+    """Bodies over max_body_bytes are rejected from the Content-Length
+    header BEFORE being read (round-4 serving polish)."""
+    from quickvideo_tpu.serving import ServerConfig, make_http_server
+
+    cfg = ServerConfig(port=0, spill_dir=str(tmp_path / "s"),
+                       max_body_bytes=1024, request_timeout_s=30)
+    httpd, server = make_http_server(lvu, cfg)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        big = json.dumps({"question": "x" * 4096, "video": "v"}).encode()
+        r = urllib.request.Request(
+            base + "/v1/generate", data=big,
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(r)
+        assert ei.value.code == 413
+        # small bodies still work after the rejected one
+        code, _ = _req(base, "/healthz")
+        assert code == 200
+    finally:
+        httpd.shutdown()
+        server.shutdown()
+
+
+def test_load_shedding_503(lvu, video, tmp_path):
+    """Requests beyond max_queue_depth shed with 503 while queued ones
+    complete: pause the worker, fill the queue, and burst one more."""
+    from quickvideo_tpu.serving import ServerConfig, make_http_server
+
+    cfg = ServerConfig(port=0, spill_dir=str(tmp_path / "s"),
+                       max_queue_depth=2, request_timeout_s=120)
+    httpd, server = make_http_server(lvu, cfg)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        server.pause()
+        results = {}
+
+        def go(i):
+            results[i] = _req(base, "/v1/generate", {
+                "video": video, "question": f"q{i}", "max_new_tokens": 2,
+            })
+
+        threads = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+        for th in threads:
+            th.start()
+        for _ in range(100):  # wait until both are admitted
+            if server._admitted >= 2:
+                break
+            time.sleep(0.05)
+        # queue full -> the next request sheds immediately with 503
+        code, out = _req(base, "/v1/generate", {
+            "video": video, "question": "shed-me", "max_new_tokens": 2,
+        })
+        assert code == 503 and "retry" in out["error"]
+        assert server.stats.get("shed", 0) >= 1
+        server.resume()
+        for th in threads:
+            th.join(timeout=120)
+        assert all(c == 200 for c, _ in results.values()), results
+    finally:
+        httpd.shutdown()
+        server.shutdown()
+
+
 def test_openai_message_translation():
     from quickvideo_tpu.serving import (
         RequestError,

@@ -148,6 +148,38 @@ def test_lvu_api_with_mesh(tmp_path):
     assert len(lvu.last_result.tokens) == 3
 
 
+def test_lvu_api_pp_mesh(tmp_path):
+    """LVU facade with a pp=3 mesh (VERDICT r3 item 3; tiny has 3 layers, one
+    per stage): generate through the
+    engine's PipelinedStack path must produce the SAME tokens as the
+    single-device run — prefix chunk + skewed pipeline over uniform groups +
+    sequential suffix/decode chunks reproduce the single-device cache."""
+    from quickvideo_tpu.api import LVU
+    from quickvideo_tpu.config import LVUConfig, MeshConfig
+    from quickvideo_tpu.video import quickdecode as qd
+
+    if not qd.is_available():
+        pytest.skip("native decoder not built")
+    video = str(tmp_path / "clip.mp4")
+    qd.encode_test_video(video, width=112, height=112, nframes=32, fps=8,
+                         gop=8)
+    kw = dict(
+        model_name_or_path="tiny", model_type="qwen25_lvu",
+        num_frames=8, video_group_size=4, top_p=0.5,
+        max_decode_tokens=8, dtype="float32",
+    )
+    ref = LVU(LVUConfig(**kw))
+    out_ref = ref.generate("What?", video, max_new_tokens=4)
+    toks_ref = np.asarray(ref.last_result.tokens)
+
+    lvu = LVU(LVUConfig(mesh=MeshConfig(pp=3), **kw))
+    assert lvu.engine.pp_mesh is not None
+    out = lvu.generate("What?", video, max_new_tokens=4)
+    toks_pp = np.asarray(lvu.last_result.tokens)
+    np.testing.assert_array_equal(toks_pp, toks_ref)
+    assert lvu.last_result.cache_length == ref.last_result.cache_length
+
+
 def test_72b_tp8_sharding_plan_covers_every_param():
     """Scale check without allocating: the TP sharding plan must divide
     every Qwen2.5-VL-72B parameter on a tp=8 mesh, and the per-chip bf16
