@@ -90,7 +90,15 @@ def main():
         print(f"{name:48s} {ms:9.1f} ms", file=sys.stderr, flush=True)
         results.append({"program": name, "ms": round(ms, 2)})
 
+    # default grids = textured-1080p fixture; SP_GRIDS overrides (the
+    # textured448 headline fixture runs strict (16,26,26) / aligned
+    # (16,24,24) — 364px vs 336px smart-resize of the 448 source)
+    import ast
+
     GRIDS = {
+        f"{t},{h},{w}": (t, h, w)
+        for t, h, w in ast.literal_eval(os.environ["SP_GRIDS"])
+    } if os.environ.get("SP_GRIDS") else {
         "strict(16,22,40)": (16, 22, 40),
         "aligned(16,16,40)": (16, 16, 40),
     }

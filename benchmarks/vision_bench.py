@@ -35,15 +35,44 @@ def sync(x):
     return np.asarray(jax.tree.leaves(x)[0].ravel()[:1])
 
 
+_RTT = None
+
+
+def _fetch_rtt():
+    # host fetch of a tiny already-materialized array: the per-sync tunnel
+    # round-trip every timed fetch pays (same method as strict_profile.py)
+    global _RTT
+    if _RTT is None:
+        probe = jnp.zeros((8,), jnp.float32)
+        np.asarray(probe)
+        _RTT = min(
+            _t(lambda: np.asarray(probe)) for _ in range(5)
+        )
+    return _RTT
+
+
+def _t(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
 def timeit(name, fn, *args):
-    sync(fn(*args))
-    ts = []
+    # dispatch REPS independent calls, ONE fetch at the end: the device
+    # executes them in order while dispatches pipeline, so per-rep time is
+    # device time, not device time + a ~25 ms tunnel round-trip per rep
+    # (the old per-rep sync() inflated every arm by that RTT — it made a
+    # ~3 ms embed+merger read as ~28 ms)
+    sync(fn(*args))  # warm compile + materialize
+    rtt = _fetch_rtt()
+    t0 = time.perf_counter()
+    out = None
     for _ in range(REPS):
-        t0 = time.perf_counter()
-        sync(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    print(f"{name:44s} {min(ts)*1e3:9.1f} ms", flush=True)
-    return min(ts)
+        out = fn(*args)
+    sync(out)
+    dt = (time.perf_counter() - t0 - rtt) / REPS
+    print(f"{name:44s} {dt*1e3:9.1f} ms", flush=True)
+    return dt
 
 
 def main():

@@ -467,6 +467,10 @@ def layer_step(
                 # no-op and the kernel's output store + unfold relayout
                 # move half the bytes (f32 kept on merge/parity paths)
                 out_dtype=q.dtype,
+                # unified mode never merges partials; the lse is consumed
+                # only by the attn-stats predictors — skip its compute and
+                # ~Hq*G*512 B/call HBM store otherwise
+                with_lse=spec.needs_probs,
             )
             out = pa.out
             group_probs = None

@@ -46,7 +46,9 @@ def _flash_kernel(
     o_ref,  # (1, nq_inner*rep*BQ, D), dtype = caller out_dtype (f32 default;
             # bf16 on the engine hot path)
     lse_ref,  # (1, nq_inner*rep*BQ, 128) f32 (lse broadcast over lanes; TPU
-              # block shapes need the minor dim divisible by 128)
+              # block shapes need the minor dim divisible by 128), or None
+              # when the caller doesn't consume the lse (with_lse=False:
+              # the store is ~Hq*G*512 bytes/call of pure HBM write)
     m_scr,  # VMEM (nq_inner*rep*BQ, 1) f32
     s_scr,  # VMEM (nq_inner*rep*BQ, 1) f32
     acc_scr,  # VMEM (nq_inner*rep*BQ, D) f32
@@ -203,20 +205,22 @@ def _flash_kernel(
         o_ref[0] = (
             acc_scr[:] / jnp.maximum(s, 1e-30)[:, None]
         ).astype(o_ref.dtype)
-        # m/s live in log2 space; the PartialAttn contract is natural-log lse
-        lse = jnp.where(
-            s > 0,
-            jnp.maximum(m, -1e29) * LN2 + jnp.log(jnp.maximum(s, 1e-30)),
-            NEG_INF,
-        )
-        lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
+        if lse_ref is not None:
+            # m/s live in log2 space; the PartialAttn contract is
+            # natural-log lse
+            lse = jnp.where(
+                s > 0,
+                jnp.maximum(m, -1e29) * LN2 + jnp.log(jnp.maximum(s, 1e-30)),
+                NEG_INF,
+            )
+            lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "scale", "block_q", "block_k", "interpret", "causal", "active_cap",
-        "int8_qk", "nq_inner", "out_dtype",
+        "int8_qk", "nq_inner", "out_dtype", "with_lse",
     ),
 )
 def _flash_past_attention_impl(
@@ -263,6 +267,11 @@ def _flash_past_attention_impl(
     # the engine's hot unified path passes the activation dtype (the caller
     # casts there immediately anyway — one identical rounding, half the
     # output-store + unfold-relayout HBM traffic).
+    with_lse: bool = True,  # False skips computing/storing the lse output
+    # entirely (returns PartialAttn(out, None)). The unified hot path never
+    # merges (one kernel covers past+group) and only reads lse when the
+    # predictor needs probs — the store is Hq*G*512 B/call of HBM write
+    # (~40 MB at the 7B group shape, ~45 ms per strict e2e run).
 ) -> PartialAttn:
     """Pure-past mode (causal=False): attends cache slots [0, length).
     Unified mode (causal=True): the buffer holds [past | appended group];
@@ -413,20 +422,26 @@ def _flash_past_attention_impl(
                 (1, qrows, 128), lambda h, qh, ki, *_: (h, qh, 0),
                 memory_space=pltpu.VMEM,
             ))
+    out_specs = [
+        pl.BlockSpec(
+            (1, qrows, d), lambda h, qh, ki, *_: (h, qh, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((hkv, nq * rbq, d), out_dtype)]
+    if with_lse:
+        out_specs.append(pl.BlockSpec(
+            (1, qrows, 128), lambda h, qh, ki, *_: (h, qh, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        out_shape.append(
+            jax.ShapeDtypeStruct((hkv, nq * rbq, 128), jnp.float32)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(hkv, nqh, nk),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec(
-                (1, qrows, d), lambda h, qh, ki, *_: (h, qh, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, qrows, 128), lambda h, qh, ki, *_: (h, qh, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((qrows, 1), jnp.float32),
             pltpu.VMEM((qrows, 1), jnp.float32),
@@ -440,28 +455,44 @@ def _flash_past_attention_impl(
         .transpose(0, 2, 1, 3, 4)
         .reshape(hkv, nq * rbq, d)
     )
-    kernel = functools.partial(
-        _flash_kernel, block_q=block_q, block_k=block_k,
-        nq_inner=nq_inner, scale=scale,
-    )
+    # kernel wrappers per operand mode; pallas passes outputs positionally
+    # after inputs, so the no-lse mode simply omits lse_ref from the slot
+    # list and forwards None
     if quant and int8_qk:
         def kernel(length_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, qs_ref,
-                   o_ref, lse_ref, m_scr, s_scr, acc_scr):
+                   o_ref, *rest):
+            lse_ref, scratch = (rest[0], rest[1:]) if with_lse else (
+                None, rest
+            )
             return _flash_kernel(
                 length_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                m_scr, s_scr, acc_scr,
+                *scratch,
                 block_q=block_q, block_k=block_k, nq_inner=nq_inner,
                 scale=scale, ks_ref=ks_ref, vs_ref=vs_ref, qs_ref=qs_ref,
                 pv_dtype=act_dtype,
             )
     elif quant:
         def kernel(length_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                   o_ref, lse_ref, m_scr, s_scr, acc_scr):
+                   o_ref, *rest):
+            lse_ref, scratch = (rest[0], rest[1:]) if with_lse else (
+                None, rest
+            )
             return _flash_kernel(
                 length_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                m_scr, s_scr, acc_scr,
+                *scratch,
                 block_q=block_q, block_k=block_k, nq_inner=nq_inner,
                 scale=scale, ks_ref=ks_ref, vs_ref=vs_ref,
+            )
+    else:
+        def kernel(length_ref, q_ref, k_ref, v_ref, o_ref, *rest):
+            lse_ref, scratch = (rest[0], rest[1:]) if with_lse else (
+                None, rest
+            )
+            return _flash_kernel(
+                length_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                *scratch,
+                block_q=block_q, block_k=block_k, nq_inner=nq_inner,
+                scale=scale,
             )
     operands = [qblocks, k_past, v_past]
     if quant:
@@ -478,13 +509,10 @@ def _flash_past_attention_impl(
             operands.append(jnp.broadcast_to(
                 qsf[:, :, None], (hkv, nq * rbq, 128)
             ))
-    out, lse = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((hkv, nq * rbq, d), out_dtype),
-            jax.ShapeDtypeStruct((hkv, nq * rbq, 128), jnp.float32),
-        ],
+        out_shape=out_shape,
         # Mosaic's default scoped-VMEM budget is 16 MB; at rep=7 (the 7B's
         # 28q/4kv GQA) the 4-block q unroll's score tiles sit right at that
         # edge — upstream fusion/layout changes (e.g. int8 activations) tipped
@@ -506,16 +534,18 @@ def _flash_past_attention_impl(
     )
     # unfold back to (Hq, G, D)
     out = (
-        out.reshape(hkv, nq, rep, block_q, d)
+        outs[0].reshape(hkv, nq, rep, block_q, d)
         .transpose(0, 2, 1, 3, 4)
         .reshape(hq, gq, d)[:, :g]
     )
-    lse = (
-        lse[..., 0]
-        .reshape(hkv, nq, rep, block_q)
-        .transpose(0, 2, 1, 3)
-        .reshape(hq, gq)[:, :g]
-    )
+    lse = None
+    if with_lse:
+        lse = (
+            outs[1][..., 0]
+            .reshape(hkv, nq, rep, block_q)
+            .transpose(0, 2, 1, 3)
+            .reshape(hq, gq)[:, :g]
+        )
     return PartialAttn(out, lse)
 
 
@@ -537,6 +567,7 @@ def flash_past_attention(
     layer_idx: Array = None,
     nq_inner: int = 0,
     out_dtype=jnp.float32,
+    with_lse: bool = True,
 ) -> PartialAttn:
     """Public entry — see _flash_past_attention_impl for the full operand
     contract. Resolves the int8-QK default (ON for int8 caches unless
@@ -553,5 +584,5 @@ def flash_past_attention(
         block_k=block_k, interpret=interpret, causal=causal,
         k_scale=k_scale, v_scale=v_scale, active_cap=active_cap,
         int8_qk=bool(int8_qk), layer_idx=layer_idx, nq_inner=nq_inner,
-        out_dtype=out_dtype,
+        out_dtype=out_dtype, with_lse=bool(with_lse),
     )

@@ -166,3 +166,24 @@ def test_flash_stacked_active_cap(rng_np):
         interpret=True, layer_idx=jnp.int32(1),
     )
     np.testing.assert_allclose(got.out, ref.out, rtol=1e-6, atol=1e-6)
+
+
+def test_flash_with_lse_false_matches(rng_np):
+    """with_lse=False skips the lse output entirely; the attention output is
+    bit-identical to the with_lse=True kernel (hot-path mode — the unified
+    kernel never merges, so the lse store is pure overhead unless the
+    predictor needs probs)."""
+    g, cap, length = 256, 1024, 700
+    q = jnp.asarray(rng_np.standard_normal((HQ, g, D)).astype(np.float32))
+    k = jnp.asarray(rng_np.standard_normal((HKV, cap, D)).astype(np.float32))
+    v = jnp.asarray(rng_np.standard_normal((HKV, cap, D)).astype(np.float32))
+    full = flash_past_attention(
+        q, k, v, jnp.int32(length), scale=SCALE, block_q=128, block_k=256,
+        interpret=True, causal=True,
+    )
+    slim = flash_past_attention(
+        q, k, v, jnp.int32(length), scale=SCALE, block_q=128, block_k=256,
+        interpret=True, causal=True, with_lse=False,
+    )
+    assert slim.lse is None
+    np.testing.assert_array_equal(np.asarray(slim.out), np.asarray(full.out))
