@@ -55,16 +55,19 @@ def main():
     )()
     vbuf = kbuf * jnp.bfloat16(0.5)
     k_scale = v_scale = None
-    if KV_DTYPE == "int8":
+    if KV_DTYPE in ("int8", "int8k"):
         kbuf = jax.jit(
             lambda b: jnp.clip(
                 jnp.round(b.astype(jnp.float32) / 0.02), -127, 127
             ).astype(jnp.int8)
         )(kbuf)
-        vbuf = kbuf  # values irrelevant for timing
         # the kernel takes the CURRENT layer's scale slice: (Hkv, cap)
         k_scale = jnp.full((HKV, CAP), 0.02, jnp.float32)
-        v_scale = k_scale
+        if KV_DTYPE == "int8":
+            vbuf = kbuf  # values irrelevant for timing
+            v_scale = k_scale
+        # int8k: K int8 (QK at the s8xs8 MXU rate), V stays bf16 (full-rate
+        # bf16 PV with no dequant cast) — the kv_cache "int8k" mode
     length = jnp.int32(VALID)
     layer_idx = jnp.int32(LAYERS // 2) if STACKED else None
     scale = D ** -0.5

@@ -73,13 +73,19 @@ def main():
     )
     eng = LVUEngine(params, cfg, lvu, jnp.bfloat16)
 
-    # fetch RTT: host fetch of a tiny already-materialized array
-    probe = jnp.zeros((8,), jnp.float32)
-    np.asarray(probe)
+    # fetch RTT: host fetch of a FRESH device array each probe — jax caches
+    # the host copy after the first np.asarray of a given array, so probing
+    # one materialized array re-reads host memory and reports ~0 ms while
+    # the true tunnel round-trip is ~20 ms
+    _probe = jax.jit(lambda x: x + 1.0)
+    base = jnp.zeros((8,), jnp.float32)
+    np.asarray(_probe(base))  # warm
     rtts = []
     for _ in range(5):
+        fresh = _probe(base)
+        fresh.block_until_ready()
         t0 = time.perf_counter()
-        np.asarray(probe)
+        np.asarray(fresh)
         rtts.append(time.perf_counter() - t0)
     rtt = min(rtts)
     print(f"fetch RTT {rtt*1e3:.1f} ms", file=sys.stderr)

@@ -39,15 +39,20 @@ _RTT = None
 
 
 def _fetch_rtt():
-    # host fetch of a tiny already-materialized array: the per-sync tunnel
-    # round-trip every timed fetch pays (same method as strict_profile.py)
+    # host fetch of a FRESH tiny device array: the per-sync tunnel
+    # round-trip every timed fetch pays. Must be a fresh array each probe —
+    # jax caches the host copy after the first np.asarray, which makes a
+    # re-fetch of the same array read ~0 ms while the true RTT is ~20 ms.
     global _RTT
     if _RTT is None:
-        probe = jnp.zeros((8,), jnp.float32)
-        np.asarray(probe)
-        _RTT = min(
-            _t(lambda: np.asarray(probe)) for _ in range(5)
-        )
+        probe = jax.jit(lambda x: x + 1.0)
+        base = jnp.zeros((8,), jnp.float32)
+        np.asarray(probe(base))  # warm
+        def once():
+            fresh = probe(base)
+            fresh.block_until_ready()
+            return _t(lambda: np.asarray(fresh))
+        _RTT = min(once() for _ in range(5))
     return _RTT
 
 

@@ -117,7 +117,10 @@ class LVUConfig:
     # (int8 = weight-only per-output-channel symmetric quantization — the
     # enabler for 7B-class models on a 16 GB chip; ops/quantization.py)
     kv_cache_capacity: Optional[int] = None  # tokens; None = auto from input
-    kv_cache_dtype: str = "bfloat16"  # "bfloat16" | "int8" (quantized cache)
+    kv_cache_dtype: str = "bfloat16"  # "bfloat16" | "int8" | "int8k"
+    # int8: K and V stored int8 + per-token scales (~47% of bf16 HBM) — the
+    # hour-scale memory mode. int8k: K only (~69% of bf16 HBM); QK runs at
+    # the doubled s8xs8 MXU rate while PV keeps full-rate unquantized V.
     decode_output: str = "rgb"  # "rgb" | "yuv420" (half the host->device
     # bytes; chroma upsample + BT.601 run on device)
     align_resize_to_window: bool = False  # snap the resize DOWN to multiples
@@ -160,6 +163,11 @@ class LVUConfig:
                 f"Unknown top_k_predict_type: {self.top_k_predict_type!r}; "
                 f"valid: {sorted(ALL_PREDICTORS)}"
             )
+        if self.kv_cache_dtype not in ("bfloat16", "int8", "int8k"):
+            raise ValueError(
+                f"Unknown kv_cache_dtype: {self.kv_cache_dtype!r}; "
+                "valid: bfloat16, int8, int8k"
+            )
 
     @property
     def needs_attn_stats(self) -> bool:
@@ -192,6 +200,13 @@ class LVULayerConfig:
         self.prune_for_next_layer = (
             isinstance(psl, int) and psl >= 0 and self.layer_idx >= psl
         )
+
+
+def kv_quant_mode(kv_cache_dtype: str):
+    """Map the config's kv_cache_dtype string to the cache/StepSpec quant
+    mode: 'bfloat16' -> False, 'int8' -> True (K and V), 'int8k' -> 'k'
+    (K-only int8; V stays in the compute dtype)."""
+    return {"int8": True, "int8k": "k"}.get(kv_cache_dtype, False)
 
 
 def resolve_effective_top_k(

@@ -49,9 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode_threads", type=int, default=8)
     p.add_argument("--decode_intervals", type=int, default=64)
     p.add_argument("--kv_cache_dtype", default="bfloat16",
-                   choices=["bfloat16", "int8"],
-                   help="int8 halves KV memory (hour-long videos) at a "
-                        "measured ~5-12%% e2e cost on demo-length clips")
+                   choices=["bfloat16", "int8", "int8k"],
+                   help="int8 stores K and V quantized (~47%% of bf16 KV "
+                        "memory — hour-long videos) at a measured ~2%% e2e "
+                        "cost on demo-length clips; int8k quantizes K only "
+                        "(~69%% of bf16, ~half the accuracy exposure)")
     p.add_argument("--kv_cache_capacity", type=int, default=None,
                    help="fixed KV slot count (pins compiled shapes across "
                         "requests; None = auto per request)")

@@ -109,7 +109,10 @@ class StepSpec:
     causal: bool = True
     cascade: bool = False  # prune activations for the next layer too
     attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla' (past-buffer partial)
-    kv_quant: bool = False  # int8 KV cache (past stored quantized)
+    kv_quant: object = False  # False | True (K+V int8) | "k" (K-only int8:
+    # QK at the s8xs8 MXU rate, V unquantized — the "int8k" cache dtype).
+    # Truthy gates route to the *_quantized appends, which accept a None
+    # v_scale buffer for the "k" mode.
     attend_past: bool = True  # False = adaptive_local_attention off: groups
     # attend only within themselves (reference qwen25_vl.py:502-516 merge
     # path); KV still accumulates in the cache for the final generate
@@ -360,6 +363,7 @@ def layer_step(
             )
             if k_scale_buf is not None:
                 kb = kv.dequantize_kv(kb, _att_view(k_scale_buf))
+            if v_scale_buf is not None:
                 vb = kv.dequantize_kv(vb, _att_view(v_scale_buf))
             pp = attn_ops._partial_attention(q, kb, vb, pmask, scale)
             out, _ = attn_ops.merge_partials(pp, pg)
@@ -435,8 +439,15 @@ def layer_step(
             # (measured ~6 us/step * 37 blocks * n_layers = ~8 ms/token at
             # 37k occupancy); 4x larger k blocks cut the step count 4x and
             # the tiny q tile keeps the f32 score tile small
-            # prefill blocks by cache dtype, from the v5e sweep at the 7B
-            # strict group shape (q=3520, valid 22k, acap 32k;
+            # prefill blocks by cache dtype AND group size, from v5e sweeps
+            # at the 7B strict group shapes (flash_block_sweep.py). At
+            # q=3520 (1080p fixture): bf16 (256,1024,2) 7.33 ms beats
+            # (128,1024,4) 8.13. At q=2704 (the 448 headline fixture):
+            # the optimum FLIPS — (128,1024,4) 5.61 beats (256,1024,2)
+            # 5.98 (fewer pad rows: 2704->2816 at bq=128 vs 2816 at 256,
+            # and the 4-unroll amortizes DMA issue better at the smaller
+            # q). int8k prefers (256,2048,2) 5.84; int8 (128,2048,2).
+            # Older sweep notes at q=3520:
             # benchmarks/flash_block_sweep.py): bf16 best is
             # (bq=256, bk=1024, nqi=2) 7.33 ms / 83% MFU — same VMEM tile
             # rows as the old (128,1024,nqi=4) 8.13 ms but half the causal
@@ -446,10 +457,14 @@ def layer_step(
             # over more columns.
             if spec.q_len == 1:
                 bq, bk, nqi = 128, 4096, 0
+            elif spec.kv_quant == "k":
+                bq, bk, nqi = 256, 2048, 2
             elif spec.kv_quant:
                 bq, bk, nqi = 128, 2048, 2
-            else:
+            elif spec.q_len >= 3072:
                 bq, bk, nqi = 256, 1024, 2
+            else:
+                bq, bk, nqi = 128, 1024, 4
             # spec.active_cap bounds the kernel's k-grid statically; the
             # stack stays the operand (layer_idx indexes it) so nothing is
             # sliced or copied and in-place cache donation is preserved.

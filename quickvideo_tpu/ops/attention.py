@@ -111,8 +111,10 @@ def _blockwise_partial_attention(
         k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
     quant = k_scale is not None
+    quant_v = v_scale is not None
     if quant and pad:
         k_scale = jnp.pad(k_scale, ((0, 0), (0, pad)))
+    if quant_v and pad:
         v_scale = jnp.pad(v_scale, ((0, 0), (0, pad)))
     qf = _fold_gqa(q, hkv).astype(jnp.float32)
     nvalid = jax.lax.div(length + block - 1, block)
@@ -124,11 +126,12 @@ def _blockwise_partial_attention(
         vblk = jax.lax.dynamic_slice(v, (0, start, 0), (hkv, block, d))
         if quant:
             ks = jax.lax.dynamic_slice(k_scale, (0, start), (hkv, block))
-            vs = jax.lax.dynamic_slice(v_scale, (0, start), (hkv, block))
             # dequant to bf16: matmuls run at full MXU rate, f32 accumulate
             kblk = (kblk.astype(jnp.float32) * ks[..., None]).astype(
                 jnp.bfloat16
             )
+        if quant_v:
+            vs = jax.lax.dynamic_slice(v_scale, (0, start), (hkv, block))
             vblk = (vblk.astype(jnp.float32) * vs[..., None]).astype(
                 jnp.bfloat16
             )

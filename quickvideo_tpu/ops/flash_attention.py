@@ -286,12 +286,17 @@ def _flash_past_attention_impl(
         hkv, cap, _ = k_past.shape
     rep = hq // hkv
     act_dtype = q.dtype  # pre-quantize activation dtype; PV runs in it
-    quant = k_scale is not None
+    # K and V quantize independently: the int8k cache mode stores K int8
+    # (QK runs at the doubled s8xs8 MXU rate) while V stays bf16 (PV keeps
+    # full-rate bf16 with no per-block dequant cast) — see kv_cache.init_cache
+    quant_k = k_scale is not None
+    quant_v = v_scale is not None
+    assert quant_k or not quant_v, "v_scale without k_scale is unsupported"
     # int8_qk arrives RESOLVED (a bool) from the public wrapper: the
     # QV_INT8_QK env default must be part of the jit cache key, not read
     # at trace time (an in-process env flip would silently reuse the
     # cached kernel otherwise — the same hazard nq_inner guards against)
-    int8_qk = bool(int8_qk and quant)
+    int8_qk = bool(int8_qk and quant_k)
     # pre-scale q by scale*log2(e): scores leave the MXU already in log2
     # units, saving one full-tile VPU multiply per kv block in the kernel
     # (f32 multiply, then back to the compute dtype — per-element rounding
@@ -337,8 +342,9 @@ def _flash_past_attention_impl(
     if pad_k:
         k_past = jnp.pad(k_past, ((0, 0), (0, pad_k), (0, 0)))
         v_past = jnp.pad(v_past, ((0, 0), (0, pad_k), (0, 0)))
-        if k_scale is not None:
+        if quant_k:
             k_scale = jnp.pad(k_scale, ((0, 0), (0, pad_k)))
+        if quant_v:
             v_scale = jnp.pad(v_scale, ((0, 0), (0, pad_k)))
     gq = g + pad_q  # padded G
     rbq = rep * block_q
@@ -352,7 +358,7 @@ def _flash_past_attention_impl(
     # 4x unroll 340KB over the limit at 2^17 capacity, so quant uses 2.
     import os as _os
 
-    _default_inner = 2 if k_scale is not None else 4
+    _default_inner = 2 if quant_k else 4
     if not nq_inner:
         nq_inner = int(_os.environ.get("QV_FLASH_NQ_INNER", _default_inner))
     nq_inner = min(nq_inner, nq)
@@ -401,7 +407,7 @@ def _flash_past_attention_impl(
         pl.BlockSpec(kv_blockshape, kv_index, memory_space=pltpu.VMEM),
         pl.BlockSpec(kv_blockshape, kv_index, memory_space=pltpu.VMEM),
     ]
-    if quant:
+    if quant_k:
         assert block_k % 128 == 0 and capp % 128 == 0, (block_k, capp)
         # lane-aligned scale tiles: (Hkv, 8, capp) with the 8 sublane rows
         # replicated (Mosaic block shapes need sublanes % 8); the kernel
@@ -409,14 +415,13 @@ def _flash_past_attention_impl(
         def scale_index(h, qh, ki, len_ref):
             return (h, 0, kv_block(h, qh, ki, len_ref))
 
-        in_specs += [
-            pl.BlockSpec(
+        in_specs.append(pl.BlockSpec(
+            (1, 8, block_k), scale_index, memory_space=pltpu.VMEM
+        ))
+        if quant_v:
+            in_specs.append(pl.BlockSpec(
                 (1, 8, block_k), scale_index, memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 8, block_k), scale_index, memory_space=pltpu.VMEM
-            ),
-        ]
+            ))
         if int8_qk:
             in_specs.append(pl.BlockSpec(
                 (1, qrows, 128), lambda h, qh, ki, *_: (h, qh, 0),
@@ -455,51 +460,36 @@ def _flash_past_attention_impl(
         .transpose(0, 2, 1, 3, 4)
         .reshape(hkv, nq * rbq, d)
     )
-    # kernel wrappers per operand mode; pallas passes outputs positionally
-    # after inputs, so the no-lse mode simply omits lse_ref from the slot
-    # list and forwards None
-    if quant and int8_qk:
-        def kernel(length_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, qs_ref,
-                   o_ref, *rest):
-            lse_ref, scratch = (rest[0], rest[1:]) if with_lse else (
-                None, rest
-            )
-            return _flash_kernel(
-                length_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                *scratch,
-                block_q=block_q, block_k=block_k, nq_inner=nq_inner,
-                scale=scale, ks_ref=ks_ref, vs_ref=vs_ref, qs_ref=qs_ref,
-                pv_dtype=act_dtype,
-            )
-    elif quant:
-        def kernel(length_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                   o_ref, *rest):
-            lse_ref, scratch = (rest[0], rest[1:]) if with_lse else (
-                None, rest
-            )
-            return _flash_kernel(
-                length_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                *scratch,
-                block_q=block_q, block_k=block_k, nq_inner=nq_inner,
-                scale=scale, ks_ref=ks_ref, vs_ref=vs_ref,
-            )
-    else:
-        def kernel(length_ref, q_ref, k_ref, v_ref, o_ref, *rest):
-            lse_ref, scratch = (rest[0], rest[1:]) if with_lse else (
-                None, rest
-            )
-            return _flash_kernel(
-                length_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                *scratch,
-                block_q=block_q, block_k=block_k, nq_inner=nq_inner,
-                scale=scale,
-            )
+    # ONE kernel wrapper for every operand mode: pallas passes the refs
+    # positionally (inputs, then outputs, then scratch) and which optional
+    # slots exist — ks/vs/qs scale tiles, the lse output — is static here,
+    # so the wrapper peels them off `rest` in order and forwards None for
+    # the absent ones
+    def kernel(length_ref, q_ref, k_ref, v_ref, *rest):
+        rest = list(rest)
+        ks_ref = rest.pop(0) if quant_k else None
+        vs_ref = rest.pop(0) if quant_v else None
+        qs_ref = rest.pop(0) if int8_qk else None
+        o_ref = rest.pop(0)
+        lse_ref = rest.pop(0) if with_lse else None
+        m_scr, s_scr, acc_scr = rest
+        return _flash_kernel(
+            length_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+            m_scr, s_scr, acc_scr,
+            block_q=block_q, block_k=block_k, nq_inner=nq_inner,
+            scale=scale, ks_ref=ks_ref, vs_ref=vs_ref, qs_ref=qs_ref,
+            pv_dtype=act_dtype,
+        )
+
     operands = [qblocks, k_past, v_past]
-    if quant:
-        operands += [
-            jnp.broadcast_to(k_scale[:, None, :], (hkv, 8, capp)),
-            jnp.broadcast_to(v_scale[:, None, :], (hkv, 8, capp)),
-        ]
+    if quant_k:
+        operands.append(
+            jnp.broadcast_to(k_scale[:, None, :], (hkv, 8, capp))
+        )
+        if quant_v:
+            operands.append(
+                jnp.broadcast_to(v_scale[:, None, :], (hkv, 8, capp))
+            )
         if int8_qk:
             qsf = (
                 qs.reshape(hkv, rep, nq, block_q)

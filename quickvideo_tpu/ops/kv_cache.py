@@ -88,24 +88,31 @@ def init_cache(
     capacity: int,
     head_dim: int,
     dtype=jnp.bfloat16,
-    quantized: bool = False,
+    quantized=False,  # False | True/"kv" | "k"
 ) -> KVCache:
-    """quantized=True stores K/V as int8 + per-(head, token) f32 scales:
-    ~47% of the bf16 cache's HBM (int8 values + 4B/128-row scale), letting
-    hour-long rho=0.5 caches coexist with weights on one chip."""
+    """quantized=True (or "kv") stores K/V as int8 + per-(head, token) f32
+    scales: ~47% of the bf16 cache's HBM (int8 values + 4B/128-row scale),
+    letting hour-long rho=0.5 caches coexist with weights on one chip.
+
+    quantized="k" (the "int8k" cache dtype) quantizes K ONLY: the flash
+    kernel's QK matmul runs at the doubled s8xs8 MXU rate while V stays in
+    `dtype` — PV keeps the full-rate unquantized path with no per-block
+    dequant cast (the cost that made the full int8 cache a wash at prefill
+    shapes, benchmarks/flash_block_sweep.py). ~69% of the bf16 cache's HBM."""
     shape = (num_layers, num_kv_heads, capacity, head_dim)
-    store_dtype = jnp.int8 if quantized else dtype
+    qk = quantized in (True, "kv", "k")
+    qv = quantized in (True, "kv")
     return KVCache(
-        k=jnp.zeros(shape, store_dtype),
-        v=jnp.zeros(shape, store_dtype),
+        k=jnp.zeros(shape, jnp.int8 if qk else dtype),
+        v=jnp.zeros(shape, jnp.int8 if qv else dtype),
         length=jnp.zeros((num_layers,), jnp.int32),
         k_scale=(
             jnp.zeros((num_layers, num_kv_heads, capacity), jnp.float32)
-            if quantized else None
+            if qk else None
         ),
         v_scale=(
             jnp.zeros((num_layers, num_kv_heads, capacity), jnp.float32)
-            if quantized else None
+            if qv else None
         ),
     )
 
@@ -130,12 +137,18 @@ def layer_append_quantized(
     k_buf: Array, v_buf: Array, k_scale_buf: Array, v_scale_buf: Array,
     length: Array, k_new: Array, v_new: Array,
 ):
-    """int8 variant: quantize the appended rows and store values + scales."""
+    """int8 variant: quantize the appended rows and store values + scales.
+    v_scale_buf=None (the "int8k" K-only mode) stores V unquantized."""
     kq, ks = quantize_kv(k_new)
-    vq, vs = quantize_kv(v_new)
     k_buf = jax.lax.dynamic_update_slice(k_buf, kq, (0, length, 0))
-    v_buf = jax.lax.dynamic_update_slice(v_buf, vq, (0, length, 0))
     k_scale_buf = jax.lax.dynamic_update_slice(k_scale_buf, ks, (0, length))
+    if v_scale_buf is None:
+        v_buf = jax.lax.dynamic_update_slice(
+            v_buf, v_new.astype(v_buf.dtype), (0, length, 0)
+        )
+        return k_buf, v_buf, k_scale_buf, None
+    vq, vs = quantize_kv(v_new)
+    v_buf = jax.lax.dynamic_update_slice(v_buf, vq, (0, length, 0))
     v_scale_buf = jax.lax.dynamic_update_slice(v_scale_buf, vs, (0, length))
     return k_buf, v_buf, k_scale_buf, v_scale_buf
 
@@ -163,14 +176,20 @@ def stacked_append_quantized(
     li, length: Array, k_new: Array, v_new: Array,
 ):
     """int8 variant of `stacked_append`: quantize the appended rows and
-    write values + per-(head, token) scales into layer `li` of the stack."""
+    write values + per-(head, token) scales into layer `li` of the stack.
+    v_scale_all=None (the "int8k" K-only mode) stores V unquantized."""
     kq, ks = quantize_kv(k_new)
-    vq, vs = quantize_kv(v_new)
     k_all = jax.lax.dynamic_update_slice(k_all, kq[None], (li, 0, length, 0))
-    v_all = jax.lax.dynamic_update_slice(v_all, vq[None], (li, 0, length, 0))
     k_scale_all = jax.lax.dynamic_update_slice(
         k_scale_all, ks[None], (li, 0, length)
     )
+    if v_scale_all is None:
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v_new.astype(v_all.dtype)[None], (li, 0, length, 0)
+        )
+        return k_all, v_all, k_scale_all, None
+    vq, vs = quantize_kv(v_new)
+    v_all = jax.lax.dynamic_update_slice(v_all, vq[None], (li, 0, length, 0))
     v_scale_all = jax.lax.dynamic_update_slice(
         v_scale_all, vs[None], (li, 0, length)
     )

@@ -20,6 +20,14 @@ uniform spans by the existing XLA window-gather, then attended here with a
 per-column validity penalty operand (pad rows' outputs are garbage and are
 dropped by the scatter). Grids whose spans admit no 8-row-aligned tiling
 fall back to the XLA path entirely (kernel_applicable).
+
+Diagonal sub-blocking: the (TQ, dp) tile packs several spans for DMA
+efficiency, but a single TQ x TQ score matmul computes TQ/span times the
+block-diagonal work actually needed (8x at span=64, TQ=512) and runs the
+softmax over the same inflated tile. The kernels therefore compute scores
+in span-aligned SUB-BLOCKS of ~128 rows along the diagonal: same DMA tile,
+1/(TQ/sb) of the MXU MACs and softmax VPU passes (measured 0.96 ->
+~0.5 ms/layer on the strict 7B window layers).
 """
 
 from __future__ import annotations
@@ -36,56 +44,83 @@ Array = jax.Array
 NEG = -1e30
 
 
-def _kernel(*refs, span: int, tq: int, scale: float, masked: bool):
-    # blocks: (1, TQ, hd). Spans are contiguous and TQ is a multiple of the
-    # span length, so keys for every query in this tile live in the SAME
-    # tile -> single-shot softmax, no cross-tile reduction.
-    if masked:
-        q_ref, k_ref, v_ref, pen_ref, o_ref = refs
-    else:
-        q_ref, k_ref, v_ref, o_ref = refs
-        pen_ref = None
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    s = lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    if span != tq:
-        row = lax.broadcasted_iota(jnp.int32, (tq, tq), 0) // span
-        col = lax.broadcasted_iota(jnp.int32, (tq, tq), 1) // span
-        s = s + (row != col).astype(jnp.float32) * NEG
-    if pen_ref is not None:
-        # per-column validity penalty (0 valid / NEG padded), lane-aligned
-        # with the score columns ((8, TQ) sublane-replicated tile, row 0)
-        s = s + pen_ref[0:1, :]
+def _sub_block(tq: int, span: int) -> int:
+    """Rows per diagonal score sub-block: the smallest span multiple >= 128
+    (a full lane tile keeps the MXU shape efficient) that divides the tile.
+    Equal to tq when no smaller aligned divisor exists (single-shot mode)."""
+    if span >= tq:
+        return tq
+    sb = -(-128 // span) * span
+    while sb < tq and (tq % sb or sb % 8):
+        sb += span
+    return min(sb, tq)
+
+
+def _softmax_pv(s, v):
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     den = jnp.sum(p, axis=-1, keepdims=True)
     # fully-masked rows (pad queries): den==0 -> emit 0, dropped by scatter
     p = p / jnp.maximum(den, 1e-30)
-    o_ref[0] = lax.dot_general(
+    return lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )
+
+
+def _kernel(*refs, span: int, tq: int, scale: float, masked: bool):
+    # blocks: (1, TQ, hd). Spans are contiguous and TQ is a multiple of the
+    # span length, so keys for every query live in the SAME tile; scores are
+    # computed in span-aligned diagonal sub-blocks (see module docstring).
+    if masked:
+        q_ref, k_ref, v_ref, pen_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+        pen_ref = None
+    sb = _sub_block(tq, span)
+    for j in range(tq // sb):
+        rows = slice(j * sb, (j + 1) * sb)
+        q = q_ref[0, rows]
+        k = k_ref[0, rows]
+        v = v_ref[0, rows]
+        s = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if span != sb:
+            row = lax.broadcasted_iota(jnp.int32, (sb, sb), 0) // span
+            col = lax.broadcasted_iota(jnp.int32, (sb, sb), 1) // span
+            s = s + (row != col).astype(jnp.float32) * NEG
+        if pen_ref is not None:
+            # per-column validity penalty (0 valid / NEG padded),
+            # lane-aligned with the score columns ((8, TQ)
+            # sublane-replicated tile, row 0)
+            s = s + pen_ref[0:1, rows]
+        o_ref[0, rows] = _softmax_pv(s, v).astype(o_ref.dtype)
 
 
 def _spans_per_tile(nspan: int, span: int) -> int:
-    """Largest spans-per-tile <= ~512 rows such that the tile divides the
+    """Largest spans-per-tile <= ~2048 rows such that the tile divides the
     sequence AND is sublane-aligned (tile rows % 8 == 0 — Mosaic block
     constraint). Returns 0 when no packing satisfies both (caller falls
-    back to the XLA path): e.g. odd-span ragged grids."""
-    # every candidate tile obeys the 1536-row cap: the f32 score tile
-    # (tq x tq) must fit VMEM (~16 MB scoped) — without the cap the spt=1
-    # iteration would approve arbitrarily long 8-aligned spans (e.g. a
-    # 2304-row per-frame span -> 21 MB score tile -> Mosaic compile failure
-    # at runtime instead of the designed XLA fallback)
-    for spt in range(max(1, 512 // span), 0, -1):
-        if nspan % spt == 0 and (spt * span) % 8 == 0 and spt * span <= 1536:
+    back to the XLA path): e.g. odd-span ragged grids.
+
+    The tile is a DMA/grid-step amortization unit, NOT the score shape —
+    scores run in span-aligned ~128-row diagonal sub-blocks (_sub_block),
+    so a big tile costs VMEM linearly (operands) instead of quadratically.
+    The old 512-row cap (score = tq^2 f32 then) made the window kernel
+    GRID-STEP-BOUND: 336 steps/layer x ~2.2 us DMA-issue = 0.74 ms of the
+    measured 0.96 ms/layer at the strict 7B shape. The span cap stays:
+    a single span is one sub-block, so its span^2 f32 score must fit VMEM
+    (e.g. a 2304-row per-frame span -> 21 MB -> designed XLA fallback)."""
+    if span > 1536:
+        return 0
+    for spt in range(max(1, 2048 // span), 0, -1):
+        if nspan % spt == 0 and (spt * span) % 8 == 0:
             return spt
-    # spans in (512, 1536] rows (per-frame full attention) pack 2 when it
+    # spans in (1024, 1536] rows (per-frame full attention) pack 2 when it
     # helps sublane alignment
-    if nspan % 2 == 0 and (2 * span) % 8 == 0 and 2 * span <= 1536:
+    if nspan % 2 == 0 and (2 * span) % 8 == 0:
         return 2
     return 0
 
@@ -131,22 +166,18 @@ def _kernel2d(
     s_ = sin_ref[...]
     q = q * c + rot(q) * s_
     k = k * c + rot(k) * s_
-    s = lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    if span != tq:
-        row = lax.broadcasted_iota(jnp.int32, (tq, tq), 0) // span
-        col = lax.broadcasted_iota(jnp.int32, (tq, tq), 1) // span
-        s = s + (row != col).astype(jnp.float32) * NEG
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    den = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / jnp.maximum(den, 1e-30)
-    v = v_ref[...]
-    o_ref[...] = lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    sb = _sub_block(tq, span)
+    for j in range(tq // sb):
+        rows = slice(j * sb, (j + 1) * sb)
+        s = lax.dot_general(
+            q[rows], k[rows], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if span != sb:
+            row = lax.broadcasted_iota(jnp.int32, (sb, sb), 0) // span
+            col = lax.broadcasted_iota(jnp.int32, (sb, sb), 1) // span
+            s = s + (row != col).astype(jnp.float32) * NEG
+        o_ref[rows] = _softmax_pv(s, v_ref[rows]).astype(o_ref.dtype)
 
 
 def block_diag_attention_2d(
@@ -236,6 +267,8 @@ def block_diag_attention(
         pen = jnp.where(valid, 0.0, NEG).astype(jnp.float32)
         operands.append(jnp.broadcast_to(pen[None, :], (8, s_len)))
         in_specs.append(pl.BlockSpec((8, tq), lambda h, i: (0, i)))
+    from jax.experimental.pallas import tpu as pltpu
+
     out = pl.pallas_call(
         functools.partial(
             _kernel, span=span, tq=tq, scale=scale,
@@ -245,6 +278,11 @@ def block_diag_attention(
         in_specs=in_specs,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((nh, s_len, hd), q.dtype),
+        # a no-smaller-divisor tiling can leave sb == tq (up to 2048 rows:
+        # a 16.8 MB f32 score sub-block) — past the 16 MB default scope
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*operands)
     return out.transpose(1, 0, 2)

@@ -170,6 +170,7 @@ def cp_stacked_past_attention(
         )
     flash = _use_flash()
     quant = k_scale_all is not None
+    quant_v = v_scale_all is not None
 
     def body(q, k_loc, v_loc, length, li, ks_loc, vs_loc):
         local_cap = k_loc.shape[2]
@@ -180,6 +181,7 @@ def cp_stacked_past_attention(
         ks_l = vs_l = None
         if quant:
             ks_l = lax.dynamic_index_in_dim(ks_loc, li, 0, keepdims=False)
+        if quant_v:
             vs_l = lax.dynamic_index_in_dim(vs_loc, li, 0, keepdims=False)
         if flash:
             from quickvideo_tpu.ops.flash_attention import (
@@ -199,6 +201,9 @@ def cp_stacked_past_attention(
                 from quickvideo_tpu.ops.kv_cache import dequantize_kv
 
                 k_l = dequantize_kv(k_l, ks_l)
+            if quant_v:
+                from quickvideo_tpu.ops.kv_cache import dequantize_kv
+
                 v_l = dequantize_kv(v_l, vs_l)
             col = lax.broadcasted_iota(jnp.int32, (q.shape[1], local_cap), 1)
             pa = _partial_attention(q, k_l, v_l, col < lv, scale)
@@ -213,20 +218,18 @@ def cp_stacked_past_attention(
         )
         return out, lse
 
-    if quant:
-        scale_spec = P(None, None, axis)
-        ks_in, vs_in = k_scale_all, v_scale_all
-    else:
-        # shard_map needs a concrete operand; a () zero placeholder is
-        # replicated and ignored by the body
-        scale_spec = P()
-        ks_in = vs_in = jnp.zeros((), jnp.float32)
+    # shard_map needs concrete operands; a () zero placeholder is
+    # replicated and ignored by the body when the mode lacks that scale
+    ks_spec = P(None, None, axis) if quant else P()
+    vs_spec = P(None, None, axis) if quant_v else P()
+    ks_in = k_scale_all if quant else jnp.zeros((), jnp.float32)
+    vs_in = v_scale_all if quant_v else jnp.zeros((), jnp.float32)
     out, lse = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(
             P(), P(None, None, axis, None), P(None, None, axis, None),
-            P(), P(), scale_spec, scale_spec,
+            P(), P(), ks_spec, vs_spec,
         ),
         out_specs=(P(), P()),
     )(q, k_all, v_all, length, jnp.asarray(li, jnp.int32), ks_in, vs_in)
@@ -290,11 +293,16 @@ def cp_stacked_append_quantized(
     the replicated new rows are quantized ONCE outside the shard_map
     (per-(head, token) scaling is row-local, so quantization commutes with
     sharding), then each shard scatters the int8 values + f32 scales that
-    land inside its slot window."""
+    land inside its slot window. v_scale_all=None (the "int8k" K-only
+    mode) scatters V unquantized in the cache's own dtype."""
     from quickvideo_tpu.ops.kv_cache import quantize_kv
 
+    quant_v = v_scale_all is not None
     kq, ks = quantize_kv(k_new)
-    vq, vs = quantize_kv(v_new)
+    if quant_v:
+        vq, vs = quantize_kv(v_new)
+    else:
+        vq, vs = v_new.astype(v_all.dtype), jnp.zeros((), jnp.float32)
 
     def body(kb, vb, ksb, vsb, li, ln, kn, vn, ksn, vsn):
         cap_loc = kb.shape[2]
@@ -306,23 +314,27 @@ def cp_stacked_append_quantized(
         kb = kb.at[li, :, idx, :].set(kn.swapaxes(0, 1), mode="drop")
         vb = vb.at[li, :, idx, :].set(vn.swapaxes(0, 1), mode="drop")
         ksb = ksb.at[li, :, idx].set(ksn.swapaxes(0, 1), mode="drop")
-        vsb = vsb.at[li, :, idx].set(vsn.swapaxes(0, 1), mode="drop")
+        if quant_v:
+            vsb = vsb.at[li, :, idx].set(vsn.swapaxes(0, 1), mode="drop")
         return kb, vb, ksb, vsb
 
     val_spec = P(None, None, axis, None)
     sc_spec = P(None, None, axis)
-    return jax.shard_map(
+    vs_spec = sc_spec if quant_v else P()
+    vs_buf = v_scale_all if quant_v else jnp.zeros((), jnp.float32)
+    kb, vb, ksb, vsb = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(
-            val_spec, val_spec, sc_spec, sc_spec,
+            val_spec, val_spec, sc_spec, vs_spec,
             P(), P(), P(), P(), P(), P(),
         ),
-        out_specs=(val_spec, val_spec, sc_spec, sc_spec),
+        out_specs=(val_spec, val_spec, sc_spec, vs_spec),
     )(
-        k_all, v_all, k_scale_all, v_scale_all,
+        k_all, v_all, k_scale_all, vs_buf,
         jnp.asarray(li, jnp.int32), length, kq, vq, ks, vs,
     )
+    return kb, vb, ksb, (vsb if quant_v else None)
 
 
 def cp_stacked_grouped_attention(

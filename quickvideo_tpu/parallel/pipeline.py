@@ -119,7 +119,9 @@ class PipelinedStack:
                              f"pp={self.S}")
         self.Lps = L // self.S
         self.capacity = capacity
-        self.quantized = quantized
+        self.quantized = quantized  # False | True/"kv" | "k" (K-only int8)
+        self._qk = quantized in (True, "kv", "k")
+        self._qv = quantized in (True, "kv")
         sh = NamedSharding(mesh, P("pp"))
         self.params = jax.device_put(_slab(params_layers, self.S), sh)
         cache = kvc.init_cache(
@@ -129,9 +131,9 @@ class PipelinedStack:
         self.k = jax.device_put(_slab(cache.k, self.S), sh)
         self.v = jax.device_put(_slab(cache.v, self.S), sh)
         self.ks = (jax.device_put(_slab(cache.k_scale, self.S), sh)
-                   if quantized else None)
+                   if self._qk else None)
         self.vs = (jax.device_put(_slab(cache.v_scale, self.S), sh)
-                   if quantized else None)
+                   if self._qv else None)
         self.lengths = jax.device_put(_slab(cache.length, self.S), sh)
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._bufs = None  # (xh, cos, sin, valid) pipeline registers
@@ -150,14 +152,15 @@ class PipelinedStack:
 
     def _cache_specs(self):
         pp = P("pp")
-        sc = pp if self.quantized else P()
-        return pp, pp, sc, sc
+        return (pp, pp,
+                pp if self._qk else P(),
+                pp if self._qv else P())
 
     # -- skewed pipeline over video groups ----------------------------------
 
     def _make_tick(self, spec: StepSpec, q_len: int, hd: int):
         S, Lps = self.S, self.Lps
-        quant = self.quantized
+        qk, qv = self._qk, self._qv
         rep = P()
         kspec, vspec, kssp, vssp = self._cache_specs()
 
@@ -177,7 +180,7 @@ class PipelinedStack:
             y, k0, v0, ks0, vs0 = _stage_scan(
                 lp, xh_c, cos_c, sin_c,
                 k[0], v[0],
-                ks[0] if quant else None, vs[0] if quant else None,
+                ks[0] if qk else None, vs[0] if qv else None,
                 lengths[0], rng, spec, stage, Lps,
             )
             # junk groups (pipeline fill/drain) still WRITE at the current
@@ -194,8 +197,8 @@ class PipelinedStack:
             sin_n = lax.ppermute(sin_c, "pp", perm)
             val_n = lax.ppermute(val_c, "pp", perm)
             out = (k0[None], v0[None],
-                   ks0[None] if quant else ks,
-                   vs0[None] if quant else vs,
+                   ks0[None] if qk else ks,
+                   vs0[None] if qv else vs,
                    new_len[None], xh_n[None], cos_n[None], sin_n[None],
                    val_n[None])
             return out
@@ -205,11 +208,14 @@ class PipelinedStack:
                     pp, pp, pp, pp, rep, rep, rep, rep, rep)
         out_specs = (kspec, vspec, kssp, vssp, pp, pp, pp, pp, pp)
         # donate cache + pipeline registers (NOT the () scale placeholders
-        # of bf16 mode, which are re-fed every tick)
+        # of the modes without that scale, which are re-fed every tick)
+        donate = (1, 2, 5, 6, 7, 8, 9)
+        donate += (3,) if qk else ()
+        donate += (4,) if qv else ()
         return jax.jit(jax.shard_map(
             tick, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
             check_vma=False,
-        ), donate_argnums=(1, 2, 5, 6, 7, 8, 9) + ((3, 4) if quant else ()))
+        ), donate_argnums=donate)
 
     def start_stream(self, spec: StepSpec, q_len: int, hidden_size: int,
                      head_dim: int, dtype, table_dtype) -> None:
@@ -249,8 +255,10 @@ class PipelinedStack:
             xh_buf, cos_buf, sin_buf, valid,
             fx, fc, fs, jnp.int32(1 if live else 0), self.rng,
         )
-        if self.quantized:
-            self.ks, self.vs = k_s, v_s
+        if self._qk:
+            self.ks = k_s
+        if self._qv:
+            self.vs = v_s
         self._bufs = [tick, xh_buf, cos_buf, sin_buf, valid, zero_x, zero_t]
 
     def push_group(self, x: jax.Array, cos: jax.Array,
@@ -285,33 +293,35 @@ class PipelinedStack:
 
     def _make_chunk(self, spec: StepSpec):
         S, Lps = self.S, self.Lps
-        quant = self.quantized
+        qk, qv = self._qk, self._qv
         kspec, vspec, kssp, vssp = self._cache_specs()
 
         def chunk(params, k, v, ks, vs, lengths, xh, cos, sin, rng):
             lp = jax.tree.map(lambda a: a[0], params)
             stage = lax.axis_index("pp")
             k0, v0 = k[0], v[0]
-            ks0 = ks[0] if quant else None
-            vs0 = vs[0] if quant else None
+            ks0 = ks[0] if qk else None
+            vs0 = vs[0] if qv else None
             ln0 = lengths[0]
             for sidx in range(S):  # static unroll: one live stage per step
                 def run(ops):
                     xh_, k_, v_, ks_, vs_, ln_ = ops
-                    y, k_, v_, ks_, vs_ = _stage_scan(
+                    y, k_, v_, ks2, vs2 = _stage_scan(
                         lp, xh_, cos, sin, k_, v_,
-                        ks_ if quant else None, vs_ if quant else None,
+                        ks_ if qk else None, vs_ if qv else None,
                         ln_, rng, spec, stage, Lps,
                     )
-                    if not quant:
-                        ks_, vs_ = ops[3], ops[4]
-                    return y, k_, v_, ks_, vs_, ln_ + spec.append_n
+                    if not qk:
+                        ks2 = ops[3]
+                    if not qv:
+                        vs2 = ops[4]
+                    return y, k_, v_, ks2, vs2, ln_ + spec.append_n
 
                 def skip(ops):
                     return ops
 
-                sc_k = ks0 if quant else jnp.zeros(())
-                sc_v = vs0 if quant else jnp.zeros(())
+                sc_k = ks0 if qk else jnp.zeros(())
+                sc_v = vs0 if qv else jnp.zeros(())
                 # only stage sidx streams its weights this sub-step; the
                 # rest take the identity branch (decode stays HBM-bound at
                 # ONE full weight pass per token, not S)
@@ -319,15 +329,17 @@ class PipelinedStack:
                     stage == sidx, run, skip,
                     (xh, k0, v0, sc_k, sc_v, ln0),
                 )
-                if quant:
-                    ks0, vs0 = sc_k, sc_v
+                if qk:
+                    ks0 = sc_k
+                if qv:
+                    vs0 = sc_v
                 # broadcast the live stage's output to everyone
                 xh = lax.psum(
                     jnp.where(stage == sidx, y, jnp.zeros_like(y)), "pp"
                 )
             return (xh, k0[None], v0[None],
-                    ks0[None] if quant else ks,
-                    vs0[None] if quant else vs, ln0[None])
+                    ks0[None] if qk else ks,
+                    vs0[None] if qv else vs, ln0[None])
 
         pp = P("pp")
         rep = P()
@@ -336,7 +348,8 @@ class PipelinedStack:
         return jax.jit(jax.shard_map(
             chunk, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
             check_vma=False,
-        ), donate_argnums=(1, 2, 5) + ((3, 4) if quant else ()))
+        ), donate_argnums=(1, 2, 5) + ((3,) if qk else ())
+            + ((4,) if qv else ()))
 
     def chunk(self, xh: jax.Array, cos: jax.Array, sin: jax.Array,
               spec: StepSpec) -> jax.Array:
@@ -350,8 +363,10 @@ class PipelinedStack:
             self.params, self.k, self.v, ks, vs, self.lengths,
             xh, cos, sin, self.rng,
         )
-        if self.quantized:
-            self.ks, self.vs = k_s, v_s
+        if self._qk:
+            self.ks = k_s
+        if self._qv:
+            self.vs = v_s
         return y
 
     # -- reassembly ----------------------------------------------------------
@@ -365,6 +380,6 @@ class PipelinedStack:
             k=un(jax.device_get(self.k)),
             v=un(jax.device_get(self.v)),
             length=jax.device_get(self.lengths).reshape(-1),
-            k_scale=un(jax.device_get(self.ks)) if self.quantized else None,
-            v_scale=un(jax.device_get(self.vs)) if self.quantized else None,
+            k_scale=un(jax.device_get(self.ks)) if self._qk else None,
+            v_scale=un(jax.device_get(self.vs)) if self._qv else None,
         )

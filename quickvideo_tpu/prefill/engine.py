@@ -31,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from quickvideo_tpu.config import LVUConfig, resolve_effective_top_k
+from quickvideo_tpu.config import LVUConfig, kv_quant_mode, resolve_effective_top_k
 from quickvideo_tpu.models.qwen25_vl import model as qmodel
 from quickvideo_tpu.models.qwen25_vl.config import ModelConfig
 from quickvideo_tpu.models.qwen25_vl.language import (
@@ -689,7 +689,7 @@ class LVUEngine:
                     self.pp_mesh, cfg.text,
                     self.params["language"]["layers"], capacity,
                     dtype=self.dtype,
-                    quantized=(lvu.kv_cache_dtype == "int8"),
+                    quantized=kv_quant_mode(lvu.kv_cache_dtype),
                     rng=self._base_rng,
                 )
                 cache = None
@@ -700,7 +700,7 @@ class LVUEngine:
                     capacity,
                     cfg.text.head_dim,
                     dtype=self.dtype,
-                    quantized=(lvu.kv_cache_dtype == "int8"),
+                    quantized=kv_quant_mode(lvu.kv_cache_dtype),
                 )
             if cache is None:
                 pass
@@ -713,10 +713,12 @@ class LVUEngine:
                     v=jax.device_put(cache.v, sh),
                 )
                 if cache.k_scale is not None:
-                    # int8 mode: per-(layer, head, token) scales shard on
-                    # the same capacity axis as the values
+                    # int8/int8k mode: per-(layer, head, token) scales shard
+                    # on the same capacity axis as the values
                     sh_sc = NamedSharding(self.cp_mesh, P(None, None, "sp"))
                     repl["k_scale"] = jax.device_put(cache.k_scale, sh_sc)
+                if cache.v_scale is not None:
+                    sh_sc = NamedSharding(self.cp_mesh, P(None, None, "sp"))
                     repl["v_scale"] = jax.device_put(cache.v_scale, sh_sc)
                 cache = cache.replace(**repl)
             elif self.tp_cache_mesh is not None:
@@ -788,7 +790,7 @@ class LVUEngine:
                 prompt_len=prompt_len,
                 attn_impl=lvu.attention_impl,
                 attend_past=lvu.adaptive_local_attention,
-                kv_quant=(lvu.kv_cache_dtype == "int8"),
+                kv_quant=kv_quant_mode(lvu.kv_cache_dtype),
                 cp_mesh=self.cp_mesh,
                 ref_query_mask=lvu.reference_query_mask,
                 active_cap=0 if (
@@ -904,16 +906,17 @@ class LVUEngine:
                 temperature, timer, top_p=top_p, top_k=top_k,
             )
         t = self.cfg.text
-        if self.lvu.kv_cache_dtype == "int8":
-            # int8 values + one f32 scale per 128-dim row, per K and V
-            per_tok = t.num_hidden_layers * t.num_key_value_heads * 2 * (
-                t.head_dim + 4
-            )
-        else:
-            per_tok = (
-                t.num_hidden_layers * t.num_key_value_heads * t.head_dim * 2
-                * jnp.dtype(self.dtype).itemsize
-            )
+        itemsize = jnp.dtype(self.dtype).itemsize
+        # bytes per (K, V) token slot: int8 stores 1B values + one f32
+        # scale per head_dim row; int8k quantizes K only
+        k_b, v_b = {
+            "int8": (t.head_dim + 4, t.head_dim + 4),
+            "int8k": (t.head_dim + 4, t.head_dim * itemsize),
+        }.get(
+            self.lvu.kv_cache_dtype,
+            (t.head_dim * itemsize, t.head_dim * itemsize),
+        )
+        per_tok = t.num_hidden_layers * t.num_key_value_heads * (k_b + v_b)
         return GenerationResult(
             tokens=tokens,
             timings=timer.totals(),
@@ -978,7 +981,7 @@ class LVUEngine:
                     if keep_k > 0 else False
                 ),
                 attn_impl=lvu.attention_impl,
-                kv_quant=(lvu.kv_cache_dtype == "int8"),
+                kv_quant=kv_quant_mode(lvu.kv_cache_dtype),
             )
             x = self._embed_scatter_jit(
                 self.params["language"]["embed"],
@@ -999,7 +1002,7 @@ class LVUEngine:
         dspec = StepSpec(
             cfg=cfg.text, q_len=1, keep_k=0, causal=False,
             attn_impl=lvu.attention_impl,
-            kv_quant=(lvu.kv_cache_dtype == "int8"),
+            kv_quant=kv_quant_mode(lvu.kv_cache_dtype),
         )
         with timer.span("decode"):
             for step in range(max_new):
@@ -1079,7 +1082,7 @@ class LVUEngine:
                     # within-group column sums, which requires probs
                     needs_probs=lvu.needs_attn_stats or lvu.query_based,
                     attn_impl=lvu.attention_impl,
-                    kv_quant=(lvu.kv_cache_dtype == "int8"),
+                    kv_quant=kv_quant_mode(lvu.kv_cache_dtype),
                     cp_mesh=self.cp_mesh,
                 )
                 x = self._embed_scatter_jit(
@@ -1106,7 +1109,7 @@ class LVUEngine:
                 spec = StepSpec(
                     cfg=cfg.text, q_len=bucket, keep_k=0,
                     attn_impl=lvu.attention_impl,
-                    kv_quant=(lvu.kv_cache_dtype == "int8"),
+                    kv_quant=kv_quant_mode(lvu.kv_cache_dtype),
                     cp_mesh=self.cp_mesh,
                 )
                 # pre-sliced rope window: keeps the compiled program's
@@ -1125,7 +1128,7 @@ class LVUEngine:
         out_tokens: List[int] = []
         dspec = StepSpec(
             cfg=cfg.text, q_len=1, keep_k=0,
-            kv_quant=(lvu.kv_cache_dtype == "int8"),
+            kv_quant=kv_quant_mode(lvu.kv_cache_dtype),
             cp_mesh=self.cp_mesh,
         )
         # decode occupancy is known host-side -> bound each chunk's attention

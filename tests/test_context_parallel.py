@@ -137,7 +137,7 @@ class TestEngineAutoRouting:
         res2 = self._gen({"sp": 2, "tp": 2}, params)
         np.testing.assert_array_equal(res1.tokens, res2.tokens)
 
-    def _gen_int8(self, mesh_kw, params):
+    def _gen_int8(self, mesh_kw, params, kv_dtype="int8"):
         from quickvideo_tpu.config import LVUConfig, MeshConfig
         from quickvideo_tpu.models.qwen25_vl import get_config
         from quickvideo_tpu.prefill import LVUEngine, PrefillInputs
@@ -148,7 +148,7 @@ class TestEngineAutoRouting:
         lvu = LVUConfig(
             model_name_or_path="tiny", num_frames=8, top_p=0.5,
             max_decode_tokens=8, mesh=MeshConfig(**mesh_kw), dtype="float32",
-            kv_cache_dtype="int8",
+            kv_cache_dtype=kv_dtype,
         )
         mesh = None
         if lvu.mesh.num_devices > 1:
@@ -174,6 +174,21 @@ class TestEngineAutoRouting:
         )
         res1 = self._gen_int8({}, params)
         res2 = self._gen_int8({"sp": 2}, params)
+        assert res2.cache_length == res1.cache_length
+        np.testing.assert_array_equal(res1.tokens, res2.tokens)
+
+    def test_sp2_int8k_kv_tokens_match_single_device(self):
+        """CP + the K-only int8 cache ("int8k"): sharded int8 K + scales
+        with an UNQUANTIZED sharded V must equal the single-device int8k
+        run token-for-token."""
+        from quickvideo_tpu.models.qwen25_vl import get_config
+        from quickvideo_tpu.models.qwen25_vl import model as qmodel
+
+        params = qmodel.init_params(
+            get_config("tiny"), seed=0, dtype=jnp.float32
+        )
+        res1 = self._gen_int8({}, params, kv_dtype="int8k")
+        res2 = self._gen_int8({"sp": 2}, params, kv_dtype="int8k")
         assert res2.cache_length == res1.cache_length
         np.testing.assert_array_equal(res1.tokens, res2.tokens)
 

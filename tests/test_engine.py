@@ -435,6 +435,34 @@ class TestInt8KVCache:
         # greedy tokens usually survive 8-bit KV; require the first to match
         assert r8.tokens[0] == r16.tokens[0]
 
+    def test_int8k_cache_close_to_bf16(self, params):
+        """K-only int8 cache ("int8k"): K int8 + scales, V stays bf16 —
+        correct accounting (between int8 and bf16 sizes) and tokens close
+        to the full-precision run (strictly less rounding than int8)."""
+        ids, pixels, pixel_groups, group_grids = build_request(groups_t=(2, 2))
+        eng16 = make_engine(params, top_k=32, max_decode_tokens=8)
+        r16 = eng16.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=4,
+        )
+        from quickvideo_tpu.ops.kv_cache import init_cache
+
+        c = init_cache(2, 2, 64, 16, dtype=jnp.bfloat16, quantized="k")
+        assert c.k.dtype == jnp.int8 and c.v.dtype == jnp.bfloat16
+        assert c.k_scale is not None and c.v_scale is None
+        eng8k = make_engine(
+            params, top_k=32, max_decode_tokens=8, kv_cache_dtype="int8k"
+        )
+        r8k = eng8k.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=4,
+        )
+        assert r8k.cache_length == r16.cache_length
+        # between the full-int8 (~0.52x) and bf16 (1.0x) cache footprints
+        assert r16.kv_cache_bytes * 0.55 < r8k.kv_cache_bytes \
+            < r16.kv_cache_bytes * 0.85
+        assert r8k.tokens[0] == r16.tokens[0]
+
     def test_quantize_roundtrip(self):
         import jax.numpy as jnp
         from quickvideo_tpu.ops.kv_cache import dequantize_kv, quantize_kv

@@ -82,6 +82,37 @@ def test_flash_int8_matches_dequant_oracle(rng_np):
     np.testing.assert_allclose(got.out, ref.out, rtol=2e-4, atol=2e-4)
 
 
+def test_flash_int8k_matches_dequant_oracle(rng_np):
+    """K-only int8 mode (kv_cache 'int8k'): K stored int8 + per-token scale,
+    V stays bf16/f32 — QK runs at the s8xs8 MXU rate while PV keeps the
+    full-rate unquantized path. Oracle = dequantized K with the ORIGINAL V."""
+    from quickvideo_tpu.ops.kv_cache import dequantize_kv, quantize_kv
+
+    g, cap, length = 128, 1024, 700
+    q = jnp.asarray(rng_np.standard_normal((HQ, g, D)).astype(np.float32))
+    k = jnp.asarray(rng_np.standard_normal((HKV, cap, D)).astype(np.float32))
+    v = jnp.asarray(rng_np.standard_normal((HKV, cap, D)).astype(np.float32))
+    kq, ks = quantize_kv(k)
+    kd = dequantize_kv(kq, ks)
+    for int8_qk, causal in ((False, False), (True, False), (True, True)):
+        got = flash_past_attention(
+            q, kq, v, jnp.int32(length), scale=SCALE, block_q=128,
+            block_k=256, interpret=True, k_scale=ks, v_scale=None,
+            int8_qk=int8_qk, causal=causal,
+        )
+        if causal:
+            # unified mode: row i attends buffer slots [0, length + i]
+            cap_ = kd.shape[1]
+            row = jnp.broadcast_to(jnp.arange(g)[:, None], (g, cap_))
+            col = jnp.broadcast_to(jnp.arange(cap_)[None], (g, cap_))
+            mask = col < jnp.minimum(length + row + 1, cap_)
+            ref = attention._partial_attention(q, kd, v, mask, SCALE)
+        else:
+            ref = oracle(q, kd, v, jnp.int32(length))
+        tol = 2e-4 if not int8_qk else 0.03  # int8_qk adds q rounding
+        np.testing.assert_allclose(got.out, ref.out, rtol=tol, atol=tol)
+
+
 def test_flash_int8_qk_matches_dequant_oracle(rng_np):
     """int8-QK mode (per-row quantized q, s8xs8 QK matmul) vs the oracle on
     EXPLICITLY dequantized q/k/v: the kernel's extra rounding is exactly the

@@ -173,6 +173,35 @@ def test_pp_int8_kv(params):
     assert_cache_equal(c_pp, c_ref, quant=True)
 
 
+def test_pp_int8k_kv(params):
+    """K-only int8 cache ("int8k"): int8 K slab + scales, float V slab —
+    the mixed mode must reproduce the single-device run exactly (int8 K
+    payloads byte-equal, V within float tolerance)."""
+    groups = make_groups(3)
+    spec = StepSpec(cfg=CFG, q_len=GQ, keep_k=KEEP, attn_impl="xla",
+                    kv_quant="k")
+    c_ref, _ = ref_run(params, groups, spec, quant="k")
+    c_pp, _ = pp_run(params, groups, spec, 2, quant="k")
+    assert c_pp.k.dtype == jnp.int8 and c_pp.v.dtype == jnp.float32
+    assert c_pp.v_scale is None and c_ref.v_scale is None
+    np.testing.assert_array_equal(
+        np.asarray(c_pp.length), np.asarray(c_ref.length)
+    )
+    for li in range(CFG.num_hidden_layers):
+        ln = int(np.asarray(c_ref.length)[li])
+        np.testing.assert_array_equal(
+            np.asarray(c_pp.k)[li, :, :ln], np.asarray(c_ref.k)[li, :, :ln]
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_pp.k_scale)[li, :, :ln],
+            np.asarray(c_ref.k_scale)[li, :, :ln], rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_pp.v)[li, :, :ln],
+            np.asarray(c_ref.v)[li, :, :ln], rtol=1e-5, atol=1e-5,
+        )
+
+
 def test_pp_rejects_bad_layer_split(params):
     mesh = make_pp_mesh(3)
     with pytest.raises(ValueError, match="divisible"):
