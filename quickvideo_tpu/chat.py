@@ -192,6 +192,7 @@ class ChatSession:
             greedy=not gen.get("do_sample", False),
             temperature=gen.get("temperature", 1.0), timer=timer,
             top_p=gen.get("top_p"), top_k=gen.get("top_k"),
+            on_tokens=gen.get("on_tokens"),
         )
         return ids, toks, cache, cache_len, timer
 
@@ -258,6 +259,7 @@ class ChatSession:
                     greedy=not gen.get("do_sample", False),
                     temperature=gen.get("temperature", 1.0), timer=timer,
                     top_p=gen.get("top_p"), top_k=gen.get("top_k"),
+                    on_tokens=gen.get("on_tokens"),
                 )
             out = [int(t) for t in np.asarray(toks)]
             self._ids = np.concatenate(

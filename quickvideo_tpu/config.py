@@ -136,6 +136,9 @@ class LVUConfig:
     attention_impl: str = "auto"  # "auto" | "pallas" | "xla"
     prune_impl: str = "auto"  # "auto" | "pallas" | "xla"
     max_decode_tokens: int = 512
+    stream_chunk_tokens: int = 16  # streaming decode (on_tokens callback /
+    # SSE serving) dispatches chunks of this many tokens; clamped to [1, 32]
+    # (the rope tables carry max_decode_tokens+32 rows past the prompt)
     sample_on_device: bool = True  # non-greedy decode samples whole 32-token
     # chunks in-graph (filters + categorical on device, one dispatch per
     # chunk); False = per-token host sampling (one RTT each)

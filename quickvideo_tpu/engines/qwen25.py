@@ -266,6 +266,7 @@ def _generate(lvu, inputs, timer, generation_kwargs) -> List[str]:
         temperature=generation_kwargs.get("temperature", 1.0),
         top_p=generation_kwargs.get("top_p"),
         top_k=generation_kwargs.get("top_k"),
+        on_tokens=generation_kwargs.get("on_tokens"),
     )
     for k, v in timer.totals().items():
         res.timings[k] = res.timings.get(k, 0.0) + v

@@ -896,14 +896,21 @@ class LVUEngine:
         temperature: float = 1.0,
         top_p: Optional[float] = None,
         top_k: Optional[int] = None,
+        on_tokens=None,
     ) -> GenerationResult:
-        """Full request: grouped prefill + final prompt + decode."""
+        """Full request: grouped prefill + final prompt + decode.
+
+        `on_tokens(list[int])` streams newly decoded token ids as they
+        materialize (chunks of `LVUConfig.stream_chunk_tokens`); when set,
+        decode switches from one whole-generation dispatch to chunked
+        dispatches (one transport RTT per chunk)."""
         timer = SpanTimer()
         with timer.span("e2e"):
             cache, state = self.prefill(inputs, timer)
             tokens, cache, cache_len = self._generate_from_cache(
                 cache, state, max_new_tokens, eos_token_ids, greedy,
                 temperature, timer, top_p=top_p, top_k=top_k,
+                on_tokens=on_tokens,
             )
         t = self.cfg.text
         itemsize = jnp.dtype(self.dtype).itemsize
@@ -1041,13 +1048,18 @@ class LVUEngine:
 
     def _generate_from_cache(
         self, cache, state, max_new_tokens, eos_token_ids, greedy,
-        temperature, timer, top_p=None, top_k=None,
+        temperature, timer, top_p=None, top_k=None, on_tokens=None,
     ):
         if state.get("pp_stack") is not None:
-            return self._generate_from_stack(
+            toks, cache_pp, logical = self._generate_from_stack(
                 state["pp_stack"], state, max_new_tokens, eos_token_ids,
                 greedy, temperature, timer, top_p=top_p, top_k=top_k,
             )
+            if on_tokens is not None and len(toks):
+                # pp decode is a sequential all-stage chunk pass without a
+                # chunked host loop yet: stream coarsely (one callback)
+                on_tokens([int(t) for t in toks])
+            return toks, cache_pp, logical
         cfg = self.cfg
         lvu = self.lvu
         ids = state["ids"]
@@ -1164,6 +1176,31 @@ class LVUEngine:
                 if t in eos_token_ids:
                     break
 
+        def _consume_n(toks, bound):
+            """Chunked-stream consume: at most `bound` tokens (slots past
+            the while_loop's n_stop hold the EOS-fill value and must not be
+            mistaken for a generated EOS). Returns (new_tokens, hit_eos)."""
+            new = []
+            hit = False
+            for t in np.asarray(toks).tolist()[:bound]:
+                new.append(int(t))
+                if t in eos_token_ids:
+                    hit = True
+                    break
+            out_tokens.extend(new)
+            return new, hit
+
+        # streaming decode: the single-dispatch whole-generation decode
+        # cannot surface tokens incrementally, so a callback switches to
+        # fixed-size chunks — one dispatch + one transport RTT per chunk
+        # of `stream_chunk_tokens` (<=32: the rope tables carry exactly
+        # max_decode_tokens+32 rows past L, which bounds the final
+        # chunk's static slice). Chunk results are bit-identical to the
+        # single dispatch: same jitted body, same carries.
+        stream_c = 0
+        if on_tokens is not None:
+            stream_c = max(1, min(32, int(lvu.stream_chunk_tokens)))
+
         with timer.span("decode"):
             if greedy:
                 # the whole generation decodes in ONE device dispatch: the
@@ -1173,14 +1210,35 @@ class LVUEngine:
                 # video config regardless of the request's max_new.
                 nxt = int(jnp.argmax(logits))
                 out_tokens.append(nxt)
+                if on_tokens is not None:
+                    on_tokens([nxt])
                 if max_new > 1 and nxt not in eos_token_ids:
-                    cache, toks = self._decode_chunk_jit(
-                        self.params["language"], cache, np.int32(nxt),
-                        cos[L : L + mdt], sin[L : L + mdt],
-                        eos_arr, np.int32(max_new - 1),
-                        spec=_decode_spec(),
-                    )
-                    _consume(toks)
+                    if on_tokens is None:
+                        cache, toks = self._decode_chunk_jit(
+                            self.params["language"], cache, np.int32(nxt),
+                            cos[L : L + mdt], sin[L : L + mdt],
+                            eos_arr, np.int32(max_new - 1),
+                            spec=_decode_spec(),
+                        )
+                        _consume(toks)
+                    else:
+                        pos = L
+                        ds = _decode_spec()
+                        while len(out_tokens) < max_new:
+                            n_stop = min(stream_c, max_new - len(out_tokens))
+                            cache, toks = self._decode_chunk_jit(
+                                self.params["language"], cache,
+                                np.int32(out_tokens[-1]),
+                                cos[pos : pos + stream_c],
+                                sin[pos : pos + stream_c],
+                                eos_arr, np.int32(n_stop), spec=ds,
+                            )
+                            new, hit = _consume_n(toks, n_stop)
+                            if new:
+                                on_tokens(new)
+                            if hit or not new:
+                                break
+                            pos += n_stop
             elif lvu.sample_on_device:
                 # first token from the final-prefill logits (host), then the
                 # rest sampled in-graph in the same single dispatch
@@ -1188,18 +1246,42 @@ class LVUEngine:
                 flt = self._filter_logits(logits, top_p, top_k)
                 nxt = int(jax.random.categorical(rng0, flt / temperature))
                 out_tokens.append(nxt)
+                if on_tokens is not None:
+                    on_tokens([nxt])
                 tp = float(top_p) if top_p is not None else None
                 tk = int(top_k) if top_k is not None else None
                 if max_new > 1 and nxt not in eos_token_ids:
-                    self._rng, rng = jax.random.split(self._rng)
-                    cache, toks = self._decode_sample_chunk_jit(
-                        self.params["language"], cache, np.int32(nxt),
-                        cos[L : L + mdt], sin[L : L + mdt],
-                        rng, np.float32(temperature), eos_arr,
-                        np.int32(max_new - 1),
-                        spec=_decode_spec(), top_p=tp, top_k=tk,
-                    )
-                    _consume(toks)
+                    if on_tokens is None:
+                        self._rng, rng = jax.random.split(self._rng)
+                        cache, toks = self._decode_sample_chunk_jit(
+                            self.params["language"], cache, np.int32(nxt),
+                            cos[L : L + mdt], sin[L : L + mdt],
+                            rng, np.float32(temperature), eos_arr,
+                            np.int32(max_new - 1),
+                            spec=_decode_spec(), top_p=tp, top_k=tk,
+                        )
+                        _consume(toks)
+                    else:
+                        pos = L
+                        ds = _decode_spec()
+                        while len(out_tokens) < max_new:
+                            n_stop = min(stream_c, max_new - len(out_tokens))
+                            self._rng, rng = jax.random.split(self._rng)
+                            cache, toks = self._decode_sample_chunk_jit(
+                                self.params["language"], cache,
+                                np.int32(out_tokens[-1]),
+                                cos[pos : pos + stream_c],
+                                sin[pos : pos + stream_c],
+                                rng, np.float32(temperature), eos_arr,
+                                np.int32(n_stop),
+                                spec=ds, top_p=tp, top_k=tk,
+                            )
+                            new, hit = _consume_n(toks, n_stop)
+                            if new:
+                                on_tokens(new)
+                            if hit or not new:
+                                break
+                            pos += n_stop
             else:
                 # legacy per-token host sampling (sample_on_device=False):
                 # one transport RTT per token; kept for debugging/repro
@@ -1210,6 +1292,8 @@ class LVUEngine:
                         jax.random.categorical(rng, flt / temperature)
                     )
                     out_tokens.append(nxt)
+                    if on_tokens is not None:
+                        on_tokens([nxt])
                     if nxt in eos_token_ids:
                         break
                     pos_idx = L + step  # decode tables start at row L

@@ -30,6 +30,14 @@ to the user. This module closes that gap TPU-natively:
 stdlib only (http.server + json): no web-framework dependency to version-
 match on a TPU host image.
 
+* **Streaming (SSE).** `"stream": true` on /v1/generate,
+  /v1/sessions/<id>/ask, and /v1/chat/completions switches the response to
+  `text/event-stream`: the engine decodes in `stream_chunk_tokens` chunks
+  (one device dispatch each) and each chunk's new text arrives as a
+  `data:` frame — plain {"delta"}/{"answer"} frames, or OpenAI
+  chat.completion.chunk objects on the chat endpoint — ending with
+  `data: [DONE]`. Streaming jobs never micro-batch.
+
 Endpoints:
     GET  /healthz                 liveness
     GET  /v1/models               model card
@@ -39,6 +47,7 @@ Endpoints:
     POST /v1/sessions/<id>/ask    {question, ...} -> {answer}
     DELETE /v1/sessions/<id>
     POST /v1/chat/completions     OpenAI chat shape with video_url parts
+                                  (+ "stream": true -> SSE chunks)
 """
 
 from __future__ import annotations
@@ -97,7 +106,9 @@ class _Job:
 def _gen_key(p: dict):
     """Jobs batch together only when every knob that generate_batch applies
     batch-wide is identical (same sampling, same token budget) and the video
-    geometry is shared (same path + decode settings)."""
+    geometry is shared (same path + decode settings). Streaming jobs carry a
+    unique nonce so they never micro-batch (the batched engine has no
+    per-sample token callback)."""
     return (
         p["video"],
         tuple(sorted(p.get("video_kwargs", {}).items())),
@@ -106,6 +117,7 @@ def _gen_key(p: dict):
         p["temperature"],
         p["top_p"],
         p["top_k"],
+        p.get("_stream_nonce"),
     )
 
 
@@ -177,6 +189,83 @@ class LVUServer:
             raise job.error
         return job.result
 
+    def submit_stream(self, kind: str, payload: dict) -> _Job:
+        """Streaming admission: enqueue a job whose worker-side driver
+        pushes incremental text deltas into a per-job queue. Returns the
+        job immediately; iterate `stream_events(job)` to consume (the
+        generator owns the admission slot and releases it when the stream
+        ends)."""
+        with self._admit_lock:
+            if self._admitted >= self.cfg.max_queue_depth:
+                self.stats["shed"] = self.stats.get("shed", 0) + 1
+                raise OverloadedError(
+                    f"queue at max_queue_depth={self.cfg.max_queue_depth}; "
+                    "retry later"
+                )
+            self._admitted += 1
+        payload["_stream"] = queue.Queue()
+        payload["_stream_nonce"] = uuid.uuid4().hex
+        job = _Job(kind, payload)
+        self._q.put(job)
+        return job
+
+    def stream_events(self, job: _Job):
+        """Yield {"delta": str} events as tokens materialize, then the
+        final {"answer": str}. Raises the job's error (after draining) the
+        way submit() would."""
+        q = job.payload["_stream"]
+        deadline = time.monotonic() + self.cfg.request_timeout_s
+        try:
+            while True:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    raise TimeoutError(
+                        f"stream timed out after "
+                        f"{self.cfg.request_timeout_s:.0f}s"
+                    )
+                try:
+                    ev = q.get(timeout=left)
+                except queue.Empty:
+                    raise TimeoutError(
+                        f"stream timed out after "
+                        f"{self.cfg.request_timeout_s:.0f}s"
+                    ) from None
+                if ev is None:
+                    break
+                yield ev
+            if job.error is not None:
+                raise job.error
+        finally:
+            with self._admit_lock:
+                self._admitted -= 1
+
+    def _stream_cb(self, p: dict):
+        """(on_tokens, finish) for a streaming payload; (None, noop) when
+        the request is not streaming. Text deltas re-decode the full token
+        prefix each push — per-token decode corrupts multi-byte/BPE-merge
+        boundaries."""
+        sq = p.get("_stream")
+        if sq is None:
+            return None, lambda answer: None
+        tok = self.lvu.tokenizer
+        eos = {tok.eos_token_id}
+        acc: List[int] = []
+        state = {"text": ""}
+
+        def on_tokens(new):
+            acc.extend(int(t) for t in new)
+            text = tok.decode([t for t in acc if t not in eos])
+            delta = text[len(state["text"]):]
+            state["text"] = text
+            if delta:
+                sq.put({"delta": delta})
+
+        def finish(answer: str):
+            sq.put({"answer": answer})
+            sq.put(None)
+
+        return on_tokens, finish
+
     def pause(self):
         """Hold the worker before its next job (drain point; also lets
         tests queue a burst deterministically)."""
@@ -233,6 +322,10 @@ class LVUServer:
                 for j in batch:
                     j.error = e
                     j.done.set()
+                    sq = j.payload.get("_stream")
+                    if sq is not None:
+                        sq.put(None)  # unblock the stream consumer; it
+                        # re-raises j.error after draining
 
     def _dispatch(self, batch: List[_Job]):
         kind = batch[0].kind
@@ -263,16 +356,19 @@ class LVUServer:
             # plain path, still on this worker thread
             for j in batch:
                 p = j.payload
+                on_tokens, finish = self._stream_cb(p)
                 texts = self.lvu.generate(
                     p["question"], p["video"],
                     max_new_tokens=p["max_new_tokens"],
                     do_sample=not p["greedy"],
                     temperature=p["temperature"],
                     top_p=p["top_p"], top_k=p["top_k"],
+                    on_tokens=on_tokens,
                     **p.get("video_kwargs", {}),
                 )
                 j.result = {"answer": texts[0]}
                 j.done.set()
+                finish(texts[0])
             return
 
         from quickvideo_tpu.engines.qwen25 import (
@@ -368,11 +464,13 @@ class LVUServer:
 
     def _do_ask(self, p: dict) -> dict:
         sess = self._resident(p["session_id"])
+        on_tokens, finish = self._stream_cb(p)
         answer = sess.ask(
             p["question"], max_new_tokens=p["max_new_tokens"],
             do_sample=not p["greedy"], temperature=p["temperature"],
-            top_p=p["top_p"], top_k=p["top_k"],
+            top_p=p["top_p"], top_k=p["top_k"], on_tokens=on_tokens,
         )
+        finish(answer)
         return {"answer": answer}
 
     def _do_close(self, p: dict) -> dict:
@@ -391,13 +489,16 @@ class LVUServer:
     # ---- OpenAI chat adapter ------------------------------------------------
 
     def _do_chat(self, p: dict) -> dict:
+        on_tokens, finish = self._stream_cb(p)
         texts = self.lvu.chat(
             p["messages"],
             max_new_tokens=p["max_new_tokens"],
             do_sample=not p["greedy"],
             temperature=p["temperature"],
             top_p=p["top_p"], top_k=p["top_k"],
+            on_tokens=on_tokens,
         )
+        finish(texts[0])
         return {"answer": texts[0]}
 
 
@@ -486,6 +587,50 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(data)
 
+    def _sse(self, job, openai: bool = False):
+        """Write the job's stream as Server-Sent Events. Plain mode frames
+        are {"delta": ...} then {"answer": ...}; openai mode wraps them as
+        chat.completion.chunk objects. Always ends with `data: [DONE]`."""
+        s = self.lvu_server
+        cid = "chatcmpl-" + uuid.uuid4().hex[:24]
+        model = s.lvu.config.model_name_or_path
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        # no Content-Length: SSE body length is unknown, so the connection
+        # closes at stream end instead of keep-alive
+        self.send_header("Connection", "close")
+        self.close_connection = True
+        self.end_headers()
+
+        def w(obj):
+            self.wfile.write(b"data: " + json.dumps(obj).encode() + b"\n\n")
+            self.wfile.flush()
+
+        first = True
+        try:
+            for ev in s.stream_events(job):
+                if not openai:
+                    w(ev)
+                elif "delta" in ev:
+                    delta = {"content": ev["delta"]}
+                    if first:
+                        delta["role"] = "assistant"
+                        first = False
+                    w({"id": cid, "object": "chat.completion.chunk",
+                       "model": model,
+                       "choices": [{"index": 0, "delta": delta,
+                                    "finish_reason": None}]})
+                else:  # final answer frame
+                    w({"id": cid, "object": "chat.completion.chunk",
+                       "model": model,
+                       "choices": [{"index": 0, "delta": {},
+                                    "finish_reason": "stop"}]})
+        except BaseException as e:  # noqa: BLE001 - mid-stream: in-band
+            w({"error": f"{type(e).__name__}: {e}"})
+        self.wfile.write(b"data: [DONE]\n\n")
+        self.wfile.flush()
+
     def _body(self) -> dict:
         n = int(self.headers.get("Content-Length") or 0)
         limit = self.lvu_server.cfg.max_body_bytes
@@ -547,6 +692,8 @@ class _Handler(BaseHTTPRequestHandler):
                     raise RequestError("'video' and 'question' are required")
                 if not os.path.exists(p["video"]):
                     raise RequestError(f"video not found: {p['video']}")
+                if body.get("stream"):
+                    return self._sse(s.submit_stream("generate", p))
                 return self._json(200, s.submit("generate", p))
             if path == "/v1/sessions":
                 if not body.get("video"):
@@ -562,6 +709,8 @@ class _Handler(BaseHTTPRequestHandler):
                 if p["question"] is None:
                     raise RequestError("'question' is required")
                 p["session_id"] = sid
+                if body.get("stream"):
+                    return self._sse(s.submit_stream("ask", p))
                 return self._json(200, s.submit("ask", p))
             if path == "/v1/chat/completions":
                 msgs = body.get("messages")
@@ -574,6 +723,10 @@ class _Handler(BaseHTTPRequestHandler):
                                       s.cfg.default_max_new_tokens))
                 )
                 p["messages"] = openai_to_reference_messages(msgs)
+                if body.get("stream"):
+                    return self._sse(
+                        s.submit_stream("chat", p), openai=True
+                    )
                 out = s.submit("chat", p)
                 return self._json(200, {
                     "id": "chatcmpl-" + uuid.uuid4().hex[:24],

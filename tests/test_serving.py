@@ -304,3 +304,77 @@ def test_openai_message_translation():
             "content": [{"type": "video_url",
                          "video_url": {"url": "https://x/y.mp4"}}],
         }])
+
+
+def _sse_frames(base, path, body):
+    """POST and parse a text/event-stream response into JSON frames
+    (excluding the [DONE] terminator, which is asserted present)."""
+    data = json.dumps(body).encode()
+    r = urllib.request.Request(
+        base + path, data=data, method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(r) as resp:
+        assert resp.status == 200
+        assert resp.headers.get("Content-Type") == "text/event-stream"
+        raw = resp.read().decode()
+    frames = [ln[len("data: "):] for ln in raw.split("\n\n")
+              if ln.startswith("data: ")]
+    assert frames and frames[-1] == "[DONE]"
+    return [json.loads(f) for f in frames[:-1]]
+
+
+def test_stream_generate_sse(served, lvu, video):
+    base, _ = served
+    direct = lvu.generate("What is happening?", video, max_new_tokens=4)[0]
+    frames = _sse_frames(base, "/v1/generate", {
+        "video": video, "question": "What is happening?",
+        "max_new_tokens": 4, "stream": True,
+    })
+    deltas = [f["delta"] for f in frames if "delta" in f]
+    finals = [f for f in frames if "answer" in f]
+    assert len(finals) == 1
+    assert finals[0]["answer"] == direct
+    assert "".join(deltas) == direct
+
+
+def test_stream_chat_completions_openai_chunks(served, lvu, video):
+    base, _ = served
+    direct = lvu.generate("What is happening?", video, max_new_tokens=4)[0]
+    frames = _sse_frames(base, "/v1/chat/completions", {
+        "model": "tiny", "max_tokens": 4, "stream": True,
+        "messages": [{
+            "role": "user",
+            "content": [
+                {"type": "video_url",
+                 "video_url": {"url": f"file://{video}"}},
+                {"type": "text", "text": "What is happening?"},
+            ],
+        }],
+    })
+    assert all(f["object"] == "chat.completion.chunk" for f in frames)
+    text = "".join(
+        f["choices"][0]["delta"].get("content", "") for f in frames
+    )
+    assert text == direct
+    assert frames[-1]["choices"][0]["finish_reason"] == "stop"
+    # first content chunk announces the role, OpenAI-style
+    first = next(f for f in frames
+                 if f["choices"][0]["delta"].get("content"))
+    assert first["choices"][0]["delta"].get("role") == "assistant"
+
+
+def test_stream_session_ask_sse(served, lvu, video):
+    base, _ = served
+    code, out = _req(base, "/v1/sessions", {"video": video})
+    assert code == 200, out
+    sid = out["session_id"]
+    frames = _sse_frames(base, f"/v1/sessions/{sid}/ask", {
+        "question": "What is happening?", "max_new_tokens": 4,
+        "stream": True,
+    })
+    finals = [f for f in frames if "answer" in f]
+    assert len(finals) == 1
+    deltas = "".join(f["delta"] for f in frames if "delta" in f)
+    assert deltas == finals[0]["answer"]
+    _req(base, f"/v1/sessions/{sid}", method="DELETE")
