@@ -85,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--demo", action="store_true",
                    help="generate a synthetic demo clip if no video given")
     p.add_argument("--json", action="store_true", help="print machine-readable result")
+    p.add_argument("--stream", action="store_true",
+                   help="print tokens as they decode (chunked device "
+                        "dispatches of --stream_chunk_tokens); applies to "
+                        "one-shot and --interactive asks")
+    p.add_argument("--stream_chunk_tokens", type=int, default=16)
     p.add_argument("--interactive", action="store_true",
                    help="multi-turn chat REPL: the video prefills once and "
                         "every follow-up reuses the resident KV cache "
@@ -94,6 +99,25 @@ def build_parser() -> argparse.ArgumentParser:
                         "this .npz if it exists (skips decode AND the video "
                         "prefill) and save it back on exit")
     return p
+
+
+def _stream_printer(lvu):
+    """on_tokens callback printing incremental text to stdout. Re-decodes
+    the full token prefix per push (partial BPE/UTF-8 merges make per-token
+    decode wrong at multi-byte boundaries — same scheme as the server)."""
+    tok = lvu.tokenizer
+    eos = {tok.eos_token_id}
+    acc, state = [], {"text": ""}
+
+    def on_tokens(new):
+        acc.extend(int(t) for t in new)
+        text = tok.decode([t for t in acc if t not in eos])
+        delta = text[len(state["text"]):]
+        state["text"] = text
+        if delta:
+            print(delta, end="", flush=True)
+
+    return on_tokens
 
 
 def main(argv=None):
@@ -154,6 +178,7 @@ def main(argv=None):
         decode_output=args.decode_output,
         seed=args.seed,
         max_decode_tokens=max(args.max_new_tokens, 16),
+        stream_chunk_tokens=args.stream_chunk_tokens,
         dtype=args.dtype,
         param_dtype=args.param_dtype or args.dtype,
         **mesh_kw,
@@ -182,13 +207,20 @@ def main(argv=None):
                     break
                 if not q:
                     break
+            on_toks = None
+            if args.stream and not args.json:
+                print("A: ", end="", flush=True)
+                on_toks = _stream_printer(lvu)
             t0 = time.perf_counter()
-            answer = session.ask(q, max_new_tokens=args.max_new_tokens)
+            answer = session.ask(q, max_new_tokens=args.max_new_tokens,
+                                 on_tokens=on_toks)
             dt = time.perf_counter() - t0
             if args.json:
                 print(json.dumps({
                     "question": q, "answer": answer, "turn_s": round(dt, 2),
                 }))
+            elif on_toks is not None:
+                print(f"  ({dt:.1f}s)")
             else:
                 print(f"A ({dt:.1f}s): {answer}")
         if args.session_file and session.turns:
@@ -197,8 +229,14 @@ def main(argv=None):
         return 0
     questions = args.question or ["Describe this video."]
     for q in questions:
+        on_toks = None
+        if args.stream and not args.json:
+            print(f"Q: {q}\nA: ", end="", flush=True)
+            on_toks = _stream_printer(lvu)
         out = lvu.generate(q, video, max_new_tokens=args.max_new_tokens,
-                           verbose=True)
+                           # streamed text owns the line until it finishes;
+                           # the timing report would interleave mid-answer
+                           verbose=on_toks is None, on_tokens=on_toks)
         res = lvu.last_result
         if args.json:
             print(json.dumps({
@@ -209,6 +247,8 @@ def main(argv=None):
                 "cache_length": int(res.cache_length),
                 "timings": {k: round(v, 3) for k, v in res.timings.items()},
             }))
+        elif on_toks is not None:
+            print(f"\n[e2e {res.timings.get('e2e', 0):.2f}s]")
         else:
             print(f"Q: {q}\nA: {out[0]}")
     return 0
