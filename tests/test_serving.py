@@ -378,3 +378,47 @@ def test_stream_session_ask_sse(served, lvu, video):
     deltas = "".join(f["delta"] for f in frames if "delta" in f)
     assert deltas == finals[0]["answer"]
     _req(base, f"/v1/sessions/{sid}", method="DELETE")
+
+
+def test_mixed_stream_and_batch_burst(served, video):
+    """A streaming request queued alongside identical non-streaming ones:
+    the stream must NOT join their micro-batch (its nonce excludes it), all
+    answers must agree, and the admission slot must drain back to zero."""
+    base, server = served
+    server.pause()
+    results = {}
+
+    def ask(i):
+        results[i] = _req(base, "/v1/generate", {
+            "video": video, "question": "Describe the clip.",
+            "max_new_tokens": 4,
+        })
+
+    def ask_stream():
+        results["s"] = _sse_frames(base, "/v1/generate", {
+            "video": video, "question": "Describe the clip.",
+            "max_new_tokens": 4, "stream": True,
+        })
+
+    threads = [threading.Thread(target=ask, args=(i,)) for i in range(2)]
+    threads.append(threading.Thread(target=ask_stream))
+    for t in threads:
+        t.start()
+    for _ in range(200):
+        if server._q.qsize() >= 2:
+            break
+        time.sleep(0.05)
+    time.sleep(0.2)
+    server.resume()
+    for t in threads:
+        t.join(timeout=300)
+    plain = {results[i][1]["answer"] for i in range(2)}
+    assert len(plain) == 1
+    stream_answer = [f["answer"] for f in results["s"] if "answer" in f]
+    assert stream_answer == [plain.pop()]
+    # admission slots fully released (stream generator drained)
+    for _ in range(100):
+        if server._admitted == 0:
+            break
+        time.sleep(0.05)
+    assert server._admitted == 0
