@@ -600,3 +600,32 @@ class TestStreamingDecode:
         flat = [t for c in chunks for t in c]
         np.testing.assert_array_equal(flat, got.tokens)
         assert len(got.tokens) >= 1 and len(ref.tokens) >= 1
+
+    def test_stream_stops_at_eos_mid_chunk(self, params):
+        """EOS inside a chunk: the stream must stop there and never emit
+        the while_loop's EOS-fill values from the unvisited tail slots."""
+        ids, pixels, pixel_groups, group_grids = build_request()
+        # find the natural greedy continuation first
+        probe = make_engine(params, top_k=None, max_decode_tokens=8)
+        free = probe.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=6,
+        )
+        toks = [int(t) for t in free.tokens]
+        if len(toks) < 3:
+            pytest.skip("random-weight run ended too early to test")
+        # declare the 3rd token EOS: it lands mid-chunk at chunk size 4
+        eos = toks[2]
+        chunks = []
+        eng = make_engine(
+            params, top_k=None, max_decode_tokens=8, stream_chunk_tokens=4
+        )
+        got = eng.generate(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0),
+            max_new_tokens=6, eos_token_ids=[eos],
+            on_tokens=chunks.append,
+        )
+        out = [int(t) for t in got.tokens]
+        assert out == toks[:3]  # stopped AT the declared EOS, inclusive
+        flat = [t for c in chunks for t in c]
+        assert flat == out  # stream saw exactly the same, nothing extra
