@@ -179,6 +179,16 @@ def test_lvu_api_pp_mesh(tmp_path):
     np.testing.assert_array_equal(toks_pp, toks_ref)
     assert lvu.last_result.cache_length == ref.last_result.cache_length
 
+    # streaming under pp: the stack path has no chunked host loop yet, so
+    # on_tokens fires ONCE with the full token list (coarse streaming) —
+    # must match the non-streaming pp run exactly
+    chunks = []
+    out_s = lvu.generate("What?", video, max_new_tokens=4,
+                         on_tokens=chunks.append)
+    assert out_s == out
+    flat = [t for c in chunks for t in c]
+    np.testing.assert_array_equal(flat, np.asarray(lvu.last_result.tokens))
+
 
 def test_72b_tp8_sharding_plan_covers_every_param():
     """Scale check without allocating: the TP sharding plan must divide
