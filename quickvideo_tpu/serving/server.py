@@ -830,10 +830,32 @@ def main(argv: Optional[List[str]] = None):
         spill_dir=args.spill_dir,
         default_max_new_tokens=args.max_new_tokens,
     )
-    httpd, _ = make_http_server(lvu, cfg)
+    httpd, lvu_server = make_http_server(lvu, cfg)
     print(f"serving {args.model} ({args.model_type}) on "
           f"http://{cfg.host}:{httpd.server_address[1]}")
+
+    # graceful drain: SIGTERM/SIGINT stop accepting new connections, let
+    # the worker finish the in-flight job(s), then exit — kubernetes-style
+    # termination instead of killing a mid-prefill request
+    import signal
+
+    def _drain(signum, frame):
+        print(f"signal {signum}: draining ({lvu_server._admitted} in "
+              f"flight) ...", flush=True)
+        import threading as _t
+
+        _t.Thread(target=httpd.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _drain)
+    signal.signal(signal.SIGINT, _drain)
     httpd.serve_forever()
+    # serve_forever returned (shutdown called): wait for queued jobs to
+    # finish before tearing the worker down
+    deadline = time.monotonic() + 60
+    while lvu_server._admitted > 0 and time.monotonic() < deadline:
+        time.sleep(0.1)
+    lvu_server.shutdown()
+    print("drained, bye")
 
 
 if __name__ == "__main__":
