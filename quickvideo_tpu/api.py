@@ -124,6 +124,22 @@ class LVU:
     def generate(self, question: str, video_path: str, **generation_kwargs) -> List[str]:
         return self._run(self, question, video_path, **generation_kwargs)
 
+    def loglikelihood(self, context: str, video_path: Optional[str],
+                      continuation) -> tuple:
+        """Teacher-forced (total_logprob, is_greedy) of `continuation` (text
+        or token ids) given the chat-formatted context — the lmms-eval
+        `loglikelihood` contract (reference eval hookup README.md:398-412).
+        The video prefill runs grouped+pruned exactly as generate()'s."""
+        from quickvideo_tpu.engines.qwen25 import score_chat
+
+        content = []
+        if video_path is not None:
+            content.append({"type": "video", "video": video_path})
+        content.append({"type": "text", "text": context})
+        return score_chat(
+            self, [{"role": "user", "content": content}], continuation
+        )
+
     def chat(self, messages, **generation_kwargs) -> List[str]:
         if self._chat is None:
             raise ValueError(

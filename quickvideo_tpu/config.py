@@ -117,10 +117,15 @@ class LVUConfig:
     # (int8 = weight-only per-output-channel symmetric quantization — the
     # enabler for 7B-class models on a 16 GB chip; ops/quantization.py)
     kv_cache_capacity: Optional[int] = None  # tokens; None = auto from input
-    kv_cache_dtype: str = "bfloat16"  # "bfloat16" | "int8" | "int8k"
+    kv_cache_dtype: str = "auto"  # "auto" | "bfloat16" | "int8" | "int8k"
     # int8: K and V stored int8 + per-token scales (~47% of bf16 HBM) — the
     # hour-scale memory mode. int8k: K only (~69% of bf16 HBM); QK runs at
     # the doubled s8xs8 MXU rate while PV keeps full-rate unquantized V.
+    # auto (default): the engine picks bf16 vs int8 per request from the
+    # planned cache capacity — bf16 at demo scale (fastest, measured), int8
+    # when the cache is hour-scale/KV-bandwidth-bound or would not fit HBM
+    # beside the weights (measured inversion, BENCH_RESULTS.md round 4).
+    # int8k remains a manual choice.
     decode_output: str = "rgb"  # "rgb" | "yuv420" (half the host->device
     # bytes; chroma upsample + BT.601 run on device)
     align_resize_to_window: bool = False  # snap the resize DOWN to multiples
@@ -166,10 +171,10 @@ class LVUConfig:
                 f"Unknown top_k_predict_type: {self.top_k_predict_type!r}; "
                 f"valid: {sorted(ALL_PREDICTORS)}"
             )
-        if self.kv_cache_dtype not in ("bfloat16", "int8", "int8k"):
+        if self.kv_cache_dtype not in ("auto", "bfloat16", "int8", "int8k"):
             raise ValueError(
                 f"Unknown kv_cache_dtype: {self.kv_cache_dtype!r}; "
-                "valid: bfloat16, int8, int8k"
+                "valid: auto, bfloat16, int8, int8k"
             )
 
     @property
@@ -208,8 +213,49 @@ class LVULayerConfig:
 def kv_quant_mode(kv_cache_dtype: str):
     """Map the config's kv_cache_dtype string to the cache/StepSpec quant
     mode: 'bfloat16' -> False, 'int8' -> True (K and V), 'int8k' -> 'k'
-    (K-only int8; V stays in the compute dtype)."""
+    (K-only int8; V stays in the compute dtype). 'auto' must be resolved to
+    a concrete dtype first (LVUEngine.resolve_kv_dtype)."""
+    if kv_cache_dtype == "auto":
+        raise ValueError(
+            "kv_cache_dtype='auto' must be resolved to a concrete dtype "
+            "before mapping to a quant mode (engine resolves it per request "
+            "from the planned cache capacity)"
+        )
     return {"int8": True, "int8k": "k"}.get(kv_cache_dtype, False)
+
+
+def resolve_auto_kv_dtype(
+    capacity_tokens: int,
+    text_cfg,
+    weight_bytes: int,
+    hbm_bytes: int,
+    compute_itemsize: int = 2,
+    demo_scale_tokens: int = 65536,
+    headroom: float = 0.88,
+) -> str:
+    """kv_cache_dtype='auto': pick bf16 vs int8 from the planned capacity.
+
+    Measured basis (BENCH_RESULTS.md round 4): at demo scale (~43k retained
+    tokens, <=64k planned slots) bf16 KV is fastest (int8 +0.31 s, int8k
+    +0.03 s at the strict 7B shape); at hour scale (115k tokens) attention
+    is KV-bandwidth-bound and int8 wins outright (19.4 s vs int8k's 32.1 s)
+    AND a bf16 cache does not fit beside the 7B weights on a 16 GB chip.
+
+    Rule: int8 when the planned capacity exceeds `demo_scale_tokens` slots
+    OR when the bf16 cache would not leave (1-headroom) HBM margin beside
+    the weights; bf16 otherwise. Thresholds pinned by
+    tests/test_engine.py::test_auto_kv_dtype_thresholds.
+    """
+    t = text_cfg
+    bf16_cache_bytes = (
+        capacity_tokens * t.num_hidden_layers * t.num_key_value_heads
+        * t.head_dim * compute_itemsize * 2  # K and V
+    )
+    if capacity_tokens > demo_scale_tokens:
+        return "int8"
+    if weight_bytes + bf16_cache_bytes > headroom * hbm_bytes:
+        return "int8"
+    return "bfloat16"
 
 
 def resolve_effective_top_k(

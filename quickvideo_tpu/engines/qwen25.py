@@ -176,6 +176,53 @@ def chat_sync(lvu, messages, **generation_kwargs) -> List[str]:
     return _generate(lvu, inputs, timer, generation_kwargs)
 
 
+def score_chat(lvu, messages, continuation) -> tuple:
+    """Teacher-forced log-likelihood of `continuation` (text or token ids)
+    given the chat context — the lmms-eval `loglikelihood` contract (the
+    reference's eval tasks can score MC options this way instead of
+    generating, reference README.md:398-412). Same input building as
+    chat_sync (the reference's eval engine is the sync qwen25_lvu,
+    README.md:394-396); the engine scores the continuation in one pass.
+    Returns (total_logprob, is_greedy)."""
+    video_path, question, vkw, image_items = _question_from_messages(messages)
+    cfg = _config_with_video_kwargs(lvu, vkw, {})
+    timer = SpanTimer()
+    img_px, img_grids, img_counts = (None, None, ())
+    if image_items:
+        with timer.span("processing"):
+            img_px, img_grids, img_counts = _prepare_images(
+                lvu.model_config, image_items
+            )
+    if isinstance(continuation, str):
+        cont_ids = lvu.tokenizer.encode_text(continuation)
+    else:
+        cont_ids = [int(t) for t in continuation]
+    if video_path is None:
+        ids = build_chat_ids_from_messages(
+            lvu.tokenizer, lvu.model_config, messages, 0,
+            image_token_counts=img_counts,
+        )
+        inputs = PrefillInputs(
+            input_ids=ids, video_grid_thw=None, pixel_groups=[],
+            group_grids=[], image_grid_thw=img_grids, image_pixels=img_px,
+        )
+        return lvu.engine.score_continuation(inputs, cont_ids, timer=timer)
+    with timer.span("frame_fetch"):
+        frames, plan, native_hw = _fetch_frames(lvu, video_path, timer, cfg)
+    n_video_tokens = sum(plan.tokens_per_group)
+    ids = build_chat_ids_from_messages(
+        lvu.tokenizer, lvu.model_config, messages, n_video_tokens,
+        image_token_counts=img_counts,
+    )
+    with timer.span("processing"):
+        inputs = vreader.build_prefill_inputs_from_frames(
+            frames, plan, ids, native_hw=native_hw
+        )
+        inputs.image_grid_thw = img_grids
+        inputs.image_pixels = img_px
+    return lvu.engine.score_continuation(inputs, cont_ids, timer=timer)
+
+
 def _fetch_frames(lvu, video_path, timer, cfg=None):
     """Decode with optional disk frame cache (reference
     lvu/models/qwen25_lvu.py:552-592; gated by save_video_cache)."""

@@ -254,9 +254,42 @@ def register_lmms_model():  # pragma: no cover - optional integration
             return out
 
         def loglikelihood(self, requests):
-            raise NotImplementedError
+            """Teacher-forced option scoring: per request, the total logprob
+            of the continuation given the (video, context) and whether it is
+            the greedy decode (engine.score_continuation does the in-graph
+            gather; one scalar pair crosses the transport per request)."""
+            out = []
+            for req in requests:
+                ctx, continuation, doc_to_visual, doc_id, task, split = (
+                    req.args
+                )
+                doc = self.task_dict[task][split][doc_id]
+                if callable(continuation):  # doc_to_target convention
+                    continuation = continuation(doc)
+                visual = doc_to_visual(doc)
+                video = visual[0] if isinstance(visual, list) else visual
+                out.append(self.lvu.loglikelihood(ctx, video, continuation))
+            return out
 
         def generate_until_multi_round(self, requests):
-            raise NotImplementedError
+            """Multi-round generation: one ChatSession per doc — the video
+            KV prefills once and every later round appends incrementally
+            (quickvideo_tpu.chat.ChatSession), instead of the reference's
+            full re-prefill per round."""
+            out = []
+            sessions = {}
+            for req in requests:
+                ctx, gen_kwargs, doc_to_visual, doc_id, task, split = req.args
+                key = (task, split, doc_id)
+                if key not in sessions:
+                    doc = self.task_dict[task][split][doc_id]
+                    visual = doc_to_visual(doc)
+                    video = visual[0] if isinstance(visual, list) else visual
+                    sessions[key] = self.lvu.start_chat(video)
+                out.append(sessions[key].ask(
+                    ctx,
+                    max_new_tokens=gen_kwargs.get("max_new_tokens", 16),
+                ))
+            return out
 
     return QuickVideoTPU

@@ -48,12 +48,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache_dir", default=None)
     p.add_argument("--decode_threads", type=int, default=8)
     p.add_argument("--decode_intervals", type=int, default=64)
-    p.add_argument("--kv_cache_dtype", default="bfloat16",
-                   choices=["bfloat16", "int8", "int8k"],
-                   help="int8 stores K and V quantized (~47%% of bf16 KV "
-                        "memory — hour-long videos) at a measured ~2%% e2e "
-                        "cost on demo-length clips; int8k quantizes K only "
-                        "(~69%% of bf16, ~half the accuracy exposure)")
+    p.add_argument("--kv_cache_dtype", default="auto",
+                   choices=["auto", "bfloat16", "int8", "int8k"],
+                   help="auto (default) picks bf16 at demo scale and int8 "
+                        "at hour scale from the planned cache size; int8 "
+                        "stores K and V quantized (~47%% of bf16 KV memory) "
+                        "at a measured ~2%% e2e cost on demo-length clips; "
+                        "int8k quantizes K only (~69%% of bf16, ~half the "
+                        "accuracy exposure)")
     p.add_argument("--kv_cache_capacity", type=int, default=None,
                    help="fixed KV slot count (pins compiled shapes across "
                         "requests; None = auto per request)")

@@ -257,12 +257,17 @@ class LVUEngine:
             self._group_preamble, static_argnames=("spec",)
         )
         self._logits_jit = jax.jit(compute_logits, static_argnames=("cfg",))
+        self._score_jit = jax.jit(
+            self._score_body, static_argnames=("spec",),
+            donate_argnames=("cache",),
+        )
         self._rng = jax.random.key(lvu_cfg.seed)
         self._base_rng = jax.random.key(lvu_cfg.seed + 1)
 
     # -- jit bodies ------------------------------------------------------
 
-    def _embed_scatter(self, embed: Array, ids: Array, vis: Optional[Array]):
+    def _embed_scatter(self, embed: Array, ids: Array, vis: Optional[Array],
+                       img: Optional[Array] = None):
         # embed passed as an ARGUMENT — a closure capture would bake the
         # multi-GB embedding table into the HLO as a constant
         from quickvideo_tpu.ops.quantization import qtake
@@ -271,6 +276,10 @@ class LVUEngine:
         if vis is not None:
             x = qmodel.merge_vision_embeddings(
                 x, vis, ids, self.cfg.video_token_id
+            )
+        if img is not None:
+            x = qmodel.merge_vision_embeddings(
+                x, img, ids, self.cfg.image_token_id
             )
         return x
 
@@ -366,6 +375,39 @@ class LVUEngine:
         logits = compute_logits(params_lang, last, self.cfg.text)
         return cache, logits
 
+    def _score_body(
+        self, params_lang, cache, ids_pad, cos_w, sin_w, valid, cont_start,
+        spec, img=None,
+    ):
+        """Teacher-forced continuation scoring in ONE program: run the
+        padded [suffix + continuation] block through the stack against the
+        video cache, log-softmax every row's logits, and gather the target
+        (= next) token's logprob for the continuation rows. Row r predicts
+        ids_pad[r+1]; continuation rows are [cont_start-1, valid-1).
+        Returns (sum_logprob f32, all_greedy bool) — the lmms-eval
+        `loglikelihood` contract (reference hookup README.md:398-412)."""
+        x = embed_tokens(params_lang, ids_pad)
+        if img is not None:
+            x = qmodel.merge_vision_embeddings(
+                x, img, ids_pad, self.cfg.image_token_id
+            )
+        rng = jax.random.fold_in(self._base_rng, 2**31 - 2)
+        cache, hidden = prefill_step(
+            params_lang, cache, x, cos_w, sin_w, rng, spec, advance=valid
+        )
+        logits = compute_logits(params_lang, hidden, self.cfg.text)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        r = jnp.arange(ids_pad.shape[0])
+        targets = jnp.roll(ids_pad, -1)  # t[r] = ids_pad[r+1]; the rolled
+        # last row is garbage but always masked (r < valid-1)
+        mask = (r >= cont_start - 1) & (r < valid - 1)
+        row_lp = jnp.take_along_axis(lp, targets[:, None], axis=-1)[:, 0]
+        total = jnp.sum(jnp.where(mask, row_lp, 0.0))
+        greedy = jnp.all(
+            jnp.where(mask, jnp.argmax(logits, axis=-1) == targets, True)
+        )
+        return cache, total, greedy
+
     def _decode_chunk_body(self, params_lang, cache, tok0, cos_chunk,
                            sin_chunk, eos_ids, n_stop, spec):
         """Greedy decode of a whole generation device-side — ONE dispatch
@@ -452,6 +494,45 @@ class LVUEngine:
         return self._layout_arrays_cache[grid]
 
     # -- planning --------------------------------------------------------
+
+    def resolve_kv_dtype(self, capacity: int) -> str:
+        """Resolve kv_cache_dtype='auto' to a concrete dtype for a request
+        with `capacity` planned KV slots (config.resolve_auto_kv_dtype has
+        the measured rule); explicit dtypes pass through."""
+        if self.lvu.kv_cache_dtype != "auto":
+            return self.lvu.kv_cache_dtype
+        import os
+
+        from quickvideo_tpu.config import resolve_auto_kv_dtype
+
+        if not hasattr(self, "_weight_bytes"):
+            self._weight_bytes = sum(
+                getattr(a, "nbytes", 0) for a in jax.tree.leaves(self.params)
+            )
+        hbm_env = os.environ.get("QV_HBM_GB")
+        if hbm_env:
+            hbm = int(float(hbm_env) * (1 << 30))
+        else:
+            hbm = 16 << 30  # v5e default
+            try:
+                stats = jax.devices()[0].memory_stats()
+                if stats and stats.get("bytes_limit"):
+                    hbm = int(stats["bytes_limit"])
+            except Exception:
+                pass
+        return resolve_auto_kv_dtype(
+            capacity, self.cfg.text, self._weight_bytes, hbm,
+            compute_itemsize=jnp.dtype(self.dtype).itemsize,
+        )
+
+    @staticmethod
+    def _cache_quant(cache):
+        """Quant mode as recorded BY the cache arrays themselves (robust for
+        caches built under kv_cache_dtype='auto' or loaded from a saved chat
+        session): k_scale+v_scale -> int8 K and V; k_scale only -> K-only."""
+        if cache.k_scale is None:
+            return False
+        return True if cache.v_scale is not None else "k"
 
     def _uniform(self) -> bool:
         return (
@@ -674,6 +755,8 @@ class LVUEngine:
                     f"down to the {quantum}-slot quantum ({cap_fixed})"
                 )
             capacity = cap_fixed
+        kv_dtype = self.resolve_kv_dtype(capacity)
+        kv_quant = kv_quant_mode(kv_dtype)
         pp_stack = None
         with timer.span("cache_alloc"):
             if self.pp_mesh is not None:
@@ -689,7 +772,7 @@ class LVUEngine:
                     self.pp_mesh, cfg.text,
                     self.params["language"]["layers"], capacity,
                     dtype=self.dtype,
-                    quantized=kv_quant_mode(lvu.kv_cache_dtype),
+                    quantized=kv_quant,
                     rng=self._base_rng,
                 )
                 cache = None
@@ -700,7 +783,7 @@ class LVUEngine:
                     capacity,
                     cfg.text.head_dim,
                     dtype=self.dtype,
-                    quantized=kv_quant_mode(lvu.kv_cache_dtype),
+                    quantized=kv_quant,
                 )
             if cache is None:
                 pass
@@ -790,7 +873,7 @@ class LVUEngine:
                 prompt_len=prompt_len,
                 attn_impl=lvu.attention_impl,
                 attend_past=lvu.adaptive_local_attention,
-                kv_quant=kv_quant_mode(lvu.kv_cache_dtype),
+                kv_quant=kv_quant,
                 cp_mesh=self.cp_mesh,
                 ref_query_mask=lvu.reference_query_mask,
                 active_cap=0 if (
@@ -884,6 +967,9 @@ class LVUEngine:
             # image-tower embeddings for image tokens in the suffix — the
             # final prefill scatters them (prefix images went into group 0)
             "img_suffix": img_suffix,
+            # concrete dtype this request's cache was allocated under
+            # ('auto' resolves per request from the planned capacity)
+            "kv_dtype": kv_dtype,
         }
         return cache, state
 
@@ -920,7 +1006,7 @@ class LVUEngine:
             "int8": (t.head_dim + 4, t.head_dim + 4),
             "int8k": (t.head_dim + 4, t.head_dim * itemsize),
         }.get(
-            self.lvu.kv_cache_dtype,
+            state["kv_dtype"],
             (t.head_dim * itemsize, t.head_dim * itemsize),
         )
         per_tok = t.num_hidden_layers * t.num_key_value_heads * (k_b + v_b)
@@ -932,6 +1018,96 @@ class LVUEngine:
             kv_cache_bytes=cache_len * per_tok,
             kv_unpruned_bytes=(state["L"] + len(tokens)) * per_tok,
         )
+
+    def score_continuation(
+        self,
+        inputs: PrefillInputs,
+        continuation_ids: Sequence[int],
+        timer: Optional[SpanTimer] = None,
+    ) -> Tuple[float, bool]:
+        """Teacher-forced log-likelihood of `continuation_ids` given the
+        request context — the lmms-eval `loglikelihood` contract (several of
+        the reference's benchmark tasks score MC options this way instead of
+        generating; reference hookup README.md:398-412).
+
+        The video/prefix prefill runs exactly as generate()'s (grouped,
+        pruned); the suffix prompt and the continuation then run as ONE
+        bucketed pass whose per-position log-softmax is gathered at the
+        target ids in-graph (only two scalars cross the transport). The
+        suffix is never pruned during scoring (do_top_k_for_query applies to
+        generation, not teacher forcing). Returns
+        (total_logprob, is_greedy)."""
+        timer = timer or SpanTimer()
+        lvu = self.lvu
+        cont = np.asarray(continuation_ids, np.int64)
+        n_cont = len(cont)
+        if n_cont == 0:
+            raise ValueError("continuation_ids is empty")
+        if n_cont > lvu.max_decode_tokens:
+            raise ValueError(
+                f"continuation has {n_cont} tokens > max_decode_tokens="
+                f"{lvu.max_decode_tokens}; raise max_decode_tokens (the "
+                "rope tables only extend that far past the prompt)"
+            )
+        cache, state = self.prefill(inputs, timer)
+        cos, sin = state["cos"], state["sin"]
+        ss, L = state["suffix_start"], state["L"]
+        suffix_len = L - ss
+        combined = np.concatenate([state["ids"][ss:], cont])
+        q = len(combined)
+        bucket = max(32, -(-q // 32) * 32)
+        ids_pad = np.zeros(bucket, np.int64)
+        ids_pad[:q] = combined
+        img_suffix = state.get("img_suffix")
+        with timer.span("score"):
+            if state.get("pp_stack") is not None:
+                stack = state["pp_stack"]
+                spec = StepSpec(
+                    cfg=self.cfg.text, q_len=bucket, keep_k=0,
+                    attn_impl=lvu.attention_impl,
+                    kv_quant=stack.quantized,
+                )
+                x = self._embed_scatter_jit(
+                    self.params["language"]["embed"],
+                    jnp.asarray(ids_pad, jnp.int32), None, img_suffix,
+                )
+                x, c_w, s_w = (
+                    jax.device_put(a, self._pp_rep)
+                    for a in (x, cos[ss : ss + bucket], sin[ss : ss + bucket])
+                )
+                h = stack.chunk(x, c_w, s_w, spec)
+                logits = self._logits_jit(
+                    self.params["language"], jnp.asarray(np.asarray(h)),
+                    self.cfg.text,
+                )
+                lp = jax.nn.log_softmax(
+                    logits.astype(jnp.float32), axis=-1
+                )
+                rows = np.arange(suffix_len - 1, q - 1)
+                targets = combined[rows + 1]
+                row_lp = np.asarray(lp)[rows, targets]
+                total = float(row_lp.sum())
+                greedy = bool(
+                    (np.asarray(jnp.argmax(logits, axis=-1))[rows]
+                     == targets).all()
+                )
+            else:
+                spec = StepSpec(
+                    cfg=self.cfg.text, q_len=bucket, keep_k=0,
+                    attn_impl=lvu.attention_impl,
+                    kv_quant=self._cache_quant(cache),
+                    cp_mesh=self.cp_mesh,
+                )
+                _, total_j, greedy_j = self._score_jit(
+                    self.params["language"], cache,
+                    jnp.asarray(ids_pad, jnp.int32),
+                    cos[ss : ss + bucket], sin[ss : ss + bucket],
+                    np.int32(q), np.int32(suffix_len),
+                    spec=spec, img=img_suffix,
+                )
+                total = float(total_j)
+                greedy = bool(greedy_j)
+        return total, greedy
 
     @staticmethod
     def _filter_logits(logits, top_p=None, top_k=None):
@@ -988,7 +1164,7 @@ class LVUEngine:
                     if keep_k > 0 else False
                 ),
                 attn_impl=lvu.attention_impl,
-                kv_quant=kv_quant_mode(lvu.kv_cache_dtype),
+                kv_quant=stack.quantized,
             )
             x = self._embed_scatter_jit(
                 self.params["language"]["embed"],
@@ -1009,7 +1185,7 @@ class LVUEngine:
         dspec = StepSpec(
             cfg=cfg.text, q_len=1, keep_k=0, causal=False,
             attn_impl=lvu.attention_impl,
-            kv_quant=kv_quant_mode(lvu.kv_cache_dtype),
+            kv_quant=stack.quantized,
         )
         with timer.span("decode"):
             for step in range(max_new):
@@ -1077,6 +1253,10 @@ class LVUEngine:
         if lvu.do_top_k_for_query:
             keep_k = resolve_effective_top_k(lvu, 0, n_layers, suffix_len)
         img_suffix = state.get("img_suffix")
+        # quant mode from the cache arrays themselves (not the config string:
+        # 'auto' resolves per request, and resumed chat sessions carry caches
+        # built under an earlier resolution)
+        kv_quant = self._cache_quant(cache)
         with timer.span("final_prefill"):
             if keep_k > 0:
                 if img_suffix is not None:
@@ -1094,7 +1274,7 @@ class LVUEngine:
                     # within-group column sums, which requires probs
                     needs_probs=lvu.needs_attn_stats or lvu.query_based,
                     attn_impl=lvu.attention_impl,
-                    kv_quant=kv_quant_mode(lvu.kv_cache_dtype),
+                    kv_quant=kv_quant,
                     cp_mesh=self.cp_mesh,
                 )
                 x = self._embed_scatter_jit(
@@ -1121,7 +1301,7 @@ class LVUEngine:
                 spec = StepSpec(
                     cfg=cfg.text, q_len=bucket, keep_k=0,
                     attn_impl=lvu.attention_impl,
-                    kv_quant=kv_quant_mode(lvu.kv_cache_dtype),
+                    kv_quant=kv_quant,
                     cp_mesh=self.cp_mesh,
                 )
                 # pre-sliced rope window: keeps the compiled program's
@@ -1140,7 +1320,7 @@ class LVUEngine:
         out_tokens: List[int] = []
         dspec = StepSpec(
             cfg=cfg.text, q_len=1, keep_k=0,
-            kv_quant=kv_quant_mode(lvu.kv_cache_dtype),
+            kv_quant=kv_quant,
             cp_mesh=self.cp_mesh,
         )
         # decode occupancy is known host-side -> bound each chunk's attention

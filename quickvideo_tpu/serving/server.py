@@ -793,8 +793,8 @@ def main(argv: Optional[List[str]] = None):
                     help="KV retention ratio (pruning), not sampling")
     ap.add_argument("--param_dtype", default="int8",
                     choices=["bfloat16", "int8"])
-    ap.add_argument("--kv_cache_dtype", default="bfloat16",
-                    choices=["bfloat16", "int8", "int8k"])
+    ap.add_argument("--kv_cache_dtype", default="auto",
+                    choices=["auto", "bfloat16", "int8", "int8k"])
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--max_resident_sessions", type=int, default=1)
     ap.add_argument("--spill_dir", default=None)

@@ -629,3 +629,50 @@ class TestStreamingDecode:
         assert out == toks[:3]  # stopped AT the declared EOS, inclusive
         flat = [t for c in chunks for t in c]
         assert flat == out  # stream saw exactly the same, nothing extra
+
+
+# -- kv_cache_dtype="auto" resolution ---------------------------------------
+
+
+def test_auto_kv_dtype_thresholds():
+    """Pins the measured auto-selection rule (BENCH_RESULTS.md round 4):
+    bf16 at demo scale (<=64k planned slots, fits HBM), int8 above 64k slots
+    (hour-scale KV-bandwidth inversion) or when bf16 would not fit beside
+    the weights."""
+    from quickvideo_tpu.config import resolve_auto_kv_dtype
+
+    t7b = get_config("qwen25-vl-7b").text
+    w7b_int8 = 9 << 30  # ~int8 7B weights
+    hbm = 16 << 30
+    # demo scale: 1024-frame strict run plans ~53k slots -> bf16
+    assert resolve_auto_kv_dtype(53248, t7b, w7b_int8, hbm) == "bfloat16"
+    # exactly at the threshold stays bf16 (7B bf16 cache at 64k = 3.8 GB)
+    assert resolve_auto_kv_dtype(65536, t7b, w7b_int8, hbm) == "bfloat16"
+    # hour scale: 2^17 slots -> int8 (bandwidth inversion AND memory)
+    assert resolve_auto_kv_dtype(131072, t7b, w7b_int8, hbm) == "int8"
+    # memory-bound even at small capacity: bf16-weights 7B (15.5 GB)
+    assert resolve_auto_kv_dtype(32768, t7b, 15 << 30, hbm) == "int8"
+
+
+def test_auto_kv_dtype_engine_resolution(params):
+    """Engine-level: 'auto' resolves to a concrete dtype recorded in the
+    request state, and the cache arrays match it (tiny model on CPU always
+    resolves bf16 — tiny weights, tiny capacity)."""
+    eng = make_engine(params, top_k=32, kv_cache_dtype="auto")
+    ids, _, pixel_groups, group_grids = build_request()
+    inputs = PrefillInputs(
+        input_ids=ids, video_grid_thw=GRID, pixel_groups=pixel_groups,
+        group_grids=group_grids,
+    )
+    cache, state = eng.prefill(inputs)
+    assert state["kv_dtype"] == "bfloat16"
+    assert cache.k_scale is None
+    # forced hour-scale conditions flip the engine's resolution to int8
+    import os
+
+    os.environ["QV_HBM_GB"] = "0.00001"
+    try:
+        assert eng.resolve_kv_dtype(4096) == "int8"
+    finally:
+        del os.environ["QV_HBM_GB"]
+    assert eng.resolve_kv_dtype(131072) == "int8"

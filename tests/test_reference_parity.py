@@ -243,3 +243,62 @@ class TestEngineVsOracle:
             reference_query_mask=True,
         )
         np.testing.assert_array_equal(tokens, trace.tokens)
+
+
+class TestLoglikelihood:
+    """score_continuation — the lmms-eval `loglikelihood` contract
+    (reference eval hookup README.md:398-412): teacher-forced total logprob
+    of a continuation + whether it is the greedy decode."""
+
+    def test_teacher_forced_matches_hf(self, hf, jx, request_data):
+        """At rho=1 (no pruning) the engine's teacher-forced score must
+        equal HF's: one torch forward on [ids + continuation], log-softmax
+        gathered at the continuation targets."""
+        ids, pixels, pixel_groups, group_grids = request_data
+        cont = [7, 123, 456, 11]
+        full = np.concatenate([ids, cont])
+        with torch.no_grad():
+            logits = hf(
+                input_ids=torch.tensor(full)[None],
+                pixel_values_videos=torch.tensor(pixels),
+                video_grid_thw=torch.tensor([list(GRID)]),
+                second_per_grid_ts=torch.tensor([2.0]),
+                attention_mask=torch.ones(1, len(full), dtype=torch.long),
+            ).logits[0]
+        lp = torch.log_softmax(logits.float(), -1).numpy()
+        rows = np.arange(len(ids) - 1, len(full) - 1)
+        want = float(lp[rows, cont].sum())
+        want_greedy = bool((logits.argmax(-1).numpy()[rows] == cont).all())
+
+        lvu = LVUConfig(
+            model_name_or_path="tiny", num_frames=8, max_decode_tokens=8,
+            top_k=None,
+        )
+        eng = LVUEngine(jx, CFG, lvu, dtype=jnp.float32)
+        got, greedy = eng.score_continuation(
+            PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0), cont
+        )
+        assert greedy == want_greedy
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+
+    def test_greedy_tokens_score_as_greedy(self, jx, request_data):
+        """Self-consistency under pruning (rho=0.5 key-norm): the engine's
+        own greedy generation, scored teacher-forced against the same
+        pruned cache, must come back is_greedy=True; perturbing one token
+        must flip it AND lower the total logprob."""
+        ids, pixels, pixel_groups, group_grids = request_data
+        tokens, _ = run_jax(jx, request_data, top_p=0.5)
+        lvu = LVUConfig(
+            model_name_or_path="tiny", num_frames=8, max_decode_tokens=8,
+            top_p=0.5,
+        )
+        eng = LVUEngine(jx, CFG, lvu, dtype=jnp.float32)
+        inputs = PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0)
+        total, greedy = eng.score_continuation(inputs, tokens)
+        assert greedy
+        assert np.isfinite(total) and total < 0
+        other = list(tokens)
+        other[0] = other[0] + 1
+        total2, greedy2 = eng.score_continuation(inputs, other)
+        assert not greedy2
+        assert total2 < total
