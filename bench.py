@@ -101,7 +101,11 @@ def main():
         max_decode_tokens=max(16, int(os.environ.get("BENCH_MAX_NEW", "1"))),
         kv_cache_capacity=1 << int(os.environ.get("BENCH_CAP_LOG2", "16")),
         decode_output=os.environ.get("BENCH_DECODE_OUTPUT", "yuv420"),
-        kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "bfloat16"),
+        # "auto" (the product default) resolves per request from the planned
+        # capacity: bf16 at the demo scale (2^16 slots fits beside the int8
+        # 7B), int8 at hour scale (2^17 slots: KV-bandwidth-bound AND bf16
+        # would not fit HBM) — the measured inversion, BENCH_RESULTS.md r4
+        kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "auto"),
         # Headline protocol is the reference-EXACT resize (round-3 verdict
     # item 1): smart_resize output matches reference pixel geometry, no
     # window-alignment resolution trade. BENCH_ALIGN=1 opts into the

@@ -125,8 +125,16 @@ def main():
     # (QV_VISION_2D + kernel applicability); pre-pad the weights the way the
     # engine does so the 2D arms measure the production program
     params = V.add_padded_block_weights(params, vc)
+    if PARAM_DTYPE == "int8":
+        from quickvideo_tpu.ops.fused_vision_mlp import (
+            fuse_vision_mlp_weights,
+        )
+
+        params = fuse_vision_mlp_weights(params, vc)
     use2d_default = os.environ.get("QV_VISION_2D", "1") != "0"
-    print(f"vision path: {'2D padded-head' if use2d_default else '1D'}",
+    fused = os.environ.get("QV_FUSED_VISION_MLP", "1") != "0"
+    print(f"vision path: {'2D padded-head' if use2d_default else '1D'}"
+          f" mlp={'fused' if fused and PARAM_DTYPE == 'int8' else 'chain'}",
           flush=True)
 
     for act in (False, True) if PARAM_DTYPE == "int8" else (False,):

@@ -358,17 +358,19 @@ class ChatSession:
                 f"saved session's config does not match this LVU's "
                 f"(saved, current): {diff}"
             )
-        if getattr(lvu.engine, "cp_mesh", None) is not None:
-            raise NotImplementedError(
-                "resuming a session into a context-parallel engine is not "
-                "supported; resume single-chip or tp-only"
-            )
+        cp_mesh = getattr(lvu.engine, "cp_mesh", None)
         session = cls(lvu, meta["video_path"])
         session._reserve = meta["reserve"]
         k = _unpack_array(data["k"], meta["k_dtype"])
         v = _unpack_array(data["v"], meta["v_dtype"])
         L, H, hi, D = k.shape
         capacity = meta["capacity"]
+        if cp_mesh is not None:
+            # CP shards the capacity axis over sp: round the resumed cache
+            # up to the CP quantum (same rule as a fresh prefill's capacity
+            # plan; the extra tail slots are garbage-above-length)
+            quantum = 4096 * cp_mesh.shape["sp"]
+            capacity = -(-capacity // quantum) * quantum
         quantized = "k_scale" in data
 
         def grow(a, fill_dtype):
@@ -390,7 +392,13 @@ class ChatSession:
                 if quantized else None
             ),
         )
-        if getattr(lvu.engine, "tp_cache_mesh", None) is not None:
+        if cp_mesh is not None:
+            from quickvideo_tpu.parallel.context_parallel import (
+                shard_cache_cp,
+            )
+
+            cache = shard_cache_cp(cache, cp_mesh)
+        elif getattr(lvu.engine, "tp_cache_mesh", None) is not None:
             from quickvideo_tpu.parallel.sharding import shard_cache
 
             cache = shard_cache(cache, lvu.engine.tp_cache_mesh)

@@ -399,3 +399,25 @@ def cp_grouped_attention(
     pg = _partial_attention(q, k_grp, v_grp, mask, scale)
     out, _ = merge_partials(pp, pg)
     return out
+
+
+def shard_cache_cp(cache, mesh):
+    """Place a KVCache on a CP mesh: the capacity axis shards over sp (the
+    engine's request-cache placement, prefill/engine.py cache_alloc span;
+    also used when resuming a saved chat session into a CP engine). The
+    capacity must be a multiple of the CP quantum (4096 * sp)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(None, None, "sp", None))
+    sh_sc = NamedSharding(mesh, P(None, None, "sp"))
+    repl = dict(
+        k=jax.device_put(cache.k, sh),
+        v=jax.device_put(cache.v, sh),
+        length=jax.device_put(cache.length, NamedSharding(mesh, P(None))),
+    )
+    if cache.k_scale is not None:
+        repl["k_scale"] = jax.device_put(cache.k_scale, sh_sc)
+    if cache.v_scale is not None:
+        repl["v_scale"] = jax.device_put(cache.v_scale, sh_sc)
+    return cache.replace(**repl)

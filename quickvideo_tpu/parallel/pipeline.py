@@ -369,6 +369,146 @@ class PipelinedStack:
             self.vs = v_s
         return y
 
+    # -- whole-chunk decode (device-side loop + sampling) --------------------
+
+    def _make_decode_chunk(self, spec: StepSpec, n: int, greedy: bool,
+                           top_p, top_k, filter_fn, vocab: int):
+        S, Lps = self.S, self.Lps
+        qk, qv = self._qk, self._qv
+        kspec, vspec, kssp, vssp = self._cache_specs()
+        from quickvideo_tpu.models.qwen25_vl.language import (
+            compute_logits,
+            embed_tokens,
+        )
+
+        cfg = self.cfg
+
+        def decode(params, head, k, v, ks, vs, lengths, tok0, cos_chunk,
+                   sin_chunk, eos_ids, n_stop, rng, temperature, srng):
+            lp = jax.tree.map(lambda a: a[0], params)
+            stage = lax.axis_index("pp")
+            fill = eos_ids[0]
+
+            def cond(carry):
+                _, _, _, _, _, tok, _, i, _ = carry
+                bound = jnp.minimum(jnp.int32(n), n_stop)
+                return (i < bound) & jnp.logical_not(
+                    jnp.any(tok == eos_ids)
+                )
+
+            def body(carry):
+                k0, v0, ks0, vs0, ln0, tok, srng_, i, toks = carry
+                xh = embed_tokens(head, tok[None])  # (1, C)
+                cos_i = lax.dynamic_slice_in_dim(cos_chunk, i, 1)
+                sin_i = lax.dynamic_slice_in_dim(sin_chunk, i, 1)
+                for sidx in range(S):  # one live stage per sub-step (the
+                    # rest take the identity branch: no weight streaming —
+                    # decode stays ONE full weight pass per token, same as
+                    # chunk())
+                    def run(ops):
+                        xh_, k_, v_, ks_, vs_, ln_ = ops
+                        y, k_, v_, ks2, vs2 = _stage_scan(
+                            lp, xh_, cos_i, sin_i, k_, v_,
+                            ks_ if qk else None, vs_ if qv else None,
+                            ln_, rng, spec, stage, Lps,
+                        )
+                        if not qk:
+                            ks2 = ops[3]
+                        if not qv:
+                            vs2 = ops[4]
+                        return y, k_, v_, ks2, vs2, ln_ + spec.append_n
+
+                    def skip(ops):
+                        return ops
+
+                    sc_k = ks0 if qk else jnp.zeros(())
+                    sc_v = vs0 if qv else jnp.zeros(())
+                    xh, k0, v0, sc_k, sc_v, ln0 = lax.cond(
+                        stage == sidx, run, skip,
+                        (xh, k0, v0, sc_k, sc_v, ln0),
+                    )
+                    if qk:
+                        ks0 = sc_k
+                    if qv:
+                        vs0 = sc_v
+                    xh = lax.psum(
+                        jnp.where(stage == sidx, xh, jnp.zeros_like(xh)),
+                        "pp",
+                    )
+                # only the LAST stage streams the lm_head (the cond's
+                # untaken branch reads no weights); the chosen token
+                # broadcasts as one masked-psum scalar
+                lg = lax.cond(
+                    stage == S - 1,
+                    lambda h: compute_logits(head, h[-1], cfg),
+                    lambda h: jnp.zeros((vocab,), jnp.float32),
+                    xh,
+                )
+                if greedy:
+                    nxt_l = jnp.argmax(lg).astype(jnp.int32)
+                else:
+                    srng_, sub = jax.random.split(srng_)
+                    flt = filter_fn(lg, top_p, top_k)
+                    nxt_l = jax.random.categorical(
+                        sub, flt / temperature
+                    ).astype(jnp.int32)
+                nxt = lax.psum(jnp.where(stage == S - 1, nxt_l, 0), "pp")
+                toks = toks.at[i].set(nxt)
+                return k0, v0, ks0, vs0, ln0, nxt, srng_, i + 1, toks
+
+            k0, v0, ks0, vs0, ln0, _, _, _, toks = lax.while_loop(
+                cond, body,
+                (k[0], v[0], ks[0] if qk else ks, vs[0] if qv else vs,
+                 lengths[0], tok0, srng, jnp.int32(0),
+                 jnp.full((n,), fill, jnp.int32)),
+            )
+            return (k0[None], v0[None],
+                    ks0[None] if qk else ks,
+                    vs0[None] if qv else vs, ln0[None], toks)
+
+        pp = P("pp")
+        rep = P()
+        in_specs = (pp, rep, kspec, vspec, kssp, vssp, pp,
+                    rep, rep, rep, rep, rep, rep, rep, rep)
+        out_specs = (kspec, vspec, kssp, vssp, pp, rep)
+        return jax.jit(jax.shard_map(
+            decode, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        ), donate_argnums=(2, 3, 6) + ((4,) if qk else ())
+            + ((5,) if qv else ()))
+
+    def decode_chunk(self, head, tok0, cos_chunk, sin_chunk, eos_ids,
+                     n_stop, spec: StepSpec, *, greedy=True, rng=None,
+                     temperature=1.0, top_p=None, top_k=None,
+                     filter_fn=None, vocab: int = 0):
+        """Decode up to `n_stop` tokens in ONE dispatch: the in-graph
+        while_loop embeds, runs all stages per token (one full weight pass),
+        computes logits + argmax/sampling on the LAST stage, and broadcasts
+        each token over the mesh — no per-token host RTT (the pp analogue
+        of the engine's _decode_chunk_body / _decode_sample_chunk_body).
+        `head` = replicated {embed, norm, lm_head} params. Returns the
+        (n,) token array (slots past EOS hold the EOS-fill value)."""
+        n = int(cos_chunk.shape[0])
+        key = ("dec", spec, n, greedy, top_p, top_k)
+        if key not in self._chunk_jit:
+            self._chunk_jit[key] = self._make_decode_chunk(
+                spec, n, greedy, top_p, top_k, filter_fn, vocab
+            )
+        ks, vs = self._zero4()
+        srng = rng if rng is not None else self.rng
+        (self.k, self.v, k_s, v_s, self.lengths, toks) = self._chunk_jit[
+            key
+        ](
+            self.params, head, self.k, self.v, ks, vs, self.lengths,
+            jnp.int32(tok0), cos_chunk, sin_chunk, eos_ids,
+            jnp.int32(n_stop), self.rng, jnp.float32(temperature), srng,
+        )
+        if self._qk:
+            self.ks = k_s
+        if self._qv:
+            self.vs = v_s
+        return toks
+
     # -- reassembly ----------------------------------------------------------
 
     def gather_cache(self) -> kvc.KVCache:

@@ -165,6 +165,18 @@ class LVUEngine:
             self.params["vision"] = add_padded_block_weights(
                 params["vision"], model_cfg.vision
             )
+            # fused dual-GEMM+SwiGLU+quantize MLP path (int8 towers only):
+            # gate|up concat-padded + row-padded wd (ops/fused_vision_mlp)
+            from quickvideo_tpu.ops.quantization import vision_mlp_act_quant
+
+            if vision_mlp_act_quant():
+                from quickvideo_tpu.ops.fused_vision_mlp import (
+                    fuse_vision_mlp_weights,
+                )
+
+                self.params["vision"] = fuse_vision_mlp_weights(
+                    self.params["vision"], model_cfg.vision
+                )
         # context parallelism: with an sp axis > 1 the KV cache capacity is
         # sharded across the mesh and attention over the past runs as
         # LSE-merged per-shard partials (VERDICT r1 item 5: auto-routed here,
@@ -484,6 +496,18 @@ class LVUEngine:
         )
         return cache, toks
 
+    def _pp_head(self):
+        """Replicated {embed, norm, lm_head} on the pp mesh — the decode
+        chunk's in-graph embed + logits head (one-time device_put)."""
+        if not hasattr(self, "_pp_head_cache"):
+            pl = self.params["language"]
+            self._pp_head_cache = jax.device_put(
+                {"embed": pl["embed"], "norm": pl["norm"],
+                 "lm_head": pl["lm_head"]},
+                self._pp_rep,
+            )
+        return self._pp_head_cache
+
     def _layout_arrays(self, grid):
         if grid not in self._layout_arrays_cache:
             from quickvideo_tpu.models.qwen25_vl.vision import layout_arrays_for
@@ -682,11 +706,6 @@ class LVUEngine:
         # suffix — scattered in the final prefill) ---
         img_prefix = img_suffix = None
         if img_grids is not None:
-            if self.pp_mesh is not None:
-                raise NotImplementedError(
-                    "image inputs under pipeline parallelism are not wired "
-                    "yet (the pp chunk pass lacks the image scatter)"
-                )
             pix_list = inputs.image_pixels or []
             if len(pix_list) != len(img_grids):
                 raise ValueError(
@@ -715,12 +734,6 @@ class LVUEngine:
                 raise ValueError(
                     f"image grids produce {int(img_embeds.shape[0])} tokens "
                     f"but input_ids contain {n_img_total} image placeholders"
-                )
-            if lvu.query_based and n_img_total > n_img_prefix:
-                raise NotImplementedError(
-                    "query-based predictors with images AFTER the video are "
-                    "not supported (the per-group prompt tail would need "
-                    "the image scatter)"
                 )
             img_prefix = img_embeds[:n_img_prefix] if n_img_prefix else None
             img_suffix = (
@@ -788,22 +801,13 @@ class LVUEngine:
             if cache is None:
                 pass
             elif self.cp_mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                sh = NamedSharding(self.cp_mesh, P(None, None, "sp", None))
-                repl = dict(
-                    k=jax.device_put(cache.k, sh),
-                    v=jax.device_put(cache.v, sh),
+                # int8/int8k scales shard on the same capacity axis as the
+                # values (parallel/context_parallel.shard_cache_cp)
+                from quickvideo_tpu.parallel.context_parallel import (
+                    shard_cache_cp,
                 )
-                if cache.k_scale is not None:
-                    # int8/int8k mode: per-(layer, head, token) scales shard
-                    # on the same capacity axis as the values
-                    sh_sc = NamedSharding(self.cp_mesh, P(None, None, "sp"))
-                    repl["k_scale"] = jax.device_put(cache.k_scale, sh_sc)
-                if cache.v_scale is not None:
-                    sh_sc = NamedSharding(self.cp_mesh, P(None, None, "sp"))
-                    repl["v_scale"] = jax.device_put(cache.v_scale, sh_sc)
-                cache = cache.replace(**repl)
+
+                cache = shard_cache_cp(cache, self.cp_mesh)
             elif self.tp_cache_mesh is not None:
                 from quickvideo_tpu.parallel.sharding import shard_cache
 
@@ -825,6 +829,18 @@ class LVUEngine:
         prompt_ids_j = (
             jnp.asarray(prompt_ids, jnp.int32) if prompt_len else None
         )
+        # per-group image embeddings for the scatter: group 0 absorbs the
+        # prefix (prefix images), and in query-based mode every group appends
+        # the prompt tail — suffix image placeholders ride along and fill in
+        # order (merge_vision_embeddings is order-based, so group 0 takes
+        # prefix+suffix concatenated)
+        img_g0, img_rest = img_prefix, None
+        if prompt_len and img_suffix is not None:
+            img_g0 = (
+                jnp.concatenate([img_prefix, img_suffix])
+                if img_prefix is not None else img_suffix
+            )
+            img_rest = img_suffix
         pp_stream_key = None
         pixel_iter = inputs.pixel_groups
         if lvu.use_tqdm:
@@ -896,6 +912,7 @@ class LVUEngine:
                         self.params["language"], ids_j, cos, sin,
                         np.int32(past_len), vis, prompt_ids_j,
                         np.int32(gi), spec=spec_pp,
+                        img=img_g0 if gi == 0 else img_rest,
                     )
                     x, g_cos, g_sin = (
                         jax.device_put(a, self._pp_rep)
@@ -920,14 +937,14 @@ class LVUEngine:
                         self.params["language"], cache, ids_j, cos, sin,
                         np.int32(past_len), vis, prompt_ids_j,
                         np.int32(gi), spec=base,
-                        img=img_prefix if gi == 0 else None,
+                        img=img_g0 if gi == 0 else img_rest,
                     ))
                 else:
                     cache = _maybe_sync(self._group_unrolled_jit(
                         self.params["language"], cache, ids_j, cos, sin,
                         np.int32(past_len), vis, prompt_ids_j,
                         np.int32(gi), specs=self._layer_specs(base),
-                        img=img_prefix if gi == 0 else None,
+                        img=img_g0 if gi == 0 else img_rest,
                     ))
             past_len += in_len
             if self._uniform():
@@ -1131,17 +1148,19 @@ class LVUEngine:
 
     def _generate_from_stack(
         self, stack, state, max_new_tokens, eos_token_ids, greedy,
-        temperature, timer, top_p=None, top_k=None,
+        temperature, timer, top_p=None, top_k=None, on_tokens=None,
     ):
         """Suffix prefill + decode against a PipelinedStack (pp mode).
 
-        Every pass is a sequential all-stage chunk (one live stage per
-        sub-step — parallel/pipeline.py chunk): the suffix prompt at its
+        The suffix prompt runs as one sequential all-stage chunk at its
         exact length (recompiles per distinct question length; pp targets
-        multi-chip serving where that one-time cost amortizes), then
-        per-token decode with host-side argmax/sampling. sample_on_device
-        is ignored under pp (the in-graph chunk samplers operate on a
-        KVCache value, not a stack)."""
+        multi-chip serving where that one-time cost amortizes). Decode then
+        runs DEVICE-SIDE in whole chunks (PipelinedStack.decode_chunk):
+        greedy and sample_on_device generations pay one dispatch per
+        generation (or per `stream_chunk_tokens` chunk when streaming) —
+        the same no-per-token-RTT contract as the single-chip
+        _decode_chunk_body. sample_on_device=False keeps the per-token
+        host-sampling loop for reproducibility."""
         cfg = self.cfg
         lvu = self.lvu
         ids = state["ids"]
@@ -1169,6 +1188,7 @@ class LVUEngine:
             x = self._embed_scatter_jit(
                 self.params["language"]["embed"],
                 jnp.asarray(ids[ss:], jnp.int32), None,
+                state.get("img_suffix"),
             )
             x, c_s, s_s = (
                 jax.device_put(a, self._pp_rep)
@@ -1187,35 +1207,123 @@ class LVUEngine:
             attn_impl=lvu.attention_impl,
             kv_quant=stack.quantized,
         )
+        eos_arr = jnp.asarray(
+            sorted(eos_token_ids) if eos_token_ids else [-1], jnp.int32
+        )
+        mdt = lvu.max_decode_tokens
+        stream_c = 0
+        if on_tokens is not None:
+            stream_c = max(1, min(32, int(lvu.stream_chunk_tokens)))
+
+        def _consume(toks):
+            for t in np.asarray(toks).tolist():
+                if len(out_tokens) >= max_new:
+                    break
+                out_tokens.append(int(t))
+                if on_tokens is not None:
+                    on_tokens([int(t)])
+                if t in eos_token_ids:
+                    break
+
+        def _consume_n(toks, bound):
+            new = []
+            hit = False
+            for t in np.asarray(toks).tolist()[:bound]:
+                new.append(int(t))
+                if t in eos_token_ids:
+                    hit = True
+                    break
+            out_tokens.extend(new)
+            return new, hit
+
+        def _put(a):
+            return jax.device_put(a, self._pp_rep)
+
         with timer.span("decode"):
-            for step in range(max_new):
-                if greedy:
-                    nxt = int(jnp.argmax(logits))
+            # first token from the final-prefill logits (host-side, exactly
+            # as the single-chip path)
+            if greedy:
+                nxt = int(jnp.argmax(logits))
+            else:
+                self._rng, rng0 = jax.random.split(self._rng)
+                flt = self._filter_logits(logits, top_p, top_k)
+                nxt = int(jax.random.categorical(rng0, flt / temperature))
+            out_tokens.append(nxt)
+            if on_tokens is not None:
+                on_tokens([nxt])
+            device_loop = greedy or lvu.sample_on_device
+            if max_new > 1 and nxt not in eos_token_ids and device_loop:
+                # remaining tokens decode in whole chunks DEVICE-SIDE
+                # (PipelinedStack.decode_chunk): the in-graph while_loop
+                # embeds, runs all stages, samples on the last stage, and
+                # broadcasts each token over the mesh — one dispatch for the
+                # whole generation (or per stream chunk), killing the
+                # per-token host RTT the round-4 pp path paid
+                kw = dict(
+                    spec=dspec, greedy=greedy,
+                    temperature=float(temperature),
+                    top_p=float(top_p) if top_p is not None else None,
+                    top_k=int(top_k) if top_k is not None else None,
+                    filter_fn=LVUEngine._filter_logits,
+                    vocab=cfg.text.vocab_size,
+                )
+                head = self._pp_head()
+                eos_d = _put(eos_arr)
+                if on_tokens is None:
+                    self._rng, rng = jax.random.split(self._rng)
+                    toks = stack.decode_chunk(
+                        head, out_tokens[-1], _put(cos[L : L + mdt]),
+                        _put(sin[L : L + mdt]), eos_d, max_new - 1,
+                        rng=_put(rng), **kw,
+                    )
+                    _consume(toks)
                 else:
+                    pos = L
+                    while len(out_tokens) < max_new:
+                        n_stop = min(stream_c, max_new - len(out_tokens))
+                        self._rng, rng = jax.random.split(self._rng)
+                        toks = stack.decode_chunk(
+                            head, out_tokens[-1],
+                            _put(cos[pos : pos + stream_c]),
+                            _put(sin[pos : pos + stream_c]),
+                            eos_d, n_stop, rng=_put(rng), **kw,
+                        )
+                        new, hit = _consume_n(toks, n_stop)
+                        if new:
+                            on_tokens(new)
+                        if hit or not new:
+                            break
+                        pos += n_stop
+            elif max_new > 1 and nxt not in eos_token_ids:
+                # legacy per-token host sampling (sample_on_device=False):
+                # one chunk pass + transport RTT per token, for repro
+                for step in range(1, max_new):
+                    pos_idx = L + step - 1  # decode tables start at row L
+                    x = self._embed_scatter_jit(
+                        self.params["language"]["embed"],
+                        jnp.asarray([out_tokens[-1]], jnp.int32), None,
+                    )
+                    x, c_s, s_s = (
+                        _put(a)
+                        for a in (
+                            x, cos[pos_idx : pos_idx + 1],
+                            sin[pos_idx : pos_idx + 1],
+                        )
+                    )
+                    h = stack.chunk(x, c_s, s_s, dspec)
+                    logits = self._logits_jit(
+                        self.params["language"], np.asarray(h[-1]), cfg.text
+                    )
                     self._rng, rng = jax.random.split(self._rng)
                     flt = self._filter_logits(logits, top_p, top_k)
                     nxt = int(
                         jax.random.categorical(rng, flt / temperature)
                     )
-                out_tokens.append(nxt)
-                if nxt in eos_token_ids or step == max_new - 1:
-                    break
-                pos_idx = L + step  # decode tables start at row L
-                x = self._embed_scatter_jit(
-                    self.params["language"]["embed"],
-                    jnp.asarray([nxt], jnp.int32), None,
-                )
-                x, c_s, s_s = (
-                    jax.device_put(a, self._pp_rep)
-                    for a in (
-                        x, cos[pos_idx : pos_idx + 1],
-                        sin[pos_idx : pos_idx + 1],
-                    )
-                )
-                h = stack.chunk(x, c_s, s_s, dspec)
-                logits = self._logits_jit(
-                    self.params["language"], np.asarray(h[-1]), cfg.text
-                )
+                    out_tokens.append(nxt)
+                    if on_tokens is not None:
+                        on_tokens([nxt])
+                    if nxt in eos_token_ids:
+                        break
         suffix_advance = keep_k if keep_k > 0 else suffix_len
         logical = state["cache_len"] + suffix_advance + max(
             0, len(out_tokens) - 1
@@ -1227,15 +1335,11 @@ class LVUEngine:
         temperature, timer, top_p=None, top_k=None, on_tokens=None,
     ):
         if state.get("pp_stack") is not None:
-            toks, cache_pp, logical = self._generate_from_stack(
+            return self._generate_from_stack(
                 state["pp_stack"], state, max_new_tokens, eos_token_ids,
                 greedy, temperature, timer, top_p=top_p, top_k=top_k,
+                on_tokens=on_tokens,
             )
-            if on_tokens is not None and len(toks):
-                # pp decode is a sequential all-stage chunk pass without a
-                # chunked host loop yet: stream coarsely (one callback)
-                on_tokens([int(t) for t in toks])
-            return toks, cache_pp, logical
         cfg = self.cfg
         lvu = self.lvu
         ids = state["ids"]
@@ -1259,12 +1363,6 @@ class LVUEngine:
         kv_quant = self._cache_quant(cache)
         with timer.span("final_prefill"):
             if keep_k > 0:
-                if img_suffix is not None:
-                    raise NotImplementedError(
-                        "do_top_k_for_query with images in the suffix is "
-                        "not supported (the pruned-suffix path lacks the "
-                        "image scatter)"
-                    )
                 # exact shape when the suffix itself is pruned (rare path)
                 spec = StepSpec(
                     cfg=cfg.text, q_len=suffix_len, keep_k=keep_k,
@@ -1279,7 +1377,7 @@ class LVUEngine:
                 )
                 x = self._embed_scatter_jit(
                     self.params["language"]["embed"],
-                    jnp.asarray(ids[ss:], jnp.int32), None,
+                    jnp.asarray(ids[ss:], jnp.int32), None, img_suffix,
                 )
                 self._rng, rng = jax.random.split(self._rng)
                 cache, hidden = self._prefill_jit(

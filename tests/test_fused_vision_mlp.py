@@ -1,0 +1,121 @@
+"""Fused dual-GEMM+SwiGLU+quantize vision MLP (ops/fused_vision_mlp.py)
+vs the XLA chain it replaces — interpret-mode parity on CPU.
+
+The fused kernel's only numerical divergence from the chain is silu*mul in
+f32 instead of bf16 (<=1 bf16 ulp pre-quantization); both paths then
+quantize to int8, so outputs agree within one quantization step.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quickvideo_tpu.models.qwen25_vl import get_config
+from quickvideo_tpu.models.qwen25_vl import vision as V
+from quickvideo_tpu.ops import fused_vision_mlp as FM
+from quickvideo_tpu.ops import quantization as qz
+
+CFG = get_config("tiny").vision
+
+
+def _quantized_block(seed=0):
+    c, i = CFG.hidden_size, CFG.intermediate_size
+    rng = np.random.default_rng(seed)
+    mk = lambda *s: jnp.asarray(  # noqa: E731
+        rng.standard_normal(s) * 0.05, jnp.float32
+    )
+    return {
+        "ln2": jnp.asarray(1.0 + rng.standard_normal(c) * 0.02, jnp.bfloat16),
+        "wg": qz.quantize_weight(mk(c, i)),
+        "wu": qz.quantize_weight(mk(c, i)),
+        "wd": qz.quantize_weight(mk(i, c)),
+        "bg": mk(i).astype(jnp.bfloat16),
+        "bu": mk(i).astype(jnp.bfloat16),
+        "bd": mk(c).astype(jnp.bfloat16),
+    }
+
+
+def test_weight_prep_shapes_and_idempotence():
+    bp = _quantized_block()
+    stacked = {"blocks": jax.tree.map(lambda a: a[None], bp)}
+    prepped = FM.fuse_vision_mlp_weights(stacked, CFG)
+    blocks = prepped["blocks"]
+    i = CFG.intermediate_size
+    np_ = FM._round_up(i, FM.LANE)
+    assert blocks["wgu_p"]["q8"].shape == (1, CFG.hidden_size, 2 * np_)
+    assert blocks["wgu_p"]["sc"].shape == (1, 2 * np_)
+    assert blocks["bgu_p"].shape == (1, 1, 2 * np_)
+    assert blocks["wd_p"]["q8"].shape == (1, np_, CFG.hidden_size)
+    # pad q8 columns are zero; pad wd rows are zero
+    assert int(jnp.abs(blocks["wgu_p"]["q8"][0, :, i:np_]).max()) == 0
+    assert int(jnp.abs(blocks["wgu_p"]["q8"][0, :, np_ + i:]).max()) == 0
+    assert int(jnp.abs(blocks["wd_p"]["q8"][0, i:]).max()) == 0
+    # idempotent
+    assert FM.fuse_vision_mlp_weights(prepped, CFG) is prepped
+    # unquantized towers pass through untouched
+    bf = {"blocks": {"wg": jnp.zeros((1, 4, 4)), "wd": jnp.zeros((1, 4, 4))}}
+    assert FM.fuse_vision_mlp_weights(bf, CFG) is bf
+
+
+@pytest.mark.parametrize("s_len", [256, 250])  # aligned + needs row padding
+def test_fused_mlp_matches_chain(monkeypatch, s_len):
+    if not qz.vision_mlp_act_quant():
+        pytest.skip("vision MLP act-quant disabled in this env")
+    bp = _quantized_block()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((s_len, CFG.hidden_size)) * 0.1,
+                    jnp.bfloat16)
+    ref = V._vision_mlp(bp, x, CFG)  # chain (no fused leaves present)
+
+    stacked = {"blocks": jax.tree.map(lambda a: a[None], bp)}
+    bp_f = jax.tree.map(
+        lambda a: a[0], FM.fuse_vision_mlp_weights(stacked, CFG)["blocks"]
+    )
+    monkeypatch.setenv("QV_PALLAS_INTERPRET", "1")
+    out = V._vision_mlp(bp_f, x, CFG)
+    assert out.shape == ref.shape and out.dtype == ref.dtype
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.05,
+    )
+    # the disabled-flag escape hatch falls back to the chain exactly
+    monkeypatch.setenv("QV_FUSED_VISION_MLP", "0")
+    off = V._vision_mlp(bp_f, x, CFG)
+    np.testing.assert_array_equal(
+        np.asarray(off, np.float32), np.asarray(ref, np.float32)
+    )
+
+
+def test_dual_gemm_matches_chain_math():
+    """Kernel (interpret) vs an exact numpy replay of the chain's math on a
+    small shape — pins the rescale order, bias dtype, and quantize scale."""
+    c, i = CFG.hidden_size, CFG.intermediate_size
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((64, c)) * 0.1, jnp.bfloat16)
+    bp = _quantized_block(3)
+    xq, xs = qz.quantize_act(x)
+    stacked = {"blocks": jax.tree.map(lambda a: a[None], bp)}
+    bf = FM.fuse_vision_mlp_weights(stacked, CFG)["blocks"]
+    mq8, ms = FM.dual_gemm_silu_quant(
+        xq, xs, jax.tree.map(lambda a: a[0], bf["wgu_p"]),
+        bf["bgu_p"][0], interpret=True,
+    )
+    np_ = FM._round_up(i, FM.LANE)
+    assert mq8.shape == (64, np_) and ms.shape == (64, 1)
+    # pad columns quantize to exact zeros
+    assert int(jnp.abs(mq8[:, i:]).max()) == 0
+    # chain math
+    g = qz.qdot_pre(xq, xs, bp["wg"]).astype(jnp.bfloat16) + bp["bg"]
+    u = qz.qdot_pre(xq, xs, bp["wu"]).astype(jnp.bfloat16) + bp["bu"]
+    gf = np.asarray(g, np.float32)
+    uf = np.asarray(u, np.float32)
+    m = gf / (1.0 + np.exp(-gf)) * uf
+    s = np.maximum(np.abs(m).max(-1, keepdims=True), qz._EPS) / 127.0
+    np.testing.assert_allclose(np.asarray(ms), s, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mq8[:, :i], np.float32) * np.asarray(ms),
+        np.clip(np.round(m / s), -127, 127) * s,
+        atol=float(s.max()) * 1.01,  # <=1 quantization step
+    )
