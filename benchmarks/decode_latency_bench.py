@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--occupancy", type=int, default=36920)  # 1024f rho=0.5
     ap.add_argument("--capacity", type=int, default=1 << 16)
     ap.add_argument("--tokens", type=int, default=128)
+    ap.add_argument("--attn-impl", default=None,
+                    help="flash | xla (attribution: the q=1 kernel choice)")
     args = ap.parse_args()
 
     import jax
@@ -87,10 +89,13 @@ def main():
         jnp.asarray(pos, jnp.int32), t.head_dim, t.mrope_section, t.rope_theta
     )
     active = max(4096, -(-(args.occupancy + args.tokens + 64) // 4096) * 4096)
-    dspec = StepSpec(
+    dspec_kw = dict(
         cfg=t, q_len=1, keep_k=0, kv_quant=quant,
         active_cap=0 if active >= args.capacity else active,
     )
+    if args.attn_impl:
+        dspec_kw["attn_impl"] = args.attn_impl
+    dspec = StepSpec(**dspec_kw)
 
     chunk = 32
     # warmup

@@ -94,14 +94,12 @@ class LVU:
             self.mesh = make_mesh(config.mesh)
             if config.mesh.pp > 1:
                 # pp places the language layer stack itself (one slab per
-                # stage, parallel/pipeline.py PipelinedStack); replicating
-                # the full weights here first would defeat pp's memory
-                # scaling at the model sizes pp exists for
-                if config.mesh.tp > 1 or config.mesh.sp > 1:
-                    raise ValueError(
-                        "pp does not compose with tp/sp inside a stage yet "
-                        f"(mesh={config.mesh})"
-                    )
+                # stage, tp-sharded within the stage when mesh.tp > 1 —
+                # parallel/pipeline.py PipelinedStack); replicating the full
+                # weights here first would defeat pp's memory scaling at the
+                # model sizes pp exists for. sp does not compose with pp
+                # (engine validates).
+                pass
             else:
                 self.params = shard_params(self.params, self.mesh)
         self.engine = LVUEngine(

@@ -135,6 +135,12 @@ class StepSpec:
     # flash call). Default False = our unsplit-sequence mask (documented
     # divergence, PARITY.md); True is used by the cross-implementation
     # parity tests against the reference-faithful torch pipeline.
+    tp_axis: object = None  # mesh axis name when this step runs INSIDE a
+    # shard_map with attention heads / MLP columns sharded over it (pp
+    # stages with tp, parallel/pipeline.py): layer_step psums the o-proj and
+    # down-proj partials and the pruning scores reduce over it (exact —
+    # identical retained indices on every shard)
+    tp_size: int = 1  # shard count of tp_axis (local head counts divide it)
 
     @property
     def video_len(self) -> int:
@@ -150,28 +156,31 @@ class StepSpec:
 # ---------------------------------------------------------------------------
 
 
-def _project_qkv(lp: dict, h: Array, cfg: TextConfig):
+def _project_qkv(lp: dict, h: Array, cfg: TextConfig, tp: int = 1):
     l = h.shape[0]
     hd = cfg.head_dim
-    # q/k/v read the same normed input: quantize it once (qdot_multi)
+    # q/k/v read the same normed input: quantize it once (qdot_multi).
+    # Under tensor parallelism (tp > 1, inside a shard_map stage) the
+    # projection weights carry only the LOCAL head columns.
     q, k, v = qdot_multi(h, (lp["wq"], lp["wk"], lp["wv"]))
     q = q.astype(h.dtype) + lp["bq"]
     k = k.astype(h.dtype) + lp["bk"]
     v = v.astype(h.dtype) + lp["bv"]
-    q = q.reshape(l, cfg.num_attention_heads, hd).transpose(1, 0, 2)
-    k = k.reshape(l, cfg.num_key_value_heads, hd).transpose(1, 0, 2)
-    v = v.reshape(l, cfg.num_key_value_heads, hd).transpose(1, 0, 2)
+    q = q.reshape(l, cfg.num_attention_heads // tp, hd).transpose(1, 0, 2)
+    k = k.reshape(l, cfg.num_key_value_heads // tp, hd).transpose(1, 0, 2)
+    v = v.reshape(l, cfg.num_key_value_heads // tp, hd).transpose(1, 0, 2)
     return q, k, v
 
 
 def _prompt_accum_scores(
-    q_prompt: Array, k_video: Array, cfg: TextConfig
+    q_prompt: Array, k_video: Array, cfg: TextConfig, tp: int = 1
 ) -> Array:
     """Prompt->video-key attention accumulation (reference
     lvu/lvu_cache.py:100-116): softmax over video keys only (no past
     denominator, no causal mask — approximate by design), summed over prompt
-    queries, averaged over query heads. Returns (video_len,) f32."""
-    hkv = cfg.num_key_value_heads
+    queries, averaged over query heads. Returns (video_len,) f32 — the
+    LOCAL-head mean under tp (the caller pmeans over the tp axis)."""
+    hkv = cfg.num_key_value_heads // tp
     rep = cfg.num_kv_groups
     qf = q_prompt.reshape(hkv, rep, *q_prompt.shape[1:]).astype(jnp.float32)
     scores = jnp.einsum(
@@ -218,14 +227,14 @@ def _group_probs_from_lse(
     Works identically for the single-chip flash LSE and the LSE-merged
     context-parallel partials (lse is replicated after the psum merge)."""
     g = q.shape[1]
-    hkv = cfg.num_key_value_heads
+    hkv = q.shape[0] // cfg.num_kv_groups  # local kv heads (tp-aware)
     qf = q.reshape(hkv, cfg.num_kv_groups, g, cfg.head_dim)
     scores = jnp.einsum(
         "hrqd,hld->hrql",
         qf.astype(jnp.float32),
         k_grp.astype(jnp.float32),
     ) * scale
-    scores = scores.reshape(cfg.num_attention_heads, g, g)
+    scores = scores.reshape(q.shape[0], g, g)
     probs = jnp.exp(scores - lse[..., None])
     if causal:
         probs = jnp.where(attn_ops.causal_mask(g)[None], probs, 0.0)
@@ -266,7 +275,7 @@ def layer_step(
     scale = cfg.head_dim ** -0.5
     already_appended = False
     h = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-    q, k, v = _project_qkv(lp, h, cfg)
+    q, k, v = _project_qkv(lp, h, cfg, tp=spec.tp_size)
     q, k = apply_rotary(q, k, cos, sin)
 
     def _idx(buf):
@@ -319,7 +328,11 @@ def layer_step(
         # lvu/lvu_cache.py:100-104 strips before DynamicCache.update).
         gv = spec.video_len
         k_grp, v_grp = k[:, :gv], v[:, :gv]
-        accum = _prompt_accum_scores(q[:, gv:], k_grp, cfg)
+        accum = _prompt_accum_scores(q[:, gv:], k_grp, cfg, tp=spec.tp_size)
+        if spec.tp_axis is not None:
+            # local-head mean -> global head mean (equal shard sizes); the
+            # accumulated scores then match the single-chip values exactly
+            accum = jax.lax.pmean(accum, spec.tp_axis)
         row = jax.lax.broadcasted_iota(jnp.int32, (spec.q_len, gv), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (spec.q_len, gv), 1)
         if spec.ref_query_mask:
@@ -507,12 +520,15 @@ def layer_step(
                 k_scale=_att_view(k_scale_buf), v_scale=_att_view(v_scale_buf),
             )
 
-    hq = cfg.num_attention_heads
+    hq = cfg.num_attention_heads // spec.tp_size
     attn_out = out.astype(x.dtype).transpose(1, 0, 2).reshape(
         out.shape[1], hq * cfg.head_dim
     )
-    attn_out = qdot(attn_out, lp["wo"]).astype(x.dtype)
-    x = x + attn_out
+    attn_out = qdot(attn_out, lp["wo"])
+    if spec.tp_axis is not None:
+        # Megatron row-parallel o-proj: local-head partials sum over tp
+        attn_out = jax.lax.psum(attn_out, spec.tp_axis)
+    x = x + attn_out.astype(x.dtype)
 
     # --- pruning hook (reference qwen25_vl.py:176-185) ---
     indices = None
@@ -528,6 +544,7 @@ def layer_step(
             group_probs=group_probs,
             accum_attn=accum,
             rng=rng,
+            tp_axis=spec.tp_axis,
         )
         # unified-kernel path already wrote the raw group at [length, ...);
         # the compact overwrite below replaces its first keep_k slots (the
@@ -593,7 +610,11 @@ def layer_step(
         v_scale_all = _wb(v_scale_all, v_scale_buf)
 
     h2 = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-    x = x + swiglu_mlp(h2, lp)
+    m = swiglu_mlp(h2, lp)
+    if spec.tp_axis is not None:
+        # row-parallel down-proj: local-column partials sum over tp
+        m = jax.lax.psum(m.astype(jnp.float32), spec.tp_axis).astype(m.dtype)
+    x = x + m
     return x, k_all, v_all, k_scale_all, v_scale_all, indices
 
 

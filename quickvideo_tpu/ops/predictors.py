@@ -45,23 +45,29 @@ Array = jax.Array
 # ---------------------------------------------------------------------------
 
 
-def _flat_norms(x: Array) -> Array:
+def _flat_norms(x: Array, tp_axis=None) -> Array:
     """L2 norm over the heads-flattened feature dim.
 
     Reference: `keys_i.transpose(0, 1).flatten(1, 2).norm(2, dim=-1)`
     (lvu/utils.py:130-131): (H, L, D) -> (L, H*D) -> (L,).
-    """
+
+    Under tensor parallelism (`tp_axis` inside shard_map) the head axis is
+    sharded: the squared sums psum to the exact global norm, so every tp
+    shard selects identical token indices."""
     h, l, d = x.shape
     flat = jnp.transpose(x, (1, 0, 2)).reshape(l, h * d)
-    return jnp.linalg.norm(flat.astype(jnp.float32), axis=-1)
+    sq = jnp.sum(flat.astype(jnp.float32) ** 2, axis=-1)
+    if tp_axis is not None:
+        sq = jax.lax.psum(sq, tp_axis)
+    return jnp.sqrt(sq)
 
 
-def key_norms(keys: Array) -> Array:
-    return _flat_norms(keys)
+def key_norms(keys: Array, tp_axis=None) -> Array:
+    return _flat_norms(keys, tp_axis)
 
 
-def value_norms(values: Array) -> Array:
-    return _flat_norms(values)
+def value_norms(values: Array, tp_axis=None) -> Array:
+    return _flat_norms(values, tp_axis)
 
 
 def output_norms(hidden: Array) -> Array:
@@ -135,6 +141,7 @@ def _dedup_select(
     k: int,
     num_pivots: int,
     largest: bool,
+    tp_axis=None,
 ) -> Array:
     """Pivot + cosine-dissimilar fill (reference lvu/utils.py:93-120,150-164).
 
@@ -151,10 +158,18 @@ def _dedup_select(
     pivots = order[:num_pivots]
     others = order[num_pivots:]  # (L - P,)
     fnorm = feat.astype(jnp.float32)
-    fnorm = fnorm / jnp.maximum(jnp.linalg.norm(fnorm, axis=-1, keepdims=True), 1e-12)
+    # under tp the feature dim (heads*head_dim) is sharded: normalize by the
+    # GLOBAL vector norm and psum the partial dot products — the cosine is
+    # exact and identical on every shard
+    sq = jnp.sum(fnorm * fnorm, axis=-1, keepdims=True)
+    if tp_axis is not None:
+        sq = jax.lax.psum(sq, tp_axis)
+    fnorm = fnorm / jnp.maximum(jnp.sqrt(sq), 1e-12)
     pv = fnorm[pivots]  # (P, C)
     ov = fnorm[others]  # (L-P, C)
     cos = pv @ ov.T  # (P, L-P)
+    if tp_axis is not None:
+        cos = jax.lax.psum(cos, tp_axis)
     mean_cos = jnp.mean(cos, axis=0)
     fill_local = _top_k_indices(-mean_cos, k - num_pivots, largest=True)
     fill = others[fill_local]
@@ -193,12 +208,19 @@ def select_top_k_indices(
     attn: Optional[Array] = None,
     accum_attn: Optional[Array] = None,
     rng: Optional[Array] = None,
+    tp_axis=None,
 ) -> Array:
     """Select k retained token positions within the current group.
 
     Mirrors every branch of reference lvu/utils.py:43-189. `predict_type` and
     `k` are static (resolved in Python by the engine); array args are traced.
-    """
+
+    `tp_axis` (a mesh axis name, set when running inside a shard_map stage
+    with tensor-parallel heads): keys/values/attn carry only the LOCAL head
+    shard, so scores reduce over tp (exact psum/pmean of the head
+    aggregations) before selection — every shard then picks the same token
+    set. hidden and accum_attn arrive already replicated/reduced; rng is
+    identical across shards by construction."""
     if k <= 0:
         raise ValueError("k must be positive (engine filters k<=0 upstream)")
     l = None
@@ -208,6 +230,11 @@ def select_top_k_indices(
             break
     if attn is not None:
         l = attn.shape[-1]
+    if tp_axis is not None and attn is not None:
+        # attn is the per-shard mean over LOCAL query heads; equal shard
+        # sizes make the global head-mean the pmean of shard means — after
+        # which every attn-derived statistic (incl. colstd) is exact
+        attn = jax.lax.pmean(attn, tp_axis)
 
     if predict_type == "salient_tokens":
         _, colmean, colstd = attn_column_stats(attn)
@@ -234,7 +261,7 @@ def select_top_k_indices(
             accum_attn, _, _ = attn_column_stats(attn)
         if predict_type == "query_attention_weights":
             return _top_k_indices(accum_attn.astype(jnp.float32), k, largest=True)
-        w = accum_attn.astype(jnp.float32) * value_norms(values)
+        w = accum_attn.astype(jnp.float32) * value_norms(values, tp_axis)
         return _top_k_indices(w, k, largest=True)
     if predict_type == "attention_weights_sum":
         colsum, _, _ = attn_column_stats(attn)
@@ -267,19 +294,20 @@ def select_top_k_indices(
         num_pivots = (k - 1) // 2 + 1
         colsum, _, _ = attn_column_stats(attn)
         feat = jnp.transpose(values, (1, 0, 2)).reshape(l, -1)
-        return _dedup_select(colsum, feat, k, num_pivots, largest=True)
+        return _dedup_select(colsum, feat, k, num_pivots, largest=True,
+                             tp_axis=tp_axis)
     if predict_type == "vector_norms":
-        return _top_k_indices(value_norms(values), k, largest=True)
+        return _top_k_indices(value_norms(values, tp_axis), k, largest=True)
     if predict_type == "vector_norms_small":
-        return _top_k_indices(value_norms(values), k, largest=False)
+        return _top_k_indices(value_norms(values, tp_axis), k, largest=False)
     if predict_type == "key_norms":
-        return _top_k_indices(key_norms(keys), k, largest=True)
+        return _top_k_indices(key_norms(keys, tp_axis), k, largest=True)
     if predict_type == "key_norms_small":
         # THE default policy (reference lvu/utils.py:133-136): keep the k
         # tokens with the SMALLEST L2 key norm.
-        return _top_k_indices(key_norms(keys), k, largest=False)
+        return _top_k_indices(key_norms(keys, tp_axis), k, largest=False)
     if predict_type == "key_norms_small_random":
-        order = _sorted_indices(key_norms(keys), largest=False)
+        order = _sorted_indices(key_norms(keys, tp_axis), largest=False)
         head = order[: k // 2]
         rest = order[k // 2 :]
         perm = jax.random.permutation(rng, rest.shape[0])
@@ -290,10 +318,11 @@ def select_top_k_indices(
     if predict_type == "key_norms_small_deduplication":
         num_pivots = (k - 1) // 16 + 1
         feat = jnp.transpose(keys, (1, 0, 2)).reshape(l, -1)
-        return _dedup_select(key_norms(keys), feat, k, num_pivots, largest=False)
+        return _dedup_select(key_norms(keys, tp_axis), feat, k, num_pivots,
+                             largest=False, tp_axis=tp_axis)
     if predict_type == "key_weighted_vector_norms":
-        kn = jax.nn.softmax(key_norms(keys))
-        w = kn * value_norms(values)
+        kn = jax.nn.softmax(key_norms(keys, tp_axis))
+        w = kn * value_norms(values, tp_axis)
         return _top_k_indices(w, k, largest=True)
     if predict_type == "output_norms":
         return _top_k_indices(output_norms(hidden), k, largest=True)
@@ -301,7 +330,7 @@ def select_top_k_indices(
         # mean over queries of || attn[q, i] * v_i || = ||v_i|| * mean_q attn[q, i]
         # The reference loops queries (lvu/utils.py:177-187); the norm of a
         # scalar-scaled vector factorizes, giving this closed form.
-        vn = value_norms(values)
+        vn = value_norms(values, tp_axis)
         w = jnp.mean(jnp.abs(attn.astype(jnp.float32)), axis=0) * vn
         return _top_k_indices(w, k, largest=True)
     raise ValueError(f"Unknown predict type: {predict_type}")

@@ -54,6 +54,7 @@ def select_and_compact(
     group_probs: Optional[Array] = None,  # (G, G) from grouped_attention
     accum_attn: Optional[Array] = None,  # (G,) prompt->key accumulated scores
     rng: Optional[Array] = None,
+    tp_axis=None,  # mesh axis name when heads are tp-sharded (shard_map)
 ) -> PruneResult:
     """Score the group's tokens, keep `keep_k`, gather K/V (and accum scores).
 
@@ -69,6 +70,7 @@ def select_and_compact(
         attn=group_probs,
         accum_attn=accum_attn,
         rng=rng,
+        tp_axis=tp_axis,
     )
     return PruneResult(
         k_keep=gather_group_tokens(k_group, idx),

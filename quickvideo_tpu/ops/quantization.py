@@ -78,6 +78,13 @@ _ACT_QUANT = os.environ.get("QV_INT8_ACT", "1") == "1"
 # to measure act-quant numerics end-to-end on the tiny checkpoint.
 _ACT_MIN_DIM = 256
 
+# Few-row matmuls (decode GEMVs: q_len=1) are HBM-bound on the WEIGHT bytes
+# — int8xint8 compute rate buys nothing and the quantize/rescale kernels
+# are pure overhead (measured on the 7B decode step: 13.87 -> 13.73
+# ms/token weight-only, benchmarks/decode_ablation_probe.py round 5; also
+# ~1 ulp more accurate). Rows below this stay weight-only.
+_ACT_MIN_ROWS = 16
+
 # The vision tower defaults to weight-only even when QV_INT8_ACT is on:
 # measured on v5e (strict_profile.py, 7B strict grid), act-quant makes the
 # tower SLOWER (194.7 -> 201.4 ms) while the language stack gets much faster
@@ -139,7 +146,10 @@ def qdot(x: Array, w, *, act_quant: bool | None = None) -> Array:
         return jnp.dot(x, w, preferred_element_type=jnp.float32)
     if act_quant is None:
         act_quant = _ACT_QUANT
-    if act_quant and x.ndim >= 2 and x.shape[-1] >= _ACT_MIN_DIM:
+    if (
+        act_quant and x.ndim >= 2 and x.shape[-1] >= _ACT_MIN_DIM
+        and x.shape[-2] >= _ACT_MIN_ROWS
+    ):
         xq, xs = quantize_act(x)
         return qdot_pre(xq, xs, w)
     y = jnp.dot(x, w["q8"].astype(x.dtype), preferred_element_type=jnp.float32)
@@ -156,6 +166,7 @@ def qdot_multi(x: Array, ws, *, act_quant: bool | None = None) -> list:
         act_quant
         and x.ndim >= 2
         and x.shape[-1] >= _ACT_MIN_DIM
+        and x.shape[-2] >= _ACT_MIN_ROWS
         and all(is_quantized(w) for w in ws)
     ):
         xq, xs = quantize_act(x)

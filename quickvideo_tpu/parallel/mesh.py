@@ -4,7 +4,8 @@ Axes (quickvideo_tpu.config.MeshConfig):
   dp — data parallel: independent requests (eval sharding; the reference's
        only multi-device use is accelerate-launched eval DP, README.md:405)
   pp — pipeline parallel: layer slabs over stages, skewed pipeline over video
-       groups (parallel/pipeline.py; engine path requires tp == sp == 1)
+       groups (parallel/pipeline.py; composes with tp inside a stage,
+       not with sp)
   tp — tensor parallel: attention heads / MLP columns over ICI
   sp — sequence parallel: group token axis for very large prefill groups
        (SURVEY.md section 5.7 TPU equivalent)

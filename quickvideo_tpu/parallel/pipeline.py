@@ -29,15 +29,22 @@ shard_map; at sub-step j only stage j's devices take the compute branch of a
 activation broadcasts via a masked psum. Decode latency is thus one full
 weight pass + S small collectives — the same HBM bound as single-chip.
 
-Composition: pp composes with dp (outer axis, independent replicas). tp/sp
-composition inside a stage requires nested manual collectives and is not
-implemented — the engine's tp/sp paths (parallel/sharding.py,
-parallel/context_parallel.py) remain the scaling answer within a stage.
+Composition: pp composes with dp (outer axis, independent replicas) AND with
+tp INSIDE a stage: when the mesh carries a tp axis > 1, each stage's
+projection weights/caches shard their head (or MLP-column) axis over tp and
+layer_step runs with spec.tp_axis set — Megatron row-parallel psums after
+the o-proj and down-proj, and the pruning predictors reduce their scores
+over tp so every shard retains identical token indices
+(ops/predictors.select_top_k_indices). sp inside a stage is not composed —
+context parallelism (parallel/context_parallel.py) remains the
+long-sequence answer on non-pp meshes.
 
 Parity: tests/test_pipeline_parallel.py drives this against the
 single-device prefill_step path on a virtual CPU mesh — per-layer lengths
 and int8 payloads exactly equal, cache contents and output hidden states
 equal within 1e-5, for pp in {2, 4}, with pruning and int8 KV.
+tests/test_sharding.py pins engine-level greedy/sampled token parity for
+pp=3, pp=3 x tp=2, and chunked streaming.
 """
 
 from __future__ import annotations
@@ -112,33 +119,93 @@ class PipelinedStack:
                  rng: Optional[jax.Array] = None):
         self.mesh = mesh
         self.S = mesh.shape["pp"]
+        self.tp = mesh.shape.get("tp", 1)
         self.cfg = cfg
         L = cfg.num_hidden_layers
         if L % self.S:
             raise ValueError(f"num_hidden_layers={L} not divisible by "
                              f"pp={self.S}")
+        if self.tp > 1:
+            for name, n in (
+                ("num_attention_heads", cfg.num_attention_heads),
+                ("num_key_value_heads", cfg.num_key_value_heads),
+                ("intermediate_size", cfg.intermediate_size),
+            ):
+                if n % self.tp:
+                    raise ValueError(
+                        f"{name}={n} not divisible by tp={self.tp} "
+                        "(tp-within-a-stage shards heads/MLP columns)"
+                    )
         self.Lps = L // self.S
         self.capacity = capacity
         self.quantized = quantized  # False | True/"kv" | "k" (K-only int8)
         self._qk = quantized in (True, "kv", "k")
         self._qv = quantized in (True, "kv")
-        sh = NamedSharding(mesh, P("pp"))
-        self.params = jax.device_put(_slab(params_layers, self.S), sh)
+        self._pspec = self._param_specs(params_layers)
+        self.params = jax.tree.map(
+            lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+            _slab(params_layers, self.S), self._pspec,
+        )
         cache = kvc.init_cache(
             L, cfg.num_key_value_heads, capacity, cfg.head_dim,
             dtype=dtype, quantized=quantized,
         )
-        self.k = jax.device_put(_slab(cache.k, self.S), sh)
-        self.v = jax.device_put(_slab(cache.v, self.S), sh)
-        self.ks = (jax.device_put(_slab(cache.k_scale, self.S), sh)
+        kspec, vspec, kssp, vssp = self._cache_specs()
+        put = lambda a, s: jax.device_put(  # noqa: E731
+            a, NamedSharding(mesh, s)
+        )
+        self.k = put(_slab(cache.k, self.S), kspec)
+        self.v = put(_slab(cache.v, self.S), vspec)
+        self.ks = (put(_slab(cache.k_scale, self.S), kssp)
                    if self._qk else None)
-        self.vs = (jax.device_put(_slab(cache.v_scale, self.S), sh)
+        self.vs = (put(_slab(cache.v_scale, self.S), vssp)
                    if self._qv else None)
-        self.lengths = jax.device_put(_slab(cache.length, self.S), sh)
+        self.lengths = put(_slab(cache.length, self.S), P("pp"))
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._bufs = None  # (xh, cos, sin, valid) pipeline registers
         self._tick_jit = {}
         self._chunk_jit = {}
+
+    def _spec(self, spec: StepSpec):
+        """Inject this stack's tp composition into a StepSpec (layer_step
+        then psums the o-proj/down-proj partials and reduces pruning scores
+        over the tp axis)."""
+        if self.tp == 1 or spec.tp_axis is not None:
+            return spec
+        import dataclasses
+
+        return dataclasses.replace(spec, tp_axis="tp", tp_size=self.tp)
+
+    def _param_specs(self, params_layers):
+        """Per-leaf PartitionSpecs for the SLABBED (S, Lps, ...) stacked
+        layer weights: stage slabs over pp; with tp > 1 the head/column axes
+        shard Megatron-style (sharding.param_shardings' rules, one leading
+        pp axis added). Quantized leaves: q8 follows the weight; the
+        per-out-channel scale keeps the output axis."""
+        col = P("pp", None, None, "tp") if self.tp > 1 else P("pp")
+        row = P("pp", None, "tp", None) if self.tp > 1 else P("pp")
+        out1 = P("pp", None, "tp") if self.tp > 1 else P("pp")
+        rep = P("pp")
+        by_name = {
+            "ln1": rep, "ln2": rep,
+            "wq": col, "bq": out1, "wk": col, "bk": out1,
+            "wv": col, "bv": out1, "wo": row,
+            "wg": col, "wu": col, "wd": row,
+        }
+
+        def leaf_spec(name, leaf):
+            s = by_name[name]
+            if isinstance(leaf, dict) and "q8" in leaf:
+                # scale drops the (slabbed) contraction axis: col weights
+                # keep the sharded output axis, row weights replicate
+                sc = out1 if s is col else rep
+                return {"q8": s, "sc": sc}
+            return s
+
+        return {
+            name: leaf_spec(name, leaf)
+            for name, leaf in params_layers.items()
+        }
 
     # -- helpers ------------------------------------------------------------
 
@@ -151,7 +218,10 @@ class PipelinedStack:
                 self.vs if self.vs is not None else z)
 
     def _cache_specs(self):
-        pp = P("pp")
+        # cache slabs (S, Lps, Hkv, cap, D): kv heads shard over tp when
+        # composed (appends/attention stay local per shard; pruning indices
+        # are identical across shards via the score psums)
+        pp = P("pp", None, "tp") if self.tp > 1 else P("pp")
         return (pp, pp,
                 pp if self._qk else P(),
                 pp if self._qv else P())
@@ -204,7 +274,7 @@ class PipelinedStack:
             return out
 
         pp = P("pp")
-        in_specs = (pp, kspec, vspec, kssp, vssp, pp,
+        in_specs = (self._pspec, kspec, vspec, kssp, vssp, pp,
                     pp, pp, pp, pp, rep, rep, rep, rep, rep)
         out_specs = (kspec, vspec, kssp, vssp, pp, pp, pp, pp, pp)
         # donate cache + pipeline registers (NOT the () scale placeholders
@@ -226,6 +296,7 @@ class PipelinedStack:
         q_len/spec (uniform specs — decay/cascade schedules take the engine's
         unrolled path, which pp does not serve)."""
         assert self._bufs is None, "stream already open"
+        spec = self._spec(spec)
         S = self.S
         key = (spec, q_len)
         if key not in self._tick_jit:
@@ -343,7 +414,8 @@ class PipelinedStack:
 
         pp = P("pp")
         rep = P()
-        in_specs = (pp, kspec, vspec, kssp, vssp, pp, rep, rep, rep, rep)
+        in_specs = (self._pspec, kspec, vspec, kssp, vssp, pp,
+                    rep, rep, rep, rep)
         out_specs = (rep, kspec, vspec, kssp, vssp, pp)
         return jax.jit(jax.shard_map(
             chunk, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
@@ -355,6 +427,7 @@ class PipelinedStack:
               spec: StepSpec) -> jax.Array:
         """One full pass of all stages over a replicated token block;
         appends spec.append_n rows per layer. Returns final hidden states."""
+        spec = self._spec(spec)
         key = (spec, int(xh.shape[0]))
         if key not in self._chunk_jit:
             self._chunk_jit[key] = self._make_chunk(spec)
@@ -468,7 +541,7 @@ class PipelinedStack:
 
         pp = P("pp")
         rep = P()
-        in_specs = (pp, rep, kspec, vspec, kssp, vssp, pp,
+        in_specs = (self._pspec, rep, kspec, vspec, kssp, vssp, pp,
                     rep, rep, rep, rep, rep, rep, rep, rep)
         out_specs = (kspec, vspec, kssp, vssp, pp, rep)
         return jax.jit(jax.shard_map(
@@ -488,6 +561,7 @@ class PipelinedStack:
         of the engine's _decode_chunk_body / _decode_sample_chunk_body).
         `head` = replicated {embed, norm, lm_head} params. Returns the
         (n,) token array (slots past EOS hold the EOS-fill value)."""
+        spec = self._spec(spec)
         n = int(cos_chunk.shape[0])
         key = ("dec", spec, n, greedy, top_p, top_k)
         if key not in self._chunk_jit:

@@ -193,6 +193,7 @@ class LVUEngine:
         if (
             mesh is not None
             and self.cp_mesh is None
+            and mesh.shape.get("pp", 1) == 1  # pp owns its slabbed cache
             and mesh.shape.get("tp", 1) > 1
             and model_cfg.text.num_key_value_heads % mesh.shape["tp"] == 0
         ):
@@ -207,10 +208,11 @@ class LVUEngine:
         # tests/test_pipeline_parallel.py).
         self.pp_mesh = None
         if mesh is not None and mesh.shape.get("pp", 1) > 1:
-            if mesh.shape.get("tp", 1) > 1 or mesh.shape.get("sp", 1) > 1:
+            if mesh.shape.get("sp", 1) > 1:
                 raise ValueError(
-                    "pp does not compose with tp/sp inside a stage yet "
-                    f"(mesh shape {dict(mesh.shape)})"
+                    "pp does not compose with sp inside a stage (context "
+                    "parallelism is a non-pp mesh mode); tp inside a stage "
+                    f"IS supported (mesh shape {dict(mesh.shape)})"
                 )
             if model_cfg.text.num_hidden_layers % mesh.shape["pp"]:
                 raise ValueError(
