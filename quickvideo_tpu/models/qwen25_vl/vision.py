@@ -502,22 +502,24 @@ def _vision_mlp(bp: dict, x: Array, cfg: VisionConfig) -> Array:
     (ops/fused_vision_mlp.py) — the (S, I) s32/bf16 intermediates never
     touch HBM (~0.5 ms/block of structural traffic XLA cannot fuse across
     the dots; measured in benchmarks/vision_glue_probe.py)."""
-    h2 = _rms_norm(x, bp["ln2"], cfg.rms_norm_eps)
     act = vision_mlp_act_quant() and is_quantized(bp["wg"])
     if act and "wgu_p" in bp:
         from quickvideo_tpu.ops import fused_vision_mlp as FM
-        from quickvideo_tpu.ops.quantization import qdot_pre, quantize_act
+        from quickvideo_tpu.ops.quantization import qdot_pre
 
         interp = bool(os.environ.get("QV_PALLAS_INTERPRET"))
         if FM.fused_mlp_enabled() and (
             interp or jax.default_backend() not in ("cpu", "gpu")
         ):
-            xq, xs = quantize_act(h2)
-            mq8, ms = FM.dual_gemm_silu_quant(
-                xq, xs, bp["wgu_p"], bp["bgu_p"], interpret=interp
+            # ln2 + quantize run INSIDE the kernel too (round 5: the
+            # normed/quantized (S, C) intermediates never touch HBM)
+            mq8, ms = FM.ln_dual_gemm_silu_quant(
+                x, bp["ln2"], bp["wgu_p"], bp["bgu_p"],
+                eps=cfg.rms_norm_eps, interpret=interp,
             )
             y = qdot_pre(mq8, ms, bp["wd_p"]).astype(x.dtype) + bp["bd"]
             return x + y
+    h2 = _rms_norm(x, bp["ln2"], cfg.rms_norm_eps)
     g, u = qdot_multi(h2, (bp["wg"], bp["wu"]), act_quant=act)
     g = g.astype(x.dtype) + bp["bg"]
     u = u.astype(x.dtype) + bp["bu"]

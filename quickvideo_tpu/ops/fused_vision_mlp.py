@@ -106,13 +106,9 @@ def fuse_vision_mlp_weights(vision_params: dict, cfg) -> dict:
     return out
 
 
-def _kernel(xq_ref, xs_ref, w_ref, sc_ref, b_ref, q_ref, s_ref, *, n_pad):
-    acc = jax.lax.dot_general(
-        xq_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+def _epilogue(acc, xs, sc_ref, b_ref, q_ref, s_ref, n_pad):
     y = (
-        acc.astype(jnp.float32) * xs_ref[:] * sc_ref[:]
+        acc.astype(jnp.float32) * xs * sc_ref[:]
     ).astype(jnp.bfloat16) + b_ref[:]
     # silu*mul in f32 (Mosaic miscompiles the bf16 logistic's f32-constant
     # broadcast); <=1 bf16-ulp from the chain's bf16 silu, far below the
@@ -127,34 +123,58 @@ def _kernel(xq_ref, xs_ref, w_ref, sc_ref, b_ref, q_ref, s_ref, *, n_pad):
     s_ref[:] = s
 
 
-def dual_gemm_silu_quant(
-    xq: jax.Array,   # (S, C) int8 — pre-quantized block input
-    xs: jax.Array,   # (S, 1) f32 per-row scales
-    wgu: dict,       # {"q8": (C, 2*Np) int8, "sc": (1, 2*Np) f32}
-    bgu: jax.Array,  # (1, 2*Np) bf16
-    *,
-    bm: int = 128,
-    interpret: bool = False,
-):
-    """Returns (mq8 (S, Np) int8, ms (S, 1) f32): the quantized SwiGLU
-    output ready for qdot_pre against the row-padded down projection."""
-    s_len, c = xq.shape
-    n2 = wgu["q8"].shape[1]
-    n_pad = n2 // 2
-    sc = wgu["sc"].reshape(1, n2)
-    bgu = bgu.reshape(1, n2)
-    sp = _round_up(s_len, bm)
-    if sp != s_len:
-        xq = jnp.pad(xq, ((0, sp - s_len), (0, 0)))
-        xs = jnp.pad(xs, ((0, sp - s_len), (0, 0)), constant_values=1.0)
+def _kernel(xq_ref, xs_ref, w_ref, sc_ref, b_ref, q_ref, s_ref, *, n_pad):
+    acc = jax.lax.dot_general(
+        xq_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    _epilogue(acc, xs_ref[:], sc_ref, b_ref, q_ref, s_ref, n_pad)
+
+
+def _ln_kernel(x_ref, ln_ref, w_ref, sc_ref, b_ref, q_ref, s_ref, *,
+               n_pad, eps):
+    """rmsnorm + per-row int8 quantize of the raw block input IN-KERNEL
+    (the separate XLA ln2 + quantize_act passes and their (S, C) HBM
+    round-trips disappear), then the same dual GEMM + epilogue. Math is
+    production-exact: bf16 rounding order of _rms_norm, quantize_act's
+    scale rule. Zero pad rows quantize to zeros (var 0 -> h 0)."""
+    xf = x_ref[:].astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    # bf16 round-trips via explicit bit-level RN-even, NOT astype: inside
+    # one fused computation the compiler elides convert(bf16)->convert(f32)
+    # chains, which would skip the production chain's bf16 rounding of h
+    # (1 ulp at the row max flips the quantize scale). reduce_precision
+    # has no Mosaic lowering, so round in u32: add 0x7fff + lsb-of-keep
+    # and mask (exact RN-even for finite values; ours are normed rows).
+    def _round_bf16(v):
+        b = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        b = (b + 0x7FFF + ((b >> 16) & 1)) & jnp.uint32(0xFFFF0000)
+        return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+    t = _round_bf16(xf * jax.lax.rsqrt(var + eps))
+    hf = _round_bf16(t * ln_ref[:].astype(jnp.float32))
+    xs = jnp.maximum(
+        jnp.max(jnp.abs(hf), axis=-1, keepdims=True), _EPS
+    ) / 127.0
+    xq = jnp.clip(jnp.round(hf / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    _epilogue(acc, xs, sc_ref, b_ref, q_ref, s_ref, n_pad)
+
+
+def _call(kernel, first_in, first_spec_width, sp, bm, c, n2, n_pad, wq8,
+          sc, bgu, extra, interpret):
     row = lambda i: (i, 0)  # noqa: E731
     rep = lambda i: (0, 0)  # noqa: E731
-    q, s = pl.pallas_call(
-        functools.partial(_kernel, n_pad=n_pad),
+    return pl.pallas_call(
+        kernel,
         grid=(sp // bm,),
         in_specs=[
-            pl.BlockSpec((bm, c), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, first_spec_width), row,
+                         memory_space=pltpu.VMEM),
+            *extra[0],
             pl.BlockSpec((c, n2), rep, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n2), rep, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n2), rep, memory_space=pltpu.VMEM),
@@ -173,7 +193,71 @@ def dual_gemm_silu_quant(
             transcendentals=sp * n_pad,
         ),
         interpret=interpret,
-    )(xq, xs, wgu["q8"], sc, bgu.astype(jnp.bfloat16))
+    )(first_in, *extra[1], wq8, sc, bgu)
+
+
+def dual_gemm_silu_quant(
+    xq: jax.Array,   # (S, C) int8 — pre-quantized block input
+    xs: jax.Array,   # (S, 1) f32 per-row scales
+    wgu: dict,       # {"q8": (C, 2*Np) int8, "sc": (1, 2*Np) f32}
+    bgu: jax.Array,  # (1, 2*Np) bf16
+    *,
+    bm: int = 128,
+    interpret: bool = False,
+):
+    """Returns (mq8 (S, Np) int8, ms (S, 1) f32): the quantized SwiGLU
+    output ready for qdot_pre against the row-padded down projection."""
+    s_len, c = xq.shape
+    n2 = wgu["q8"].shape[1]
+    n_pad = n2 // 2
+    sc = wgu["sc"].reshape(1, n2)
+    bgu = bgu.reshape(1, n2).astype(jnp.bfloat16)
+    sp = _round_up(s_len, bm)
+    if sp != s_len:
+        xq = jnp.pad(xq, ((0, sp - s_len), (0, 0)))
+        xs = jnp.pad(xs, ((0, sp - s_len), (0, 0)), constant_values=1.0)
+    row = lambda i: (i, 0)  # noqa: E731
+    q, s = _call(
+        functools.partial(_kernel, n_pad=n_pad), xq, c, sp, bm, c, n2,
+        n_pad, wgu["q8"], sc, bgu,
+        ([pl.BlockSpec((bm, 1), row, memory_space=pltpu.VMEM)], [xs]),
+        interpret,
+    )
+    if sp != s_len:
+        q, s = q[:s_len], s[:s_len]
+    return q, s
+
+
+def ln_dual_gemm_silu_quant(
+    x: jax.Array,     # (S, C) bf16 — RAW block input (pre-norm)
+    ln_w: jax.Array,  # (C,) rmsnorm weight
+    wgu: dict,
+    bgu: jax.Array,
+    *,
+    eps: float,
+    bm: int = 128,
+    interpret: bool = False,
+):
+    """Like dual_gemm_silu_quant, but the rmsnorm + per-row quantize run
+    INSIDE the kernel on the VMEM row tile — the normed/quantized (S, C)
+    intermediates never touch HBM (vs the XLA chain's ~0.16 ms/block of
+    ln2 + quantize_act round-trips)."""
+    s_len, c = x.shape
+    n2 = wgu["q8"].shape[1]
+    n_pad = n2 // 2
+    sc = wgu["sc"].reshape(1, n2)
+    bgu = bgu.reshape(1, n2).astype(jnp.bfloat16)
+    sp = _round_up(s_len, bm)
+    if sp != s_len:
+        x = jnp.pad(x, ((0, sp - s_len), (0, 0)))
+    rep = lambda i: (0, 0)  # noqa: E731
+    q, s = _call(
+        functools.partial(_ln_kernel, n_pad=n_pad, eps=eps), x, c, sp, bm,
+        c, n2, n_pad, wgu["q8"], sc, bgu,
+        ([pl.BlockSpec((1, c), rep, memory_space=pltpu.VMEM)],
+         [ln_w.reshape(1, c)]),
+        interpret,
+    )
     if sp != s_len:
         q, s = q[:s_len], s[:s_len]
     return q, s

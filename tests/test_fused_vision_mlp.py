@@ -88,6 +88,38 @@ def test_fused_mlp_matches_chain(monkeypatch, s_len):
     )
 
 
+@pytest.mark.parametrize("s_len", [128, 100])  # aligned + needs row padding
+def test_ln_in_kernel_matches_outside(s_len):
+    """ln_dual_gemm_silu_quant (round 5: rmsnorm + quantize in-kernel) vs
+    the quantize-outside entry fed by _rms_norm + quantize_act — the
+    in-kernel math is operation-for-operation the same (f32 mean/rsqrt,
+    bf16 round-trip, quantize_act's scale rule), so interpret-mode outputs
+    agree to within one int8 quantization step."""
+    c = CFG.hidden_size
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((s_len, c)) * 0.1, jnp.bfloat16)
+    bp = _quantized_block(5)
+    stacked = {"blocks": jax.tree.map(lambda a: a[None], bp)}
+    bf = jax.tree.map(
+        lambda a: a[0], FM.fuse_vision_mlp_weights(stacked, CFG)["blocks"]
+    )
+    h = V._rms_norm(x, bp["ln2"], CFG.rms_norm_eps)
+    xq, xs = qz.quantize_act(h)
+    qo, so = FM.dual_gemm_silu_quant(
+        xq, xs, bf["wgu_p"], bf["bgu_p"], interpret=True)
+    qn, sn = FM.ln_dual_gemm_silu_quant(
+        x, bp["ln2"], bf["wgu_p"], bf["bgu_p"],
+        eps=CFG.rms_norm_eps, interpret=True)
+    assert qn.shape == qo.shape and sn.shape == so.shape
+    np.testing.assert_allclose(np.asarray(sn), np.asarray(so), rtol=1e-5)
+    step = float(np.asarray(so).max())
+    np.testing.assert_allclose(
+        np.asarray(qn, np.float32) * np.asarray(sn),
+        np.asarray(qo, np.float32) * np.asarray(so),
+        atol=step * 1.01,
+    )
+
+
 def test_dual_gemm_matches_chain_math():
     """Kernel (interpret) vs an exact numpy replay of the chain's math on a
     small shape — pins the rescale order, bias dtype, and quantize scale."""
