@@ -21,6 +21,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from quickvideo_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 REFERENCE_E2E_S = 27.65  # reference README.md:357 (1024f, interleaved, 7B/GPU)
 
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "1024"))

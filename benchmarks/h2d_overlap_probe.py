@@ -1,0 +1,85 @@
+"""Does host->device upload overlap device compute on this transport?
+
+The strict-resize hour row shows ~21 s of `device_put` for ~2 GB of uint8
+frames while the chip also runs ~34 s of compute — ~100 MB/s effective,
+vs ~870 MB/s implied by the demo row's hidden 0.7 s upload. Hypothesis:
+transfers and compute dispatches serialize on the tunnel stream, so
+upload time ADDS to e2e instead of hiding. This probe measures device_put
+throughput (a) on an idle device and (b) while a long compute chain runs
+asynchronously. If (b) ~= (a), overlap works and the hour row's stall is
+elsewhere; if (b) collapses or the compute tail stretches by the upload
+time, the transport serializes and the lever is fewer bytes (e.g. YUV420
+at 1.5 B/px + on-device color conversion), not more threads.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MB = int(os.environ.get("H2D_MB", 256))        # total upload per arm
+CHUNK_MB = int(os.environ.get("H2D_CHUNK_MB", 16))
+COMPUTE_S = float(os.environ.get("H2D_COMPUTE_S", 8.0))
+
+
+def main():
+    print("devices:", jax.devices())
+    rng = np.random.default_rng(0)
+    n_chunks = MB // CHUNK_MB
+    chunks = [
+        rng.integers(0, 255, CHUNK_MB * 1024 * 1024, dtype=np.uint8)
+        for _ in range(n_chunks)
+    ]
+
+    # long async compute: chained matmuls sized to ~COMPUTE_S
+    d = 4096
+    a = jnp.asarray(rng.standard_normal((d, d)), jnp.bfloat16)
+
+    @jax.jit
+    def burn(a, iters):
+        def body(_, x):
+            return x @ x * 1e-3
+        return jax.lax.fori_loop(0, iters, body, a)
+
+    per_mm = 2 * d ** 3 / 197e12  # bf16 matmul seconds at v5e peak
+    iters = max(1, int(COMPUTE_S / per_mm * 0.5))  # ~50% efficiency guess
+    jax.block_until_ready(burn(a, 2))  # compile
+
+    def upload_all():
+        t0 = time.perf_counter()
+        devs = [jax.device_put(c) for c in chunks]
+        jax.block_until_ready(devs)
+        return time.perf_counter() - t0, devs
+
+    # (a) idle upload
+    dt_idle, devs = upload_all()
+    del devs
+    print(f"idle upload: {MB} MB in {dt_idle:.2f} s = "
+          f"{MB / dt_idle:.0f} MB/s")
+
+    # measure real compute duration alone
+    t0 = time.perf_counter()
+    jax.block_until_ready(burn(a, iters))
+    dt_burn = time.perf_counter() - t0
+    print(f"compute alone: {dt_burn:.2f} s (iters={iters})")
+
+    # (b) upload while compute runs (dispatch async, then upload)
+    out = burn(a, iters)
+    t0 = time.perf_counter()
+    dt_busy, devs = upload_all()
+    jax.block_until_ready(out)
+    dt_total = time.perf_counter() - t0
+    print(f"busy upload: {MB} MB in {dt_busy:.2f} s = "
+          f"{MB / dt_busy:.0f} MB/s while ~{dt_burn:.1f} s compute ran")
+    print(f"combined window: {dt_total:.2f} s "
+          f"(serial would be ~{dt_burn + dt_idle:.2f} s, "
+          f"overlapped ~{max(dt_burn, dt_idle):.2f} s)")
+
+
+if __name__ == "__main__":
+    main()

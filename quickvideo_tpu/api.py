@@ -29,6 +29,11 @@ _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
 
 class LVU:
     def __init__(self, config: LVUConfig, params: Optional[dict] = None):
+        from quickvideo_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
+
+        enable_persistent_cache()
         ensure_builtin_engines()
         self.config = config
         self.model_config = get_config(config.model_name_or_path or "qwen25-vl-7b")

@@ -398,7 +398,19 @@ def vision_block(
             wqkv_p = _pad_head_cols(bp["wqkv"], nh, hd, dp)
             bqkv_p = _pad_head_cols(bp["bqkv"], nh, hd, dp)
             wo_p = _pad_head_rows(bp["wo"], nh, hd, dp)
-        qkv2 = qdot(h, wqkv_p).astype(x.dtype) + bqkv_p
+        from quickvideo_tpu.ops import fused_vision_mlp as FM
+
+        if FM.fused_qkv_enabled() and is_quantized(wqkv_p):
+            # ln1 + per-row act-quantize + int8 GEMM + bias in ONE Pallas
+            # pass (ops/fused_vision_mlp.ln_gemm_bias). Numerics: act-quant
+            # instead of the weight-only bf16 GEMM — gated by
+            # fused_qkv_enabled until the accuracy/perf probes land.
+            qkv2 = FM.ln_gemm_bias(
+                x, bp["ln1"], wqkv_p, bqkv_p,
+                eps=cfg.rms_norm_eps, interpret=interp,
+            )
+        else:
+            qkv2 = qdot(h, wqkv_p).astype(x.dtype) + bqkv_p
         q2, k2, v2 = jnp.split(qkv2, 3, axis=-1)
         cos_p = layout_arrays["cos_p"].astype(x.dtype)
         sin_p = layout_arrays["sin_p"].astype(x.dtype)

@@ -131,13 +131,12 @@ def _kernel(xq_ref, xs_ref, w_ref, sc_ref, b_ref, q_ref, s_ref, *, n_pad):
     _epilogue(acc, xs_ref[:], sc_ref, b_ref, q_ref, s_ref, n_pad)
 
 
-def _ln_kernel(x_ref, ln_ref, w_ref, sc_ref, b_ref, q_ref, s_ref, *,
-               n_pad, eps):
+def _ln_quantize(x_ref, ln_ref, eps):
     """rmsnorm + per-row int8 quantize of the raw block input IN-KERNEL
-    (the separate XLA ln2 + quantize_act passes and their (S, C) HBM
-    round-trips disappear), then the same dual GEMM + epilogue. Math is
-    production-exact: bf16 rounding order of _rms_norm, quantize_act's
-    scale rule. Zero pad rows quantize to zeros (var 0 -> h 0)."""
+    (the separate XLA ln + quantize_act passes and their (S, C) HBM
+    round-trips disappear). Math is production-exact: bf16 rounding order
+    of _rms_norm, quantize_act's scale rule. Zero pad rows quantize to
+    zeros (var 0 -> h 0). Returns (xq int8, xs f32 row scales)."""
     xf = x_ref[:].astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     # bf16 round-trips via explicit bit-level RN-even, NOT astype: inside
@@ -157,6 +156,13 @@ def _ln_kernel(x_ref, ln_ref, w_ref, sc_ref, b_ref, q_ref, s_ref, *,
         jnp.max(jnp.abs(hf), axis=-1, keepdims=True), _EPS
     ) / 127.0
     xq = jnp.clip(jnp.round(hf / xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+def _ln_kernel(x_ref, ln_ref, w_ref, sc_ref, b_ref, q_ref, s_ref, *,
+               n_pad, eps):
+    """ln + quantize in-kernel, then the same dual GEMM + epilogue."""
+    xq, xs = _ln_quantize(x_ref, ln_ref, eps)
     acc = jax.lax.dot_general(
         xq, w_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -263,8 +269,78 @@ def ln_dual_gemm_silu_quant(
     return q, s
 
 
+def _ln_gemm_kernel(x_ref, ln_ref, w_ref, sc_ref, b_ref, o_ref, *, eps):
+    """ln + quantize in-kernel, int8 GEMM, rescale + bias -> bf16 out.
+    The plain-projection counterpart of _ln_kernel (no SwiGLU epilogue):
+    used for the vision QKV projection, where the XLA chain pays an ln
+    HBM round-trip plus a weight-only bf16 GEMM."""
+    xq, xs = _ln_quantize(x_ref, ln_ref, eps)
+    acc = jax.lax.dot_general(
+        xq, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[:] = (
+        acc.astype(jnp.float32) * xs * sc_ref[:]
+    ).astype(jnp.bfloat16) + b_ref[:]
+
+
+def ln_gemm_bias(
+    x: jax.Array,     # (S, C) bf16 — RAW block input (pre-norm)
+    ln_w: jax.Array,  # (C,) rmsnorm weight
+    w: dict,          # {"q8": (C, N) int8, "sc": (1, N) f32}
+    b: jax.Array,     # (N,) or (1, N) bf16 bias
+    *,
+    eps: float,
+    bm: int = 128,  # bm=256 oversubscribes ~16 MB VMEM at N=6144 (f32 acc)
+    interpret: bool = False,
+):
+    """rmsnorm(x)*ln_w -> per-row int8 quantize -> int8 GEMM -> rescale +
+    bias, all in one kernel pass; returns (S, N) bf16. Per-row act-quant
+    semantics identical to quantize_act + qdot_pre (the act-quantized
+    counterpart of the weight-only qdot chain it replaces)."""
+    s_len, c = x.shape
+    n = w["q8"].shape[1]
+    sc = w["sc"].reshape(1, n)
+    b = b.reshape(1, n).astype(jnp.bfloat16)
+    sp = _round_up(s_len, bm)
+    if sp != s_len:
+        x = jnp.pad(x, ((0, sp - s_len), (0, 0)))
+    row = lambda i: (i, 0)  # noqa: E731
+    rep = lambda i: (0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        functools.partial(_ln_gemm_kernel, eps=eps),
+        grid=(sp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, c), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, n), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), rep, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, n), row, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((sp, n), jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * sp * c * n,
+            bytes_accessed=sp * c * 3 + c * n + sp * n * 2,
+            transcendentals=sp,
+        ),
+        interpret=interpret,
+    )(x, ln_w.reshape(1, c), w["q8"], sc, b)
+    if sp != s_len:
+        out = out[:s_len]
+    return out
+
+
 def fused_mlp_enabled() -> bool:
     return os.environ.get("QV_FUSED_VISION_MLP", "1") != "0"
+
+
+def fused_qkv_enabled() -> bool:
+    """The fused ln+act-quant QKV projection (ln_gemm_bias) — default OFF
+    pending the TPU tower A/B (benchmarks/qkv_fuse_probe.py) and the
+    quantization-accuracy gate: unlike the MLP fusion it CHANGES numerics
+    (weight-only bf16 GEMM -> per-row int8 act-quant)."""
+    return os.environ.get("QV_FUSED_VISION_QKV", "0") == "1"
 
 
 if __name__ == "__main__":  # pragma: no cover — TPU microbench

@@ -120,6 +120,31 @@ def test_ln_in_kernel_matches_outside(s_len):
     )
 
 
+@pytest.mark.parametrize("s_len", [128, 90])  # aligned + needs row padding
+def test_ln_gemm_bias_matches_act_quant_chain(s_len):
+    """ln_gemm_bias (fused QKV projection candidate) vs the materialized
+    rmsnorm -> quantize_act -> qdot_pre -> bias chain. Both act-quantize
+    with the same scale rule; residual diffs are single int8 rounding
+    flips at quantize boundaries (bounded by ~1 step through the dot)."""
+    c, n = CFG.hidden_size, 2 * CFG.hidden_size
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((s_len, c)) * 0.1, jnp.bfloat16)
+    ln = jnp.asarray(1.0 + rng.standard_normal(c) * 0.02, jnp.bfloat16)
+    w = qz.quantize_weight(
+        jnp.asarray(rng.standard_normal((c, n)) * 0.05, jnp.float32))
+    b = jnp.asarray(rng.standard_normal(n) * 0.05, jnp.bfloat16)
+    eps = CFG.rms_norm_eps
+    out = FM.ln_gemm_bias(x, ln, w, b, eps=eps, bm=64, interpret=True)
+    assert out.shape == (s_len, n) and out.dtype == jnp.bfloat16
+    h = V._rms_norm(x, ln, eps)
+    xq, xs = qz.quantize_act(h)
+    ref = qz.qdot_pre(xq, xs, w).astype(x.dtype) + b
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=0.05, rtol=0.05,
+    )
+
+
 def test_dual_gemm_matches_chain_math():
     """Kernel (interpret) vs an exact numpy replay of the chain's math on a
     small shape — pins the rescale order, bias dtype, and quantize scale."""
