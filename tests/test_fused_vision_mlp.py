@@ -145,6 +145,42 @@ def test_ln_gemm_bias_matches_act_quant_chain(s_len):
     )
 
 
+def test_fused_qkv_tower_close_to_weight_only(monkeypatch):
+    """Whole tiny vision tower with QV_FUSED_VISION_QKV=1 (interpret) vs
+    the production weight-only QKV path — guards the vision_block wiring.
+    The fused path act-quantizes the QKV input, so outputs differ by int8
+    quantization noise only."""
+    from quickvideo_tpu.models.qwen25_vl import get_config
+    from quickvideo_tpu.models.qwen25_vl import model as qmodel
+    from quickvideo_tpu.models.qwen25_vl import vision as VV
+    from quickvideo_tpu.ops.quantization import quantize_vision_params
+
+    cfg = get_config("tiny")
+    vc = cfg.vision
+    t, h, w = 2, 8, 8
+    layout = VV.build_layout(
+        (t, h, w), vc.patch_size, vc.spatial_merge_size, vc.window_size,
+        vc.head_dim,
+    )
+    params = qmodel.init_params(cfg, seed=3, dtype=jnp.bfloat16)["vision"]
+    params = jax.jit(quantize_vision_params)(params)
+    params = VV.add_padded_block_weights(params, vc)
+    rng = np.random.default_rng(7)
+    px = jnp.asarray(
+        rng.standard_normal((t * h * w, vc.patch_input_dim)) * 0.1,
+        jnp.bfloat16,
+    )
+    monkeypatch.setenv("QV_PALLAS_INTERPRET", "1")
+    ref = VV.vision_forward(params, px, layout, vc)
+    monkeypatch.setenv("QV_FUSED_VISION_QKV", "1")
+    out = VV.vision_forward(params, px, layout, vc)
+    assert out.shape == ref.shape and out.dtype == ref.dtype
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0.1, atol=0.1,
+    )
+
+
 def test_dual_gemm_matches_chain_math():
     """Kernel (interpret) vs an exact numpy replay of the chain's math on a
     small shape — pins the rescale order, bias dtype, and quantize scale."""
