@@ -10,6 +10,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from quickvideo_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from quickvideo_tpu.api import LVU
 from quickvideo_tpu.config import LVUConfig
 from quickvideo_tpu.engines.qwen25 import _fetch_frames

@@ -26,6 +26,10 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+from quickvideo_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import numpy as np
 
 

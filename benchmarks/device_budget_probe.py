@@ -23,6 +23,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from quickvideo_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 GRID = (16, 22, 40)  # strict group grid of the 448px textured bench fixture
 CAPACITY = 1 << 16
 REPS = int(os.environ.get("PROBE_REPS", "6"))

@@ -14,6 +14,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from quickvideo_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from quickvideo_tpu.ops.flash_attention import flash_past_attention
 from quickvideo_tpu.ops.attention import _blockwise_partial_attention
 

@@ -22,6 +22,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from quickvideo_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from quickvideo_tpu.ops.flash_attention import flash_past_attention
 
 HKV = int(os.environ.get("FB_HKV", 4))

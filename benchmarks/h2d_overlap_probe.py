@@ -22,6 +22,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from quickvideo_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 MB = int(os.environ.get("H2D_MB", 256))        # total upload per arm
 CHUNK_MB = int(os.environ.get("H2D_CHUNK_MB", 16))
 COMPUTE_S = float(os.environ.get("H2D_COMPUTE_S", 8.0))
@@ -36,19 +40,25 @@ def main():
         for _ in range(n_chunks)
     ]
 
-    # long async compute: chained matmuls sized to ~COMPUTE_S
+    # long async compute: chained matmuls sized to ~COMPUTE_S. scan keeps
+    # the chain sequential (each step consumes the previous output, so
+    # nothing can be elided) and the static length pins one executable.
     d = 4096
-    a = jnp.asarray(rng.standard_normal((d, d)), jnp.bfloat16)
-
-    @jax.jit
-    def burn(a, iters):
-        def body(_, x):
-            return x @ x * 1e-3
-        return jax.lax.fori_loop(0, iters, body, a)
+    a = jnp.asarray(rng.standard_normal((d, d)) * 0.01, jnp.bfloat16)
 
     per_mm = 2 * d ** 3 / 197e12  # bf16 matmul seconds at v5e peak
     iters = max(1, int(COMPUTE_S / per_mm * 0.5))  # ~50% efficiency guess
-    jax.block_until_ready(burn(a, 2))  # compile
+
+    @jax.jit
+    def burn(a):
+        def body(x, _):
+            y = x @ x
+            # renormalize so the chain neither explodes nor collapses
+            return y / (jnp.max(jnp.abs(y)) + 1e-6), ()
+        out, _ = jax.lax.scan(body, a, None, length=iters)
+        return out
+
+    jax.block_until_ready(burn(a))  # compile
 
     def upload_all():
         t0 = time.perf_counter()
@@ -64,12 +74,12 @@ def main():
 
     # measure real compute duration alone
     t0 = time.perf_counter()
-    jax.block_until_ready(burn(a, iters))
+    jax.block_until_ready(burn(a))
     dt_burn = time.perf_counter() - t0
     print(f"compute alone: {dt_burn:.2f} s (iters={iters})")
 
     # (b) upload while compute runs (dispatch async, then upload)
-    out = burn(a, iters)
+    out = burn(a)
     t0 = time.perf_counter()
     dt_busy, devs = upload_all()
     jax.block_until_ready(out)

@@ -23,6 +23,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from quickvideo_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from quickvideo_tpu.models.qwen25_vl import get_config
 from quickvideo_tpu.ops import fused_vision_mlp as FM
 from quickvideo_tpu.ops import quantization as qz

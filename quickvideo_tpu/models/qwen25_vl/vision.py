@@ -403,8 +403,8 @@ def vision_block(
         if FM.fused_qkv_enabled() and is_quantized(wqkv_p):
             # ln1 + per-row act-quantize + int8 GEMM + bias in ONE Pallas
             # pass (ops/fused_vision_mlp.ln_gemm_bias). Numerics: act-quant
-            # instead of the weight-only bf16 GEMM — gated by
-            # fused_qkv_enabled until the accuracy/perf probes land.
+            # instead of the weight-only bf16 GEMM (same int8-act family as
+            # the default MLP chain); QV_FUSED_VISION_QKV=0 restores it.
             qkv2 = FM.ln_gemm_bias(
                 x, bp["ln1"], wqkv_p, bqkv_p,
                 eps=cfg.rms_norm_eps, interpret=interp,

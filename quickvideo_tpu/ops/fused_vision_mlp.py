@@ -336,11 +336,14 @@ def fused_mlp_enabled() -> bool:
 
 
 def fused_qkv_enabled() -> bool:
-    """The fused ln+act-quant QKV projection (ln_gemm_bias) — default OFF
-    pending the TPU tower A/B (benchmarks/qkv_fuse_probe.py) and the
-    quantization-accuracy gate: unlike the MLP fusion it CHANGES numerics
-    (weight-only bf16 GEMM -> per-row int8 act-quant)."""
-    return os.environ.get("QV_FUSED_VISION_QKV", "0") == "1"
+    """The fused ln+act-quant QKV projection (ln_gemm_bias) — default ON
+    since the TPU tower A/B (benchmarks/qkv_fuse_probe.py: 55.3 vs
+    67.3 ms median per 32-block tower at the strict 7B shape, -12 ms/group)
+    and the tower guard test landed. Numerics: per-row int8 act-quant
+    instead of the weight-only bf16 GEMM — same quantization family as the
+    default int8-act MLP chain; gated by the e2e teacher-forced agreement
+    tests (tests/test_quantization_accuracy.py)."""
+    return os.environ.get("QV_FUSED_VISION_QKV", "1") != "0"
 
 
 if __name__ == "__main__":  # pragma: no cover — TPU microbench
