@@ -58,12 +58,19 @@ def main():
         out, _ = jax.lax.scan(body, a, None, length=iters)
         return out
 
-    jax.block_until_ready(burn(a))  # compile
+    def sync(x):
+        # block_until_ready does NOT serialize against in-flight work on
+        # the tunneled axon platform (measured: a multi-second scan chain
+        # "completes" in 0.00 s); a scalar fetch is a real device sync —
+        # it cannot return until the producing program finished.
+        return float(np.asarray(jax.numpy.ravel(x)[0]))
+
+    sync(burn(a))  # compile + first run retired
 
     def upload_all():
         t0 = time.perf_counter()
         devs = [jax.device_put(c) for c in chunks]
-        jax.block_until_ready(devs)
+        sync(devs[-1])  # transfers retire in order on the single stream
         return time.perf_counter() - t0, devs
 
     # (a) idle upload
@@ -74,7 +81,7 @@ def main():
 
     # measure real compute duration alone
     t0 = time.perf_counter()
-    jax.block_until_ready(burn(a))
+    sync(burn(a))
     dt_burn = time.perf_counter() - t0
     print(f"compute alone: {dt_burn:.2f} s (iters={iters})")
 
@@ -82,7 +89,7 @@ def main():
     out = burn(a)
     t0 = time.perf_counter()
     dt_busy, devs = upload_all()
-    jax.block_until_ready(out)
+    sync(out)
     dt_total = time.perf_counter() - t0
     print(f"busy upload: {MB} MB in {dt_busy:.2f} s = "
           f"{MB / dt_busy:.0f} MB/s while ~{dt_burn:.1f} s compute ran")
