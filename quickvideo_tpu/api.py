@@ -143,6 +143,24 @@ class LVU:
             self, [{"role": "user", "content": content}], continuation
         )
 
+    def loglikelihood_multi(self, context: str, video_path: Optional[str],
+                            continuations) -> list:
+        """Score several continuations against ONE shared prefill of the
+        (video, context) — the lmms-eval multiple-choice pattern issues N
+        `loglikelihood` requests with identical context per doc; running
+        the full grouped video prefill once instead of N times is the
+        difference between ~(prefill + N suffixes) and N x prefill.
+        Returns a list of (total_logprob, is_greedy)."""
+        from quickvideo_tpu.engines.qwen25 import score_chat_multi
+
+        content = []
+        if video_path is not None:
+            content.append({"type": "video", "video": video_path})
+        content.append({"type": "text", "text": context})
+        return score_chat_multi(
+            self, [{"role": "user", "content": content}], continuations
+        )
+
     def chat(self, messages, **generation_kwargs) -> List[str]:
         if self._chat is None:
             raise ValueError(

@@ -184,6 +184,15 @@ def score_chat(lvu, messages, continuation) -> tuple:
     chat_sync (the reference's eval engine is the sync qwen25_lvu,
     README.md:394-396); the engine scores the continuation in one pass.
     Returns (total_logprob, is_greedy)."""
+    return score_chat_multi(lvu, messages, [continuation])[0]
+
+
+def score_chat_multi(lvu, messages, continuations) -> list:
+    """Score several continuations against ONE shared prefill of the chat
+    context — the lmms-eval multiple-choice pattern (N options per doc with
+    identical context). The video decodes and prefills once;
+    engine.score_continuations rewinds the cache between options. Returns a
+    list of (total_logprob, is_greedy)."""
     video_path, question, vkw, image_items = _question_from_messages(messages)
     cfg = _config_with_video_kwargs(lvu, vkw, {})
     timer = SpanTimer()
@@ -193,10 +202,11 @@ def score_chat(lvu, messages, continuation) -> tuple:
             img_px, img_grids, img_counts = _prepare_images(
                 lvu.model_config, image_items
             )
-    if isinstance(continuation, str):
-        cont_ids = lvu.tokenizer.encode_text(continuation)
-    else:
-        cont_ids = [int(t) for t in continuation]
+    cont_ids = [
+        lvu.tokenizer.encode_text(c) if isinstance(c, str)
+        else [int(t) for t in c]
+        for c in continuations
+    ]
     if video_path is None:
         ids = build_chat_ids_from_messages(
             lvu.tokenizer, lvu.model_config, messages, 0,
@@ -206,7 +216,7 @@ def score_chat(lvu, messages, continuation) -> tuple:
             input_ids=ids, video_grid_thw=None, pixel_groups=[],
             group_grids=[], image_grid_thw=img_grids, image_pixels=img_px,
         )
-        return lvu.engine.score_continuation(inputs, cont_ids, timer=timer)
+        return lvu.engine.score_continuations(inputs, cont_ids, timer=timer)
     with timer.span("frame_fetch"):
         frames, plan, native_hw = _fetch_frames(lvu, video_path, timer, cfg)
     n_video_tokens = sum(plan.tokens_per_group)
@@ -220,7 +230,7 @@ def score_chat(lvu, messages, continuation) -> tuple:
         )
         inputs.image_grid_thw = img_grids
         inputs.image_pixels = img_px
-    return lvu.engine.score_continuation(inputs, cont_ids, timer=timer)
+    return lvu.engine.score_continuations(inputs, cont_ids, timer=timer)
 
 
 def _fetch_frames(lvu, video_path, timer, cfg=None):

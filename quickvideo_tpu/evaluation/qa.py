@@ -243,8 +243,9 @@ def register_lmms_model():  # pragma: no cover - optional integration
             out = []
             for req in requests:
                 ctx, gen_kwargs, doc_to_visual, doc_id, task, split = req.args
-                visual = doc_to_visual(self.task_dict[task][split][doc_id])
-                video = visual[0] if isinstance(visual, list) else visual
+                video = self._visual_to_video(
+                    doc_to_visual(self.task_dict[task][split][doc_id])
+                )
                 out.append(
                     self.lvu.generate(
                         ctx, video,
@@ -253,40 +254,68 @@ def register_lmms_model():  # pragma: no cover - optional integration
                 )
             return out
 
+        @staticmethod
+        def _visual_to_video(visual):
+            """doc_to_visual convention: a list (possibly empty for
+            text-only docs), a single path, or None."""
+            if isinstance(visual, list):
+                return visual[0] if visual else None
+            return visual
+
         def loglikelihood(self, requests):
-            """Teacher-forced option scoring: per request, the total logprob
-            of the continuation given the (video, context) and whether it is
-            the greedy decode (engine.score_continuation does the in-graph
-            gather; one scalar pair crosses the transport per request)."""
+            """Teacher-forced option scoring. Consecutive requests with the
+            same (doc, context) — the multiple-choice pattern: N option
+            continuations per doc — share ONE grouped video prefill via
+            LVU.loglikelihood_multi; the cache rewinds between options, so
+            a 4-option doc costs ~(1 prefill + 4 suffix passes) instead of
+            4 full prefills. Only the per-option (logprob, is_greedy)
+            scalars cross the transport."""
             out = []
-            for req in requests:
-                ctx, continuation, doc_to_visual, doc_id, task, split = (
-                    req.args
+            i = 0
+            while i < len(requests):
+                ctx, _, doc_to_visual, doc_id, task, split = (
+                    requests[i].args
                 )
+                j = i
+                conts = []
+                while j < len(requests):
+                    c2, cont, _, d2, t2, s2 = requests[j].args
+                    if (c2, d2, t2, s2) != (ctx, doc_id, task, split):
+                        break
+                    doc = self.task_dict[t2][s2][d2]
+                    if callable(cont):  # doc_to_target convention
+                        cont = cont(doc)
+                    conts.append(cont)
+                    j += 1
                 doc = self.task_dict[task][split][doc_id]
-                if callable(continuation):  # doc_to_target convention
-                    continuation = continuation(doc)
-                visual = doc_to_visual(doc)
-                video = visual[0] if isinstance(visual, list) else visual
-                out.append(self.lvu.loglikelihood(ctx, video, continuation))
+                video = self._visual_to_video(doc_to_visual(doc))
+                out.extend(
+                    self.lvu.loglikelihood_multi(ctx, video, conts)
+                )
+                i = j
             return out
 
         def generate_until_multi_round(self, requests):
             """Multi-round generation: one ChatSession per doc — the video
             KV prefills once and every later round appends incrementally
             (quickvideo_tpu.chat.ChatSession), instead of the reference's
-            full re-prefill per round."""
+            full re-prefill per round. Only ONE session stays resident: a
+            session's pruned video cache is hundreds of MB at 7B scale, so
+            keeping one per doc would OOM the chip within a few docs; when
+            the requests revisit an earlier doc out of order, its video
+            simply re-prefills."""
             out = []
-            sessions = {}
+            cur_key, cur_session = None, None
             for req in requests:
                 ctx, gen_kwargs, doc_to_visual, doc_id, task, split = req.args
                 key = (task, split, doc_id)
-                if key not in sessions:
+                if key != cur_key:
+                    cur_session = None  # drop the previous doc's KV cache
                     doc = self.task_dict[task][split][doc_id]
-                    visual = doc_to_visual(doc)
-                    video = visual[0] if isinstance(visual, list) else visual
-                    sessions[key] = self.lvu.start_chat(video)
-                out.append(sessions[key].ask(
+                    video = self._visual_to_video(doc_to_visual(doc))
+                    cur_session = self.lvu.start_chat(video)
+                    cur_key = key
+                out.append(cur_session.ask(
                     ctx,
                     max_new_tokens=gen_kwargs.get("max_new_tokens", 16),
                 ))

@@ -94,21 +94,14 @@ class GenerationResult:
 
 def enable_compilation_cache():
     """Persistent XLA compilation cache — first-run compiles over the remote
-    TPU compile service take minutes; cached reruns take seconds. Opt-out via
-    QV_NO_COMPILE_CACHE; directory via QV_COMPILE_CACHE."""
-    import os
+    TPU compile service take minutes; cached reruns take seconds. Delegates
+    to the single canonical setup in utils/compile_cache.py (opt-out via
+    QV_COMPILE_CACHE=0 or legacy QV_NO_COMPILE_CACHE; directory via
+    QV_COMPILE_CACHE_DIR) so the engine and the standalone benchmarks share
+    ONE cache dir and one env contract."""
+    from quickvideo_tpu.utils.compile_cache import enable_persistent_cache
 
-    if os.environ.get("QV_NO_COMPILE_CACHE"):
-        return
-    cache_dir = os.environ.get(
-        "QV_COMPILE_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "quickvideo_tpu_xla"),
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # older jax without these flags
+    enable_persistent_cache()
 
 
 def _maybe_sync(x):
@@ -275,6 +268,7 @@ class LVUEngine:
             self._score_body, static_argnames=("spec",),
             donate_argnames=("cache",),
         )
+        self._score_gather_jit = jax.jit(self._score_gather)
         self._rng = jax.random.key(lvu_cfg.seed)
         self._base_rng = jax.random.key(lvu_cfg.seed + 1)
 
@@ -421,6 +415,24 @@ class LVUEngine:
             jnp.where(mask, jnp.argmax(logits, axis=-1) == targets, True)
         )
         return cache, total, greedy
+
+    @staticmethod
+    def _score_gather(logits, ids_pad, valid, cont_start):
+        """Gather the continuation rows' target logprobs from a padded
+        logits block — same masking contract as _score_body's tail (row r
+        predicts ids_pad[r+1]; continuation rows are [cont_start-1,
+        valid-1)). Used by the pp scoring path, where the logits head runs
+        outside the stack's chunk program."""
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        r = jnp.arange(ids_pad.shape[0])
+        targets = jnp.roll(ids_pad, -1)
+        mask = (r >= cont_start - 1) & (r < valid - 1)
+        row_lp = jnp.take_along_axis(lp, targets[:, None], axis=-1)[:, 0]
+        total = jnp.sum(jnp.where(mask, row_lp, 0.0))
+        greedy = jnp.all(
+            jnp.where(mask, jnp.argmax(logits, axis=-1) == targets, True)
+        )
+        return total, greedy
 
     def _decode_chunk_body(self, params_lang, cache, tok0, cos_chunk,
                            sin_chunk, eos_ids, n_stop, spec):
@@ -1056,19 +1068,52 @@ class LVUEngine:
         suffix is never pruned during scoring (do_top_k_for_query applies to
         generation, not teacher forcing). Returns
         (total_logprob, is_greedy)."""
+        return self.score_continuations(inputs, [continuation_ids], timer)[0]
+
+    def score_continuations(
+        self,
+        inputs: PrefillInputs,
+        continuations: Sequence[Sequence[int]],
+        timer: Optional[SpanTimer] = None,
+    ) -> list:
+        """Score SEVERAL continuations against ONE shared (video + context)
+        prefill — the lmms-eval multiple-choice pattern issues N
+        `loglikelihood` requests with identical context per doc, and
+        re-running the full grouped video prefill per option would multiply
+        the dominant cost by N. The cache's per-layer lengths are copied
+        before each option's scoring pass and restored after (rows written
+        past the restored length are dead — the next option overwrites
+        them), so every option scores against the identical pruned video
+        cache. Returns a list of (total_logprob, is_greedy)."""
         timer = timer or SpanTimer()
         lvu = self.lvu
-        cont = np.asarray(continuation_ids, np.int64)
-        n_cont = len(cont)
-        if n_cont == 0:
-            raise ValueError("continuation_ids is empty")
-        if n_cont > lvu.max_decode_tokens:
-            raise ValueError(
-                f"continuation has {n_cont} tokens > max_decode_tokens="
-                f"{lvu.max_decode_tokens}; raise max_decode_tokens (the "
-                "rope tables only extend that far past the prompt)"
-            )
+        conts = [np.asarray(c, np.int64) for c in continuations]
+        for cont in conts:
+            if len(cont) == 0:
+                raise ValueError("continuation_ids is empty")
+            if len(cont) > lvu.max_decode_tokens:
+                raise ValueError(
+                    f"continuation has {len(cont)} tokens > "
+                    f"max_decode_tokens={lvu.max_decode_tokens}; raise "
+                    "max_decode_tokens (the rope tables only extend that "
+                    "far past the prompt)"
+                )
         cache, state = self.prefill(inputs, timer)
+        results = []
+        for i, cont in enumerate(conts):
+            last = i == len(conts) - 1
+            cache, res = self._score_one(cache, state, cont, timer,
+                                         restore=not last)
+            results.append(res)
+        return results
+
+    def _score_one(self, cache, state, cont, timer, restore: bool):
+        """One continuation against the prefilled cache/state. When
+        `restore`, the cache (or pp stack) per-layer lengths are rewound
+        afterwards so the caller can score another continuation against
+        the same video cache; `+ 0` copies the length array because the
+        scoring jit donates the cache buffers."""
+        lvu = self.lvu
         cos, sin = state["cos"], state["sin"]
         ss, L = state["suffix_start"], state["L"]
         suffix_len = L - ss
@@ -1081,6 +1126,7 @@ class LVUEngine:
         with timer.span("score"):
             if state.get("pp_stack") is not None:
                 stack = state["pp_stack"]
+                saved_len = stack.lengths + 0 if restore else None
                 spec = StepSpec(
                     cfg=self.cfg.text, q_len=bucket, keep_k=0,
                     attn_impl=lvu.attention_impl,
@@ -1099,25 +1145,26 @@ class LVUEngine:
                     self.params["language"], jnp.asarray(np.asarray(h)),
                     self.cfg.text,
                 )
-                lp = jax.nn.log_softmax(
-                    logits.astype(jnp.float32), axis=-1
+                # in-graph gather: only the two result scalars cross the
+                # transport (a host-side (bucket, vocab) log-softmax pull
+                # would be ~300 MB per option over this tunnel)
+                total_j, greedy_j = self._score_gather_jit(
+                    logits, jnp.asarray(ids_pad, jnp.int32),
+                    np.int32(q), np.int32(suffix_len),
                 )
-                rows = np.arange(suffix_len - 1, q - 1)
-                targets = combined[rows + 1]
-                row_lp = np.asarray(lp)[rows, targets]
-                total = float(row_lp.sum())
-                greedy = bool(
-                    (np.asarray(jnp.argmax(logits, axis=-1))[rows]
-                     == targets).all()
-                )
+                total = float(total_j)
+                greedy = bool(greedy_j)
+                if restore:
+                    stack.lengths = saved_len
             else:
+                saved_len = cache.length + 0 if restore else None
                 spec = StepSpec(
                     cfg=self.cfg.text, q_len=bucket, keep_k=0,
                     attn_impl=lvu.attention_impl,
                     kv_quant=self._cache_quant(cache),
                     cp_mesh=self.cp_mesh,
                 )
-                _, total_j, greedy_j = self._score_jit(
+                cache, total_j, greedy_j = self._score_jit(
                     self.params["language"], cache,
                     jnp.asarray(ids_pad, jnp.int32),
                     cos[ss : ss + bucket], sin[ss : ss + bucket],
@@ -1126,7 +1173,9 @@ class LVUEngine:
                 )
                 total = float(total_j)
                 greedy = bool(greedy_j)
-        return total, greedy
+                if restore:
+                    cache = dataclasses.replace(cache, length=saved_len)
+        return cache, (total, greedy)
 
     @staticmethod
     def _filter_logits(logits, top_p=None, top_k=None):

@@ -302,3 +302,26 @@ class TestLoglikelihood:
         total2, greedy2 = eng.score_continuation(inputs, other)
         assert not greedy2
         assert total2 < total
+
+    def test_multi_continuation_shares_prefill(self, jx, request_data):
+        """score_continuations (the lmms-eval MC pattern: N options per
+        doc against ONE video prefill) must give bitwise the same scores
+        as independent score_continuation calls — including an option
+        re-scored AFTER another wrote into the cache's scoring region,
+        which pins the between-option length rewind."""
+        ids, pixels, pixel_groups, group_grids = request_data
+        lvu = LVUConfig(
+            model_name_or_path="tiny", num_frames=8, max_decode_tokens=8,
+            top_p=0.5,
+        )
+        eng = LVUEngine(jx, CFG, lvu, dtype=jnp.float32)
+        inputs = PrefillInputs(ids, GRID, pixel_groups, group_grids, 2.0)
+        opts = [[7, 123, 456, 11], [9, 2, 88], [7, 123, 456, 11]]
+        multi = eng.score_continuations(inputs, opts)
+        single = [eng.score_continuation(inputs, o) for o in opts]
+        for (tm, gm), (ts, gs) in zip(multi, single):
+            assert gm == gs
+            np.testing.assert_allclose(tm, ts, rtol=1e-6, atol=1e-6)
+        # same option scored before and after the rewind: identical
+        np.testing.assert_allclose(multi[0][0], multi[2][0],
+                                   rtol=1e-6, atol=1e-6)

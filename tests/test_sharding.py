@@ -261,6 +261,41 @@ def test_lvu_api_pp_sampled_decode_matches_single_chip(tmp_path):
     np.testing.assert_array_equal(toks_pp, toks_ref)
 
 
+def test_lvu_api_pp_loglikelihood_matches_single_chip(tmp_path):
+    """Teacher-forced scoring under pp (the lmms-eval `loglikelihood`
+    contract): the pp branch runs the suffix+continuation block through the
+    PipelinedStack and gathers the target logprobs IN-GRAPH (only two
+    scalars cross the transport; a host-side log-softmax pull would move
+    (bucket, vocab) f32 per option). Scores and is_greedy must match the
+    single-chip engine, including via the shared-prefill multi path."""
+    from quickvideo_tpu.api import LVU
+    from quickvideo_tpu.config import LVUConfig, MeshConfig
+    from quickvideo_tpu.video import quickdecode as qd
+
+    if not qd.is_available():
+        pytest.skip("native decoder not built")
+    video = str(tmp_path / "clip.mp4")
+    qd.encode_test_video(video, width=112, height=112, nframes=32, fps=8,
+                         gop=8)
+    kw = dict(
+        model_name_or_path="tiny", model_type="qwen25_lvu",
+        num_frames=8, video_group_size=4, top_p=0.5,
+        max_decode_tokens=8, dtype="float32",
+    )
+    opts = [[7, 123, 456, 11], [9, 2, 88], [7, 123, 456, 11]]
+    ref = LVU(LVUConfig(**kw))
+    want = [ref.loglikelihood("What?", video, o) for o in opts]
+
+    lvu = LVU(LVUConfig(mesh=MeshConfig(pp=3), **kw))
+    assert lvu.engine.pp_mesh is not None
+    got_single = [lvu.loglikelihood("What?", video, o) for o in opts]
+    got_multi = lvu.loglikelihood_multi("What?", video, opts)
+    for (tw, gw), (ts, gs), (tm, gm) in zip(want, got_single, got_multi):
+        assert gw == gs == gm
+        np.testing.assert_allclose(ts, tw, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(tm, tw, rtol=1e-5, atol=1e-5)
+
+
 def test_72b_tp8_sharding_plan_covers_every_param():
     """Scale check without allocating: the TP sharding plan must divide
     every Qwen2.5-VL-72B parameter on a tp=8 mesh, and the per-chip bf16
